@@ -8,3 +8,17 @@ online bbox-crop dataset creation, and a REST serving API.
 """
 
 __version__ = "0.1.0"
+
+
+def _respect_platform_env():
+    """Honor JAX_PLATFORMS=cpu even on hosts whose sitecustomize force-selects
+    the TPU plugin after env parsing (it rewrites jax_platforms at import)."""
+    import os
+    want = os.environ.get("JAX_PLATFORMS", "").strip().lower()
+    if want == "cpu":
+        import jax
+        if jax.config.jax_platforms != "cpu":
+            jax.config.update("jax_platforms", "cpu")
+
+
+_respect_platform_env()

@@ -1,0 +1,69 @@
+"""Host-side data pipeline.
+
+All randomness, PIL decoding and ragged bbox math stay on the host (CPU);
+the device only ever sees fixed-shape NHWC float32 batches
+(SURVEY.md §7 design stance). Registry mirrors reference data/__init__.py.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from .loader import DataLoader
+
+
+def find_dataset_class(mode):
+    from . import datasets as D
+    table = {
+        "unaligned": D.UnalignedDataset,
+        "unaligned_labeled_cls": D.UnalignedLabeledClsDataset,
+        "unaligned_labeled_mask": D.UnalignedLabeledMaskDataset,
+        "unaligned_labeled_mask_cls": D.UnalignedLabeledMaskClsDataset,
+        "unaligned_labeled_mask_online": D.UnalignedLabeledMaskOnlineDataset,
+        "unaligned_labeled_mask_cls_online": D.UnalignedLabeledMaskClsOnlineDataset,
+        "self_supervised_labeled_mask": D.SelfSupervisedLabeledMaskDataset,
+        "self_supervised_labeled_mask_cls": D.SelfSupervisedLabeledMaskClsDataset,
+        "self_supervised_labeled_mask_online": D.SelfSupervisedLabeledMaskOnlineDataset,
+        "self_supervised_labeled_mask_cls_online": D.SelfSupervisedLabeledMaskClsOnlineDataset,
+        "aligned": D.AlignedDataset,
+        "single": D.SingleDataset,
+        "temporal_labeled_mask_online": D.TemporalLabeledMaskOnlineDataset,
+        "self_supervised_vid_mask_online": D.SelfSupervisedVidMaskOnlineDataset,
+        "self_supervised_temporal": D.SelfSupervisedTemporalDataset,
+    }
+    if mode not in table:
+        raise NotImplementedError(f"dataset mode {mode}")
+    return table[mode]
+
+
+def create_dataset(opt, phase="train", name=""):
+    cls = find_dataset_class(opt.data_dataset_mode)
+    return cls(opt, phase, name=name)
+
+
+def create_dataloader(opt, dataset, shuffle=None, batch_size=None):
+    """batch_size option is PER-DEVICE (reference semantics: per-GPU rank,
+    data/__init__.py:124-129); the loader emits the global batch, which the
+    mesh shards over its data-parallel extent."""
+    if batch_size is None:
+        batch_size = (opt.train_batch_size if getattr(opt, "isTrain", True)
+                      else opt.test_batch_size)
+    import jax
+    dp = jax.device_count() // max(1, getattr(opt, "tpu_mesh_tensor", 1))
+    if shuffle is None:
+        shuffle = not getattr(opt, "data_serial_batches", False)
+    return DataLoader(dataset, batch_size=batch_size * dp, shuffle=shuffle,
+                      num_workers=getattr(opt, "data_num_threads", 4))
+
+
+def list_test_sets(dataroot):
+    """Glob test{A,B}* pairs (reference data/__init__.py:89-106)."""
+    names = set()
+    for d in glob.glob(os.path.join(dataroot, "test*")):
+        base = os.path.basename(d)
+        if base.startswith("testA"):
+            names.add(base[len("testA"):])
+        elif base.startswith("testB"):
+            names.add(base[len("testB"):])
+    return sorted(names)

@@ -1,0 +1,114 @@
+"""Mask/bbox-synchronized image transforms, numpy/PIL host-side.
+
+Parity with reference data/base_dataset.py get_transform (:428) and
+get_transform_seg (:611): resize -> (random) crop -> flip -> normalize,
+with every geometric op applied identically to image and mask. Output is
+NHWC float32 in [-1, 1]; masks are (H, W, 1) int32.
+"""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+from PIL import Image
+
+
+def load_image(path):
+    img = Image.open(path)
+    if img.mode != "RGB":
+        img = img.convert("RGB")
+    return img
+
+
+def load_mask(path):
+    m = Image.open(path)
+    if m.mode not in ("L", "I", "P"):
+        m = m.convert("L")
+    return m
+
+
+class PairedTransform:
+    """One sampled set of geometric params applied to image(s) + mask(s)."""
+
+    def __init__(self, opt, phase="train", grayscale=False):
+        self.load_size = getattr(opt, "data_load_size", 286)
+        self.crop_size = getattr(opt, "data_crop_size", 256)
+        self.preprocess = getattr(opt, "data_preprocess", "resize_and_crop")
+        flip_mode = getattr(opt, "dataaug_flip", "horizontal") or "horizontal"
+        self.hflip = phase == "train" and flip_mode in ("horizontal", "both")
+        self.vflip = phase == "train" and flip_mode in ("vertical", "both")
+        self.rotate = phase == "train" and not getattr(opt, "dataaug_no_rotate", True)
+        self.train = phase == "train"
+        self.grayscale = grayscale
+
+    def sample_params(self, rng=None):
+        rng = rng or random
+        p = {
+            "hflip": self.hflip and rng.random() < 0.5,
+            "vflip": self.vflip and rng.random() < 0.5,
+            "rot90": self.rotate and rng.random() < 0.5,
+        }
+        max_off = max(0, self.load_size - self.crop_size)
+        if self.train:
+            p["off_x"] = rng.randint(0, max_off) if max_off else 0
+            p["off_y"] = rng.randint(0, max_off) if max_off else 0
+        else:
+            p["off_x"] = p["off_y"] = max_off // 2
+        return p
+
+    def _geo(self, img: Image.Image, params, resample):
+        if self.preprocess in ("resize_and_crop",):
+            img = img.resize((self.load_size, self.load_size), resample)
+        elif self.preprocess == "scale_width":
+            w, h = img.size
+            nh = max(1, int(round(h * self.load_size / w)))
+            img = img.resize((self.load_size, nh), resample)
+        elif self.preprocess == "none":
+            pass
+        if "crop" in self.preprocess:
+            x, y = params["off_x"], params["off_y"]
+            img = img.crop((x, y, x + self.crop_size, y + self.crop_size))
+        if img.size != (self.crop_size, self.crop_size) and self.preprocess != "none":
+            img = img.resize((self.crop_size, self.crop_size), resample)
+        if params["hflip"]:
+            img = img.transpose(Image.FLIP_LEFT_RIGHT)
+        if params["vflip"]:
+            img = img.transpose(Image.FLIP_TOP_BOTTOM)
+        if params["rot90"]:
+            img = img.transpose(Image.ROTATE_90)
+        return img
+
+    def image(self, img: Image.Image, params):
+        img = self._geo(img, params, Image.BICUBIC)
+        arr = np.asarray(img, dtype=np.float32) / 127.5 - 1.0
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        return arr  # (H, W, C) in [-1, 1]
+
+    def mask(self, m: Image.Image, params):
+        m = self._geo(m, params, Image.NEAREST)
+        arr = np.asarray(m, dtype=np.int32)
+        if arr.ndim == 3:
+            arr = arr[:, :, 0]
+        return arr[:, :, None]  # (H, W, 1) int32
+
+
+def fill_mask_with_random(img, mask, cls=-1):
+    """Replace pixels of class ``cls`` (-1 = any nonzero) with U[-1,1] noise
+    (reference data/online_creation.py:1366-1385)."""
+    sel = (mask[..., 0] > 0) if cls == -1 else (mask[..., 0] == cls)
+    noise = np.random.uniform(-1.0, 1.0, img.shape).astype(img.dtype)
+    out = img.copy()
+    out[sel] = noise[sel]
+    return out
+
+
+def fill_mask_with_color(img, mask, colors=None, cls=-1):
+    """Replace masked pixels with a flat color (default mid-gray)
+    (reference data/online_creation.py:1387-1403)."""
+    sel = (mask[..., 0] > 0) if cls == -1 else (mask[..., 0] == cls)
+    out = img.copy()
+    color = (colors or {}).get(cls, 0.0)
+    out[sel] = color
+    return out

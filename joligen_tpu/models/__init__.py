@@ -1,0 +1,27 @@
+"""Model layer: training algorithms built on pytree train states and
+jitted step functions (TPU-native replacement for the reference's
+BaseModel OO engine, models/base_model.py:57-2344)."""
+
+
+def create_model(opt, phase="train"):
+    """Name -> model class registry (reference models/__init__.py:43-93)."""
+    name = opt.model_type
+    if name in ("palette",):
+        from .palette_model import PaletteModel
+        return PaletteModel(opt, phase=phase)
+    if name in ("cut",):
+        from .cut_model import CUTModel
+        return CUTModel(opt, phase=phase)
+    if name in ("cycle_gan",):
+        from .cycle_gan_model import CycleGANModel
+        return CycleGANModel(opt, phase=phase)
+    if name in ("cm", "cm_gan"):
+        from .cm_model import CMModel
+        return CMModel(opt, phase=phase)
+    if name in ("sc",):
+        from .sc_model import SCModel
+        return SCModel(opt, phase=phase)
+    if name in ("b2b",):
+        from .b2b_model import B2BModel
+        return B2BModel(opt, phase=phase)
+    raise NotImplementedError(f"model type {name}")

@@ -1,0 +1,127 @@
+"""Base training engine: pytree states, jitted steps, checkpoint contract.
+
+TPU-native replacement for reference models/base_model.py: instead of
+mutable nn.Modules with requires_grad toggling (base_model.py:1302-1377),
+each network is a ``NetState`` pytree and each NetworkGroup becomes one
+pure jitted step function; frozen subsets are expressed with
+``stop_gradient``/separate param partitions. Checkpoints keep the
+``{epoch}_net_{name}.pth`` naming contract (base_model.py:824-868) with
+msgpack payloads.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+import time
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+
+from ..parallel import make_mesh, shard_batch
+from .train_state import NetState
+
+
+class BaseModel:
+    def __init__(self, opt, phase="train"):
+        self.opt = opt
+        self.phase = phase
+        self.is_train = phase == "train"
+        self.device_dtype = jnp.bfloat16 if getattr(opt, "tpu_bf16", True) else jnp.float32
+        self.mesh = make_mesh(opt)
+        seed = getattr(opt, "seed", 0) or 0
+        self.rng = jax.random.PRNGKey(seed)
+        self.modules: Dict[str, Any] = {}
+        self.states: Dict[str, NetState] = {}
+        self.txs: Dict[str, Any] = {}
+        self.loss_log: Dict[str, float] = {}
+        self.save_dir = os.path.join(opt.checkpoints_dir, opt.name)
+        if self.is_train:
+            os.makedirs(self.save_dir, exist_ok=True)
+
+    # ---------------- rng ----------------
+    def next_rng(self):
+        self.rng, sub = jax.random.split(self.rng)
+        return sub
+
+    # ---------------- data ----------------
+    def put_batch(self, batch):
+        """Host numpy batch -> device arrays sharded over the batch axis."""
+        arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+        return shard_batch(self.mesh, arrays)
+
+    # ---------------- training ----------------
+    def optimize_parameters(self, batch):
+        """One training step over all network groups. Returns loss dict."""
+        raise NotImplementedError
+
+    def get_current_losses(self):
+        return dict(self.loss_log)
+
+    # ---------------- checkpoint contract ----------------
+    def _net_path(self, prefix, name, ema=False):
+        suffix = "_ema" if ema else ""
+        return os.path.join(self.save_dir, f"{prefix}_net_{name}{suffix}.pth")
+
+    def save_networks(self, prefix):
+        """Per-network files named {prefix}_net_{name}.pth (+_ema), matching
+        the reference checkpoint layout (base_model.py:824-868). Payload is
+        flax msgpack, not torch pickle."""
+        for name, state in self.states.items():
+            params = jax.device_get(state.params)
+            with open(self._net_path(prefix, name), "wb") as f:
+                f.write(serialization.to_bytes(params))
+            if state.ema_params is not None:
+                ema = jax.device_get(state.ema_params)
+                with open(self._net_path(prefix, name, ema=True), "wb") as f:
+                    f.write(serialization.to_bytes(ema))
+        # optimizer state for exact resume (the reference does NOT checkpoint
+        # optimizer state — SURVEY.md §5; we do, as a strict improvement)
+        opt_path = os.path.join(self.save_dir, f"{prefix}_optim.pkl")
+        with open(opt_path, "wb") as f:
+            pickle.dump({n: jax.device_get(s.opt_state)
+                         for n, s in self.states.items()}, f)
+
+    def load_networks(self, prefix, load_optim=True, strict=True):
+        for name, state in self.states.items():
+            path = self._net_path(prefix, name)
+            if not os.path.exists(path):
+                if strict and not getattr(self.opt, "train_finetune", False):
+                    raise FileNotFoundError(path)
+                continue
+            with open(path, "rb") as f:
+                params = serialization.from_bytes(jax.device_get(state.params),
+                                                  f.read())
+            new = state.replace(params=jax.device_put(params))
+            epath = self._net_path(prefix, name, ema=True)
+            if state.ema_params is not None and os.path.exists(epath):
+                with open(epath, "rb") as f:
+                    ema = serialization.from_bytes(
+                        jax.device_get(state.ema_params), f.read())
+                new = new.replace(ema_params=jax.device_put(ema))
+            self.states[name] = new
+        opt_path = os.path.join(self.save_dir, f"{prefix}_optim.pkl")
+        if load_optim and os.path.exists(opt_path):
+            with open(opt_path, "rb") as f:
+                opt_states = pickle.load(f)
+            for name, os_ in opt_states.items():
+                if name in self.states:
+                    target = jax.device_get(self.states[name].opt_state)
+                    restored = serialization.from_state_dict(target,
+                        serialization.to_state_dict(os_))
+                    self.states[name] = self.states[name].replace(
+                        opt_state=jax.device_put(restored))
+
+    # ---------------- misc ----------------
+    def param_count(self):
+        return {n: sum(x.size for x in jax.tree.leaves(s.params))
+                for n, s in self.states.items()}
+
+    def update_learning_rate(self):
+        # LR schedules are step-driven closures inside the optimizers
+        # (train_state.make_lr_schedule); nothing to do per-epoch.
+        pass

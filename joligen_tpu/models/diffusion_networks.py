@@ -1,0 +1,58 @@
+"""Diffusion denoiser factory (reference models/diffusion_networks.py:24-300).
+
+Maps option namespaces to flax denoiser modules wrapped in the palette
+conditioning layer. flax convs infer input channels lazily, so the
+reference's in_channel bookkeeping is unnecessary here.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .modules.palette_diffusion import PaletteDenoiser
+from .modules.unet_mha import UNetMHA
+
+
+def _compute_dtype(opt):
+    return jnp.bfloat16 if getattr(opt, "tpu_bf16", True) else jnp.float32
+
+
+def define_inner_G(opt):
+    netG = opt.G_netG
+    dtype = _compute_dtype(opt)
+    if netG in ("unet_mha", "uvit"):
+        return UNetMHA(
+            in_channel=opt.model_input_nc + opt.model_output_nc,
+            out_channel=opt.model_output_nc,
+            inner_channel=opt.G_ngf,
+            cond_embed_dim=opt.alg_diffusion_cond_embed_dim,
+            res_blocks=tuple(opt.G_unet_mha_res_blocks),
+            attn_res=tuple(opt.G_unet_mha_attn_res),
+            channel_mults=tuple(opt.G_unet_mha_channel_mults),
+            num_heads=opt.G_unet_mha_num_heads,
+            num_head_channels=opt.G_unet_mha_num_head_channels,
+            norm=opt.G_unet_mha_norm_layer,
+            group_size=opt.G_unet_mha_group_norm_size,
+            dropout=0.0,
+            tanh=False,
+            remat=getattr(opt, "tpu_remat", False),
+            dtype=dtype,
+        )
+    if netG in ("vit", "dit"):
+        from .modules.jit import JiT
+        return JiT.from_opt(opt, dtype=dtype)
+    raise NotImplementedError(f"diffusion generator {netG}")
+
+
+def define_G(opt):
+    """Full conditioned denoiser: (params, x, gammas, cls, mask) -> eps_hat."""
+    conditioning = getattr(opt, "alg_diffusion_cond_embed", "") or ""
+    nclasses = max(getattr(opt, "f_s_semantic_nclasses", 2),
+                   getattr(opt, "cls_semantic_nclasses", 2))
+    return PaletteDenoiser(
+        inner=define_inner_G(opt),
+        cond_embed_dim=opt.alg_diffusion_cond_embed_dim,
+        conditioning=conditioning,
+        nclasses=nclasses,
+        dtype=_compute_dtype(opt),
+    )

@@ -1,0 +1,283 @@
+"""Palette DDPM core: conditioning wrapper, training forward, DDPM/DDIM samplers.
+
+Behavioral parity with reference models/modules/diffusion_generator.py and
+palette_denoise_fn.py, redesigned for XLA:
+- the whole sampling chain is a single ``lax.scan`` compiled once (the
+  reference runs a Python loop of T cuda launches);
+- continuous-gamma q_sample, masked noise blending, min-SNR weights match
+  diffusion_generator.py:457-521;
+- class/mask conditioning matches palette_denoise_fn.py:95-159 (class
+  embedding concatenated to the gamma embedding; mask embedded per-pixel and
+  concatenated as channels).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ...ops.schedules import NoiseSchedule, extract, gamma_embedding
+
+
+class LabelEmbedder(nn.Module):
+    """Class/mask-label embedding table (palette_denoise_fn.py:14-32)."""
+    num_classes: int
+    hidden_size: int
+
+    @nn.compact
+    def __call__(self, labels):
+        table = self.param(
+            "embedding",
+            nn.initializers.normal(stddev=0.02),
+            (self.num_classes, self.hidden_size),
+        )
+        return jnp.take(table, labels, axis=0)
+
+
+class PaletteDenoiser(nn.Module):
+    """Wraps an inner denoiser with gamma/class/mask conditioning.
+
+    inner: a flax module mapping ((B,H,W,Cin), (B,emb_dim)) -> (B,H,W,Cout).
+    conditioning: "" | "mask" | "class" | "mask_and_class".
+    """
+
+    inner: nn.Module
+    cond_embed_dim: int
+    conditioning: str = ""
+    nclasses: int = 2
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def gamma_dim(self):
+        # class/ref conditioning halves the gamma share of the embedding
+        # (diffusion_generator.py:66-75)
+        if "class" in self.conditioning or "ref" in self.conditioning:
+            return self.cond_embed_dim // 2
+        return self.cond_embed_dim
+
+    @nn.compact
+    def __call__(self, x, gammas, cls=None, mask=None, deterministic=True):
+        """x: (B,H,W,C) concatenated [y_cond, y_noisy]. gammas: (B,) noise levels."""
+        g = self.gamma_dim
+        emb = gamma_embedding(gammas, g)
+        emb = nn.Dense(g, dtype=self.dtype, name="cond_embed_0")(emb)
+        emb = nn.silu(emb)
+        emb = nn.Dense(g, dtype=self.dtype, name="cond_embed_1")(emb)
+
+        if "class" in self.conditioning:
+            if cls is None:
+                cls = jnp.zeros((x.shape[0],), dtype=jnp.int32)
+            cls_embed = LabelEmbedder(self.nclasses, self.cond_embed_dim // 2,
+                                      name="embedder_class")(cls)
+            emb = jnp.concatenate([emb, cls_embed.astype(emb.dtype)], axis=1)
+
+        if "mask" in self.conditioning:
+            if mask is None:
+                mask = jnp.zeros(x.shape[:3] + (1,), dtype=jnp.int32)
+            m = jnp.clip(mask[..., 0].astype(jnp.int32), 0, self.nclasses - 1)
+            mask_embed = LabelEmbedder(self.nclasses, self.cond_embed_dim,
+                                       name="embedder_mask")(m)
+            x = jnp.concatenate([x, mask_embed.astype(x.dtype)], axis=-1)
+
+        return self.inner(x, emb, deterministic=deterministic)
+
+
+# --------------------------------------------------------------------------
+# Pure training / sampling math
+# --------------------------------------------------------------------------
+
+def q_sample(y0, sample_gammas, noise):
+    """y_noisy = sqrt(g)*y0 + sqrt(1-g)*eps (diffusion_generator.py:410-412)."""
+    return jnp.sqrt(sample_gammas) * y0 + jnp.sqrt(1.0 - sample_gammas) * noise
+
+
+def sample_continuous_gammas(rng, schedule: NoiseSchedule, batch):
+    """t ~ U{1..T-1}, gamma ~ U[gamma_{t-1}, gamma_t]
+    (diffusion_generator.py:464-478)."""
+    rng_t, rng_u = jax.random.split(rng)
+    t = jax.random.randint(rng_t, (batch,), 1, schedule.num_timesteps)
+    g_lo = extract(schedule.gammas, t - 1, 1)
+    g_hi = extract(schedule.gammas, t, 1)
+    u = jax.random.uniform(rng_u, (batch,))
+    return t, (g_hi - g_lo) * u + g_lo
+
+
+def min_snr_weight(schedule: NoiseSchedule, t, ksnr=5.0):
+    """min(SNR, k)/SNR per-sample weight (diffusion_generator.py:498-519)."""
+    snr1 = extract(schedule.sqrt_recip_gammas, t, 1)
+    snr2 = extract(schedule.sqrt_recipm1_gammas, t, 1)
+    snr = (snr1 / snr2) ** 2
+    return jnp.minimum(snr, ksnr) / snr
+
+
+def palette_training_outputs(apply_fn, params, rng, schedule: NoiseSchedule,
+                             y0, y_cond, mask=None, cls=None,
+                             dropout_prob=0.0, minsnr=True):
+    """One training forward: returns (noise, noise_hat, weight) exactly as
+    the reference DiffusionGenerator.forward (diffusion_generator.py:457-521).
+
+    y0/y_cond: (B,H,W,C) NHWC in [-1,1]. mask: (B,H,W,1) int labels or None.
+    """
+    b = y0.shape[0]
+    rng_g, rng_n, rng_drop = jax.random.split(rng, 3)
+    t, gammas = sample_continuous_gammas(rng_g, schedule, b)
+    noise = jax.random.normal(rng_n, y0.shape, dtype=y0.dtype)
+
+    g4 = gammas.reshape(b, 1, 1, 1)
+    y_noisy = q_sample(y0, g4, noise)
+
+    if mask is not None:
+        m = jnp.clip(mask.astype(y0.dtype), 0.0, 1.0)
+        y_noisy = y_noisy * m + (1.0 - m) * y0
+
+    # classifier-free dropout of conditioning labels (palette_model.py:565-584)
+    if dropout_prob > 0.0:
+        keep = jax.random.uniform(rng_drop, (b,)) >= dropout_prob
+        if cls is not None:
+            cls = jnp.where(keep, cls, 0)
+        if mask is not None:
+            mask = jnp.where(keep.reshape(b, 1, 1, 1), mask,
+                             jnp.zeros_like(mask))
+
+    x_in = jnp.concatenate([y_cond, y_noisy], axis=-1)
+    noise_hat = apply_fn(params, x_in, gammas, cls=cls, mask=mask)
+
+    weight = min_snr_weight(schedule, t).reshape(b, 1, 1, 1) if minsnr else 1.0
+    return noise, noise_hat, weight
+
+
+def masked_elementwise_loss(noise, noise_hat, mask=None, weight=1.0, kind="MSE"):
+    """Masked MSE/L1(+multiscale) over the noised region
+    (palette_model.py:586-609)."""
+    def base(a, b):
+        if "L1" in kind:
+            return jnp.abs(a - b)
+        return (a - b) ** 2
+
+    err = base(noise_hat, noise) * weight
+    if kind.startswith("multiscale"):
+        total = 0.0
+        e, m = err, mask
+        for _ in range(3):
+            if m is not None:
+                mm = jnp.clip(m.astype(e.dtype), 0.0, 1.0)
+                total = total + jnp.sum(e * mm) / jnp.maximum(jnp.sum(mm) * e.shape[-1], 1.0)
+                m = nn.avg_pool(m.astype(e.dtype), (2, 2), strides=(2, 2))
+            else:
+                total = total + jnp.mean(e)
+            e = nn.avg_pool(e, (2, 2), strides=(2, 2))
+        return total / 3.0
+    if mask is not None:
+        mm = jnp.clip(mask.astype(err.dtype), 0.0, 1.0)
+        return jnp.sum(err * mm) / jnp.maximum(jnp.sum(mm) * err.shape[-1], 1.0)
+    return jnp.mean(err)
+
+
+def predict_start_from_noise(schedule: NoiseSchedule, y_t, t, noise):
+    """(diffusion_utils.py:122-127)."""
+    return (extract(schedule.sqrt_recip_gammas, t, y_t.ndim) * y_t
+            - extract(schedule.sqrt_recipm1_gammas, t, y_t.ndim) * noise)
+
+
+def q_posterior(schedule: NoiseSchedule, y0_hat, y_t, t):
+    """(diffusion_utils.py:130-139)."""
+    mean = (extract(schedule.posterior_mean_coef1, t, y_t.ndim) * y0_hat
+            + extract(schedule.posterior_mean_coef2, t, y_t.ndim) * y_t)
+    logvar = extract(schedule.posterior_log_variance_clipped, t, y_t.ndim)
+    return mean, logvar
+
+
+def _denoise(apply_fn, params, schedule, y_t, y_cond, t, cls, mask,
+             guidance_scale):
+    gammas = jnp.take(jnp.asarray(schedule.gammas), t)
+    x_in = jnp.concatenate([y_cond, y_t], axis=-1)
+    noise_hat = apply_fn(params, x_in, gammas, cls=cls, mask=mask)
+    y0_hat = predict_start_from_noise(schedule, y_t, t, noise_hat)
+    if guidance_scale > 0.0:
+        noise_uncond = apply_fn(params, x_in, jnp.zeros_like(gammas),
+                                cls=None, mask=None)
+        y0_uncond = predict_start_from_noise(schedule, y_t, t, noise_uncond)
+        y0_hat = (1 + guidance_scale) * y0_hat - guidance_scale * y0_uncond
+    return jnp.clip(y0_hat, -1.0, 1.0)
+
+
+def ddpm_sample(apply_fn, params, rng, schedule: NoiseSchedule, y_cond,
+                y_t=None, y_0=None, mask=None, cls=None, guidance_scale=0.0,
+                out_channel=None):
+    """Full ancestral DDPM chain as one lax.scan
+    (reference restoration_ddpm, diffusion_generator.py:119-177)."""
+    b, h, w, _ = y_cond.shape
+    c = out_channel or y_cond.shape[-1]
+    rng, rng_init = jax.random.split(rng)
+    if y_t is None:
+        y_t = jax.random.normal(rng_init, (b, h, w, c), dtype=y_cond.dtype)
+
+    tmask = None if mask is None else jnp.clip(mask.astype(y_cond.dtype), 0.0, 1.0)
+
+    def step(carry, i):
+        y, key = carry
+        key, sub = jax.random.split(key)
+        t = jnp.full((b,), i, dtype=jnp.int32)
+        y0_hat = _denoise(apply_fn, params, schedule, y, y_cond, t, cls, mask,
+                          guidance_scale)
+        mean, logvar = q_posterior(schedule, y0_hat, y, t)
+        noise = jax.random.normal(sub, y.shape, dtype=y.dtype)
+        y = mean + jnp.where(i > 0, 1.0, 0.0) * noise * jnp.exp(0.5 * logvar)
+        if tmask is not None and y_0 is not None:
+            y = y_0 * (1.0 - tmask) + tmask * y
+        return (y, key), None
+
+    ts = jnp.arange(schedule.num_timesteps - 1, -1, -1)
+    (y_t, _), _ = jax.lax.scan(step, (y_t, rng), ts)
+    return y_t
+
+
+def ddim_sample(apply_fn, params, rng, schedule: NoiseSchedule, y_cond,
+                y_t=None, y_0=None, mask=None, cls=None, guidance_scale=0.0,
+                num_steps=10, eta=0.5, out_channel=None):
+    """DDIM sampling as one lax.scan (reference restoration_ddim,
+    diffusion_generator.py:286-455). Note the reference predicts y0 directly
+    from the net output in its ddim path (no eps->x0 conversion) — matched."""
+    import numpy as np
+
+    b, h, w, _ = y_cond.shape
+    c = out_channel or y_cond.shape[-1]
+    rng, rng_init = jax.random.split(rng)
+    if y_t is None:
+        y_t = jax.random.normal(rng_init, (b, h, w, c), dtype=y_cond.dtype)
+
+    tmask = None if mask is None else jnp.clip(mask.astype(y_cond.dtype), 0.0, 1.0)
+    tseq = np.linspace(0, schedule.num_timesteps - 1, num_steps).astype(np.int32)
+    t_list = tseq[::-1].copy()                      # current t per step
+    prev_list = np.concatenate([tseq[::-1][1:], [-1]]).astype(np.int32)
+
+    def step(y, scan_in):
+        ti, prevti = scan_in
+        t = jnp.full((b,), ti, dtype=jnp.int32)
+        gammas = jnp.take(jnp.asarray(schedule.gammas), t)
+        x_in = jnp.concatenate([y_cond, y], axis=-1)
+        y0_hat = apply_fn(params, x_in, gammas, cls=cls, mask=mask)
+        if guidance_scale > 0.0:
+            y0_unc = apply_fn(params, x_in, gammas, cls=None, mask=None)
+            y0_hat = (1 + guidance_scale) * y0_hat - guidance_scale * y0_unc
+        y0_hat = jnp.clip(y0_hat, -1.0, 1.0)
+
+        gamma_t = extract(schedule.gammas, t, y.ndim)
+        gamma_prevt = extract(schedule.gammas_prev, jnp.full((b,), prevti + 1,
+                                                             dtype=jnp.int32), y.ndim)
+        sigma = eta * jnp.sqrt(
+            (1 - gamma_prevt) / (1 - gamma_t) * (1 - gamma_t / gamma_prevt))
+        coef_eps = jnp.sqrt(jnp.maximum(1 - gamma_prevt - sigma ** 2, 0.0))
+        mean = (jnp.sqrt(gamma_prevt) * (y - jnp.sqrt(1.0 - gamma_t) * y0_hat)
+                / jnp.sqrt(gamma_t) + coef_eps * y0_hat)
+        y = jnp.clip(mean, -1.0, 1.0)
+        if tmask is not None and y_0 is not None:
+            y = y_0 * (1.0 - tmask) + tmask * y
+        return y, None
+
+    y_t, _ = jax.lax.scan(step, y_t, (jnp.asarray(t_list), jnp.asarray(prev_list)))
+    return y_t

@@ -1,0 +1,165 @@
+"""Palette DDPM training algorithm.
+
+Behavioral parity with reference models/palette_model.py: conditioned
+inpainting/pix2pix/super-resolution diffusion with masked noise loss,
+min-SNR weighting, classifier-free label dropout, EMA generator, and
+DDPM/DDIM inference. The whole optimize step (q_sample -> UNet -> loss ->
+grads -> adam -> EMA) is one jitted function; sampling chains are single
+``lax.scan`` programs.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..ops.schedules import NoiseSchedule
+from ..parallel.mesh import batch_sharding, param_sharding
+from .base import BaseModel
+from .diffusion_networks import define_G
+from .train_state import apply_updates, init_net_state, make_optimizer
+from .modules.palette_diffusion import (
+    ddim_sample,
+    ddpm_sample,
+    masked_elementwise_loss,
+    palette_training_outputs,
+)
+
+
+class PaletteModel(BaseModel):
+    def __init__(self, opt, phase="train"):
+        super().__init__(opt, phase)
+        self.task = getattr(opt, "alg_diffusion_task", "inpainting")
+        self.sampling_method = getattr(opt, "alg_palette_sampling_method", "ddpm")
+        self.loss_kind = getattr(opt, "alg_palette_loss", "MSE")
+        self.minsnr = bool(getattr(opt, "alg_palette_minsnr", False))
+        self.dropout_prob = float(getattr(opt, "alg_diffusion_dropout_prob", 0.0) or 0.0)
+        self.lambda_G = float(getattr(opt, "alg_diffusion_lambda_G", 1.0))
+        self.ema_beta = float(getattr(opt, "train_G_ema_beta", 0.999))
+        self.use_ema = bool(getattr(opt, "train_G_ema", False))
+        self.conditioning = getattr(opt, "alg_diffusion_cond_embed", "") or ""
+
+        self.sched_train = NoiseSchedule.for_phase(opt, "train")
+        self.sched_test = NoiseSchedule.for_phase(opt, "test")
+
+        self.netG = define_G(opt)
+        size = opt.data_crop_size
+        cin = opt.model_input_nc + opt.model_output_nc
+        ex_x = jnp.zeros((1, size, size, cin), jnp.float32)
+        ex_g = jnp.zeros((1,), jnp.float32)
+        ex_mask = jnp.zeros((1, size, size, 1), jnp.int32)
+        ex_cls = jnp.zeros((1,), jnp.int32)
+
+        tx = make_optimizer(opt, getattr(opt, "train_G_lr", 2e-4))
+        self.txs["G_A"] = tx
+        state = init_net_state(
+            self.next_rng(), self.netG, (ex_x, ex_g),
+            tx, use_ema=self.use_ema,
+            init_kwargs={"cls": ex_cls, "mask": ex_mask})
+        # shard params/opt-state over the fsdp axis, replicate over data
+        pshard = param_sharding(self.mesh, state.params)
+        state = state.replace(
+            params=jax.device_put(state.params, pshard),
+            ema_params=(jax.device_put(state.ema_params, pshard)
+                        if state.ema_params is not None else None),
+        )
+        self.states["G_A"] = state
+
+        self._jit_train_step = None
+        self._jit_sample = {}
+
+    # ------------------------------------------------------------------
+    def set_input(self, batch):
+        """Map a collated numpy batch to (y_cond, gt, mask, cls)
+        (reference palette_model.py:287-556, image path)."""
+        gt = batch["B"]
+        cond = batch["A"]
+        mask = batch.get("B_label_mask")
+        cls = batch.get("B_label_cls")
+        if self.task != "inpainting":
+            mask = None
+        if "class" not in self.conditioning:
+            cls = None
+        out = {"y_cond": cond, "gt": gt}
+        if mask is not None:
+            out["mask"] = mask
+        if cls is not None:
+            out["cls"] = cls.astype(np.int32)
+        return out
+
+    # ------------------------------------------------------------------
+    def _loss_fn(self, params, rng, y_cond, gt, mask, cls):
+        apply_fn = lambda p, x, g, cls=None, mask=None: self.netG.apply(
+            p, x, g, cls=cls, mask=mask)
+        noise, noise_hat, weight = palette_training_outputs(
+            apply_fn, params, rng, self.sched_train, gt, y_cond,
+            mask=mask, cls=cls, dropout_prob=self.dropout_prob,
+            minsnr=self.minsnr)
+        loss = masked_elementwise_loss(noise, noise_hat, mask=mask,
+                                       weight=weight, kind=self.loss_kind)
+        return self.lambda_G * loss
+
+    def _make_train_step(self):
+        tx = self.txs["G_A"]
+        bsh = batch_sharding(self.mesh)
+
+        def step(state, rng, y_cond, gt, mask, cls):
+            loss, grads = jax.value_and_grad(self._loss_fn)(
+                state.params, rng, y_cond, gt, mask, cls)
+            new_state = apply_updates(state, grads, tx, self.ema_beta)
+            return new_state, {"G_tot": loss}
+
+        donate = (0,) if getattr(self.opt, "tpu_donate", True) else ()
+        return jax.jit(step, donate_argnums=donate)
+
+    def optimize_parameters(self, batch):
+        inp = self.set_input(batch)
+        dev = self.put_batch(inp)
+        if self._jit_train_step is None:
+            self._jit_train_step = self._make_train_step()
+        self.states["G_A"], losses = self._jit_train_step(
+            self.states["G_A"], self.next_rng(),
+            dev["y_cond"], dev["gt"], dev.get("mask"), dev.get("cls"))
+        self.loss_log = {k: float(v) for k, v in losses.items()}
+        return self.loss_log
+
+    # ------------------------------------------------------------------
+    def inference(self, batch, use_ema=None, sampling_method=None,
+                  num_steps=None, eta=None, guidance_scale=0.0):
+        """Sample fakes for a batch. Returns NHWC float32 in [-1,1]."""
+        inp = self.set_input(batch)
+        dev = self.put_batch(inp)
+        method = sampling_method or self.sampling_method
+        steps = num_steps or getattr(self.opt, "alg_palette_ddim_num_steps", 10)
+        eta = eta if eta is not None else getattr(self.opt, "alg_palette_ddim_eta", 0.5)
+        use_ema = self.use_ema if use_ema is None else use_ema
+
+        state = self.states["G_A"]
+        params = state.ema_params if (use_ema and state.ema_params is not None) \
+            else state.params
+
+        key = (method, steps, eta, guidance_scale, dev["y_cond"].shape)
+        if key not in self._jit_sample:
+            apply_fn = lambda p, x, g, cls=None, mask=None: self.netG.apply(
+                p, x, g, cls=cls, mask=mask)
+            if method == "ddpm":
+                fn = partial(ddpm_sample, apply_fn,
+                             guidance_scale=guidance_scale,
+                             out_channel=self.opt.model_output_nc)
+            else:
+                fn = partial(ddim_sample, apply_fn, num_steps=steps, eta=eta,
+                             guidance_scale=guidance_scale,
+                             out_channel=self.opt.model_output_nc)
+            self._jit_sample[key] = jax.jit(
+                lambda p, rng, y_cond, y_0, mask, cls: fn(
+                    p, rng, self.sched_test, y_cond, y_0=y_0, mask=mask,
+                    cls=cls))
+        y_t = None
+        fake = self._jit_sample[key](
+            params, self.next_rng(), dev["y_cond"], dev["gt"],
+            dev.get("mask"), dev.get("cls"))
+        return np.asarray(jax.device_get(fake))

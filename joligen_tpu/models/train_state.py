@@ -1,0 +1,112 @@
+"""Per-network train state (params + optimizer + EMA) and optimizer factory.
+
+TPU-native replacement for the mutable-attribute engine of reference
+models/base_model.py: each network is an immutable pytree ``NetState``
+updated by pure jitted steps. Gradient accumulation uses
+``optax.MultiSteps`` (reference train_iter_size + DDP no_sync,
+models/base_model.py:1313-1315); EMA is the same lerp as
+models/base_model.py:1284-1297 performed inside the step.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+
+class NetState(struct.PyTreeNode):
+    params: Any
+    opt_state: Any
+    ema_params: Optional[Any] = None
+    step: jnp.ndarray = struct.field(default_factory=lambda: jnp.zeros((), jnp.int32))
+
+
+def make_lr_schedule(opt, base_lr):
+    """LR schedules with reference semantics (models/modules/utils.py:115-158):
+    epoch-granular; we convert to per-step using steps_per_epoch set later via
+    closure on opt.steps_per_epoch (host computes it before jit)."""
+    policy = getattr(opt, "train_lr_policy", "linear")
+    n_epochs = getattr(opt, "train_n_epochs", 100)
+    n_decay = max(1, getattr(opt, "train_n_epochs_decay", 100))
+    spe = max(1, int(getattr(opt, "steps_per_epoch", 1)))
+
+    if policy == "linear":
+        # flat for n_epochs then linear decay to 0 over n_epochs_decay
+        def sched(step):
+            epoch = step / spe
+            frac = jnp.clip((epoch - n_epochs) / n_decay, 0.0, 1.0)
+            return base_lr * (1.0 - frac)
+        return sched
+    if policy == "step":
+        decay_iters = max(1, getattr(opt, "train_lr_decay_iters", 50))
+        def sched(step):
+            epoch = step // spe
+            return base_lr * (0.1 ** (epoch // decay_iters))
+        return sched
+    if policy == "multistep":
+        steps = getattr(opt, "train_lr_steps", []) or []
+        def sched(step):
+            epoch = step / spe
+            k = sum(jnp.where(epoch >= s, 1, 0) for s in steps) if steps else 0
+            return base_lr * (0.1 ** k)
+        return sched
+    if policy == "cosine":
+        def sched(step):
+            epoch = step / spe
+            return base_lr * 0.5 * (1 + jnp.cos(jnp.pi * epoch / n_epochs))
+        return sched
+    # "plateau" requires metric feedback; approximate with constant
+    return lambda step: base_lr
+
+
+def make_optimizer(opt, lr, iter_size=None):
+    """adam/radam/adamw/lion factory (reference train.py:51-62).
+    adam8bit maps to adamw (quantized optimizer states are not a win on TPU:
+    optimizer state shards over the fsdp axis instead)."""
+    name = getattr(opt, "train_optim", "adam")
+    b1 = getattr(opt, "train_beta1", 0.9)
+    b2 = getattr(opt, "train_beta2", 0.999)
+    eps = getattr(opt, "train_optim_eps", 1e-8)
+    wd = getattr(opt, "train_optim_weight_decay", 0.0)
+    sched = make_lr_schedule(opt, lr)
+    if name == "adam":
+        tx = optax.adam(sched, b1=b1, b2=b2, eps=eps)
+    elif name == "radam":
+        tx = optax.radam(sched, b1=b1, b2=b2, eps=eps)
+    elif name in ("adamw", "adam8bit"):
+        tx = optax.adamw(sched, b1=b1, b2=b2, eps=eps, weight_decay=wd)
+    elif name == "lion":
+        tx = optax.lion(sched, b1=b1, b2=b2, weight_decay=wd)
+    else:
+        raise NotImplementedError(f"optimizer {name}")
+    if iter_size is None:
+        iter_size = getattr(opt, "train_iter_size", 1)
+    if iter_size and iter_size > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=int(iter_size))
+    return tx
+
+
+def init_net_state(rng, module, example_inputs, tx, use_ema=False,
+                   init_kwargs=None):
+    params = module.init(rng, *example_inputs, **(init_kwargs or {}))
+    opt_state = tx.init(params)
+    ema = jax.tree.map(jnp.copy, params) if use_ema else None
+    return NetState(params=params, opt_state=opt_state, ema_params=ema,
+                    step=jnp.zeros((), jnp.int32))
+
+
+def apply_updates(state: NetState, grads, tx, ema_beta=0.0):
+    updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    new_ema = state.ema_params
+    if state.ema_params is not None:
+        # lerp: ema = beta*ema + (1-beta)*params (base_model.py:1284-1297)
+        new_ema = jax.tree.map(
+            lambda e, p: ema_beta * e + (1.0 - ema_beta) * p,
+            state.ema_params, new_params)
+    return state.replace(params=new_params, opt_state=new_opt_state,
+                         ema_params=new_ema, step=state.step + 1)

@@ -1,0 +1,4 @@
+from .mesh import make_mesh, batch_sharding, param_sharding, shard_batch, replicate
+
+__all__ = ["make_mesh", "batch_sharding", "param_sharding", "shard_batch",
+           "replicate"]

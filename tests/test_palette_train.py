@@ -1,0 +1,105 @@
+"""End-to-end mini-training of the palette DDPM (tiny synthetic dataset),
+mirroring the reference test strategy (SURVEY.md §4: tiny-dataset train +
+real inference) on an 8-device CPU mesh."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from tools.make_fake_dataset import make as make_fake  # noqa: E402
+
+from joligen_tpu.options import TrainOptions  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def fakeds(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("ds"))
+    make_fake(root, n=24, size=32)
+    return root
+
+
+def _opt(fakeds, tmpdir, **over):
+    args = [
+        "--dataroot", fakeds, "--model_type", "palette",
+        "--data_dataset_mode", "self_supervised_labeled_mask",
+        "--data_crop_size", "16", "--data_load_size", "16",
+        "--data_relative_paths",
+        "--G_netG", "unet_mha", "--G_ngf", "8",
+        "--G_unet_mha_channel_mults", "1", "2",
+        "--G_unet_mha_res_blocks", "1", "1",
+        "--G_unet_mha_attn_res", "4",
+        "--G_unet_mha_num_head_channels", "8",
+        "--G_diff_n_timestep_train", "50", "--G_diff_n_timestep_test", "10",
+        "--train_batch_size", "2", "--train_G_ema",
+        "--checkpoints_dir", str(tmpdir), "--name", "t",
+        "--data_num_threads", "2",
+    ]
+    for k, v in over.items():
+        args += ["--" + k] + ([str(x) for x in v] if isinstance(v, list) else [str(v)])
+    opt = TrainOptions().parse_cli(args)
+    opt.steps_per_epoch = 3
+    return opt
+
+
+def test_palette_train_infer_checkpoint(fakeds, tmp_path):
+    from joligen_tpu.data import create_dataloader, create_dataset
+    from joligen_tpu.models import create_model
+
+    opt = _opt(fakeds, tmp_path)
+    ds = create_dataset(opt, "train")
+    dl = create_dataloader(opt, ds)
+    batch = next(iter(dl))
+    import jax
+    gb = 2 * jax.device_count()  # per-device batch x 8-device CPU mesh
+    assert batch["A"].shape == (gb, 16, 16, 3)
+    assert batch["B_label_mask"].shape == (gb, 16, 16, 1)
+
+    m = create_model(opt)
+    l0 = m.optimize_parameters(batch)["G_tot"]
+    l1 = m.optimize_parameters(batch)["G_tot"]
+    assert np.isfinite(l0) and np.isfinite(l1)
+
+    fake = m.inference(batch, sampling_method="ddim", num_steps=4)
+    assert fake.shape == (gb, 16, 16, 3)
+    assert np.isfinite(fake).all()
+    assert fake.min() >= -1.0001 and fake.max() <= 1.0001
+    # unmasked region must be preserved by mask re-projection
+    mask = batch["B_label_mask"][..., 0] > 0
+    outside = ~mask
+    diff = np.abs(fake - batch["B"]).max(axis=-1)[outside]
+    assert diff.max() < 1e-3
+
+    m.save_networks("latest")
+    files = os.listdir(os.path.join(str(tmp_path), "t"))
+    assert "latest_net_G_A.pth" in files and "latest_net_G_A_ema.pth" in files
+
+    m2 = create_model(opt)
+    m2.load_networks("latest")
+    import jax
+    p1 = jax.device_get(m.states["G_A"].params)
+    p2 = jax.device_get(m2.states["G_A"].params)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(a, b)
+
+
+def test_palette_class_mask_conditioning(fakeds, tmp_path):
+    from joligen_tpu.data import create_dataloader, create_dataset
+    from joligen_tpu.models import create_model
+
+    opt = _opt(
+        fakeds, tmp_path,
+        data_dataset_mode="self_supervised_labeled_mask_cls",
+        alg_diffusion_cond_embed="mask_and_class",
+        alg_diffusion_dropout_prob=0.5,
+        alg_palette_minsnr=True,
+        cls_semantic_nclasses=4,
+    )
+    ds = create_dataset(opt, "train")
+    dl = create_dataloader(opt, ds)
+    batch = next(iter(dl))
+    m = create_model(opt)
+    loss = m.optimize_parameters(batch)["G_tot"]
+    assert np.isfinite(loss)

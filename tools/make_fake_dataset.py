@@ -1,0 +1,51 @@
+"""Generate a tiny synthetic dataset in the reference's on-disk layout:
+trainA/trainB image dirs, per-domain paths.txt with mask labels, bbox .txt
+files for online modes. Used by tests and verification runs."""
+
+import os
+import sys
+
+import numpy as np
+from PIL import Image
+
+
+def make(root, n=8, size=64, nclasses=2, seed=0):
+    rng = np.random.RandomState(seed)
+    for dom in ("A", "B"):
+        for phase in ("train", "test"):
+            os.makedirs(os.path.join(root, f"{phase}{dom}", "imgs"), exist_ok=True)
+            os.makedirs(os.path.join(root, f"{phase}{dom}", "masks"), exist_ok=True)
+            os.makedirs(os.path.join(root, f"{phase}{dom}", "bbox"), exist_ok=True)
+            lines = []
+            count = n if phase == "train" else max(2, n // 4)
+            for i in range(count):
+                img = (rng.rand(size, size, 3) * 255).astype(np.uint8)
+                # draw a colored square "object"
+                x1, y1 = rng.randint(4, size // 2, 2)
+                w = rng.randint(size // 8, size // 3)
+                x2, y2 = min(size - 1, x1 + w), min(size - 1, y1 + w)
+                img[y1:y2, x1:x2] = rng.randint(0, 255, 3)
+                ipath = os.path.join(f"{phase}{dom}", "imgs", f"{i:03d}.png")
+                Image.fromarray(img).save(os.path.join(root, ipath))
+
+                mask = np.zeros((size, size), dtype=np.uint8)
+                mask[y1:y2, x1:x2] = 1
+                mpath = os.path.join(f"{phase}{dom}", "masks", f"{i:03d}.png")
+                Image.fromarray(mask).save(os.path.join(root, mpath))
+
+                bpath = os.path.join(f"{phase}{dom}", "bbox", f"{i:03d}.txt")
+                with open(os.path.join(root, bpath), "w") as f:
+                    f.write(f"1 {x1} {y1} {x2} {y2}\n")
+
+                cls = int(rng.randint(0, nclasses))
+                lines.append(f"{ipath} {cls} {mpath}")
+            with open(os.path.join(root, f"{phase}{dom}", "paths.txt"), "w") as f:
+                f.write("\n".join(lines) + "\n")
+    print(f"fake dataset at {root}: {n} train imgs per domain, {size}px")
+
+
+if __name__ == "__main__":
+    root = sys.argv[1] if len(sys.argv) > 1 else "/tmp/fakeds"
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    size = int(sys.argv[3]) if len(sys.argv) > 3 else 64
+    make(root, n=n, size=size)
