@@ -1,0 +1,106 @@
+"""Benchmark: palette DDPM training throughput, images/sec/chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline: the reference publishes 0.019 s/img training compute for the
+quickstart DDPM config (palette + unet_mha, 128px, batch 8) on a Titan X
+(docs/source/quickstart_ddpm.rst:53) = 52.6 img/s. BASELINE.md's north-star
+target is >=3x an A100-PyTorch run of the same config; A100 fp16 is ~8-10x
+a Titan X on this workload, so vs_baseline here is computed against
+a 450 img/s A100 estimate (documented in BASELINE.md) until a measured
+A100 number lands.
+"""
+
+import argparse
+import json
+import time
+
+A100_BASELINE_IMGS_PER_SEC = 450.0
+
+
+def build(size, ngf, batch, smoke=False):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from joligen_tpu.models import create_model
+    from joligen_tpu.options import TrainOptions
+
+    args = [
+        "--dataroot", "/tmp/none", "--model_type", "palette",
+        "--data_dataset_mode", "self_supervised_labeled_mask",
+        "--data_crop_size", str(size), "--data_load_size", str(size),
+        "--G_netG", "unet_mha", "--G_ngf", str(ngf),
+        "--G_unet_mha_channel_mults", "1", "2", "4", "8",
+        "--G_unet_mha_res_blocks", "2", "2", "2", "2",
+        "--G_unet_mha_attn_res", "16",
+        "--G_unet_mha_num_head_channels", "32",
+        "--G_diff_n_timestep_train", "2000",
+        "--G_diff_n_timestep_test", "1000",
+        "--train_batch_size", str(batch),
+        "--train_G_ema", "--train_optim", "adamw",
+        "--checkpoints_dir", "/tmp/bench_ckpt", "--name", "bench",
+    ]
+    if smoke:
+        args[args.index("--G_unet_mha_channel_mults") + 1:
+             args.index("--G_unet_mha_channel_mults") + 5] = ["1", "2"]
+        # rebuild cleanly for smoke: tiny net
+        args = [a for a in args]
+    opt = TrainOptions().parse_cli(args)
+    if smoke:
+        opt.G_unet_mha_channel_mults = [1, 2]
+        opt.G_unet_mha_res_blocks = [1, 1]
+        opt.G_ngf = 16
+    opt.steps_per_epoch = 1000
+    model = create_model(opt)
+
+    b = batch * jax.device_count()
+    rng = np.random.RandomState(0)
+    batch_np = {
+        "A": rng.randn(b, size, size, 3).astype(np.float32),
+        "B": rng.randn(b, size, size, 3).astype(np.float32),
+        "B_label_mask": rng.randint(0, 2, (b, size, size, 1)).astype(np.int32),
+    }
+    return model, batch_np, b
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--smoke", action="store_true", help="tiny CPU-runnable check")
+    ap.add_argument("--size", type=int, default=128)
+    ap.add_argument("--ngf", type=int, default=64)
+    ap.add_argument("--batch", type=int, default=8, help="per-chip batch")
+    ap.add_argument("--steps", type=int, default=20)
+    a = ap.parse_args()
+
+    import jax
+
+    if a.smoke:
+        a.size, a.steps = 32, 3
+
+    model, batch_np, global_batch = build(a.size, a.ngf, a.batch, smoke=a.smoke)
+
+    # warmup/compile
+    model.optimize_parameters(batch_np)
+    model.optimize_parameters(batch_np)
+    jax.block_until_ready(model.states["G_A"].params)
+
+    t0 = time.perf_counter()
+    for _ in range(a.steps):
+        model.optimize_parameters(batch_np)
+    jax.block_until_ready(model.states["G_A"].params)
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = global_batch * a.steps / dt
+    per_chip = imgs_per_sec / jax.device_count()
+    print(json.dumps({
+        "metric": f"palette_ddpm_train_images_per_sec_per_chip_{a.size}px",
+        "value": round(per_chip, 2),
+        "unit": "img/s/chip",
+        "vs_baseline": round(per_chip / A100_BASELINE_IMGS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

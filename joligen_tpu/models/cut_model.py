@@ -1,0 +1,297 @@
+"""CUT / FastCUT contrastive unpaired translation.
+
+Behavioral parity with reference models/cut_model.py: generator +
+PatchSampleF projector with patchnce/monce/SRC_hDCE losses, identity NCE,
+multi-discriminator GAN losses with a historical fake pool, and optional
+semantic class/mask heads with their consistency losses
+(base_model.py:1442-1540). The whole G+F / D / semantic update schedule is
+a single jitted step; the fake pool is device-resident
+(modules/image_pool.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..parallel.mesh import param_sharding
+from .base import BaseModel
+from .gan_networks import define_D, define_F, define_G
+from .train_state import apply_updates, init_net_state, make_optimizer
+from .modules.cut_networks import (
+    gan_loss,
+    monce_loss,
+    patch_nce_loss,
+    sample_patch_ids,
+    src_hdce_loss,
+)
+from .modules.image_pool import ImagePool
+from .modules.semantic_networks import define_C, define_f
+
+
+def _softmax_ce(logits, labels, axis=-1):
+    logp = jax.nn.log_softmax(logits, axis=axis)
+    onehot = jax.nn.one_hot(labels, logits.shape[axis], axis=axis,
+                            dtype=logits.dtype)
+    return -jnp.sum(onehot * logp, axis=axis)
+
+
+class CUTModel(BaseModel):
+    def __init__(self, opt, phase="train"):
+        super().__init__(opt, phase)
+        self.gan_mode = getattr(opt, "train_gan_mode", "lsgan")
+        self.lambda_gan = float(getattr(opt, "alg_gan_lambda", 1.0))
+        self.lambda_nce = float(getattr(opt, "alg_cut_lambda_NCE", 1.0))
+        self.lambda_src = float(getattr(opt, "alg_cut_lambda_SRC", 0.0))
+        self.nce_idt = bool(getattr(opt, "alg_cut_nce_idt", True))
+        self.nce_T = float(getattr(opt, "alg_cut_nce_T", 0.07))
+        self.nce_loss = getattr(opt, "alg_cut_nce_loss", "monce")
+        self.num_patches = int(getattr(opt, "alg_cut_num_patches", 256))
+        self.include_all_neg = bool(getattr(
+            opt, "alg_cut_nce_includes_all_negatives_from_minibatch", False))
+        self.use_ema = bool(getattr(opt, "train_G_ema", False))
+        self.ema_beta = float(getattr(opt, "train_G_ema_beta", 0.999))
+        self.semantic_cls = bool(getattr(opt, "train_semantic_cls", False))
+        self.semantic_mask = bool(getattr(opt, "train_semantic_mask", False))
+        self.cls_lambda = float(getattr(opt, "train_sem_cls_lambda", 1.0))
+        self.mask_lambda = float(getattr(opt, "train_sem_mask_lambda", 1.0))
+        self.out_mask = bool(getattr(opt, "train_mask_out_mask", False))
+        self.lambda_out_mask = float(getattr(opt, "train_mask_lambda_out_mask", 10.0))
+        self.nce_layers = self._select_nce_layers(opt)
+
+        size = opt.data_crop_size
+        self.netG = define_G(opt)
+        self.netF = define_F(opt)
+        self.netDs = define_D(opt)
+
+        rngs = jax.random.split(self.next_rng(), 8)
+        ex_img = jnp.zeros((1, size, size, opt.model_input_nc), jnp.float32)
+
+        txG = make_optimizer(opt, getattr(opt, "train_G_lr", 2e-4))
+        self.txs["G_A"] = txG
+        self.states["G_A"] = init_net_state(rngs[0], self.netG, (ex_img,),
+                                            txG, use_ema=self.use_ema)
+
+        # data-dependent F init (reference cut_model.py:505 data_dependent_initialize)
+        feats = self.netG.apply(self.states["G_A"].params, ex_img,
+                                extract_layer_ids=self.nce_layers)
+        ex_ids = [jnp.zeros((min(self.num_patches, f.shape[1] * f.shape[2]),),
+                            jnp.int32) for f in feats]
+        txF = make_optimizer(opt, getattr(opt, "train_G_lr", 2e-4))
+        self.txs["F"] = txF
+        self.states["F"] = init_net_state(rngs[1], self.netF, (feats, ex_ids), txF)
+
+        for i, (name, netD) in enumerate(self.netDs.items()):
+            tx = make_optimizer(opt, getattr(opt, "train_D_lr", 2e-4))
+            self.txs[name] = tx
+            self.states[name] = init_net_state(rngs[2 + i], netD, (ex_img,), tx)
+
+        if self.semantic_cls:
+            self.netCLS = define_C(opt)
+            tx = make_optimizer(opt, getattr(opt, "train_sem_lr_cls", 2e-4))
+            self.txs["CLS"] = tx
+            self.states["CLS"] = init_net_state(rngs[6], self.netCLS,
+                                                (ex_img,), tx)
+        if self.semantic_mask:
+            self.netf_s = define_f(opt)
+            tx = make_optimizer(opt, getattr(opt, "train_sem_lr_f_s", 2e-4))
+            self.txs["f_s"] = tx
+            self.states["f_s"] = init_net_state(rngs[7], self.netf_s,
+                                                (ex_img,), tx)
+
+        pool_size = int(getattr(opt, "train_pool_size", 50))
+        self.pool = ImagePool.create(
+            pool_size, (size, size, opt.model_output_nc))
+
+        self._jit_step = None
+        self._jit_infer = None
+
+    @staticmethod
+    def _select_nce_layers(opt):
+        """Per-arch auto-selection (reference cut_model.py:205-226)."""
+        netG = opt.G_netG
+        if "segformer" in netG:
+            return [0, 1, 2, 3]
+        if "ittr" in netG:
+            return list(range(opt.G_nblocks))
+        if "unet" in netG or "uvit" in netG:
+            return [opt.G_nblocks * i - 1
+                    for i in range(1, len(opt.G_unet_mha_channel_mults) + 1)]
+        return [int(i) for i in str(opt.alg_cut_nce_layers).split(",")]
+
+    # ------------------------------------------------------------------
+    def set_input(self, batch):
+        out = {"real_A": batch["A"], "real_B": batch["B"]}
+        if "A_label_cls" in batch:
+            out["cls_A"] = np.asarray(batch["A_label_cls"], np.int32)
+        if "A_label_mask" in batch:
+            out["mask_A"] = batch["A_label_mask"]
+        return out
+
+    # ------------------------------------------------------------------
+    def _nce(self, fq, fk, batch):
+        if self.nce_loss == "patchnce":
+            return jnp.mean(patch_nce_loss(
+                fq, fk, self.nce_T, batch, self.include_all_neg)), 0.0
+        if self.nce_loss == "monce":
+            return jnp.mean(monce_loss(
+                fq, fk, self.nce_T, batch, self.num_patches,
+                self.include_all_neg)), 0.0
+        hdce, src = src_hdce_loss(fq, fk, self.nce_T, batch,
+                                  self.num_patches, self.include_all_neg)
+        return jnp.mean(hdce), jnp.mean(src)
+
+    def _nce_total(self, paramsG, paramsF, src_img, tgt_img, rng):
+        """calculate_NCE_loss (reference cut_model.py:889-926)."""
+        b = src_img.shape[0]
+        feats_k = self.netG.apply(paramsG, src_img,
+                                  extract_layer_ids=self.nce_layers)
+        feats_q = self.netG.apply(paramsG, tgt_img,
+                                  extract_layer_ids=self.nce_layers)
+        ids = sample_patch_ids(rng, feats_k, self.num_patches)
+        fq = self.netF.apply(paramsF, feats_q, ids)
+        fk = self.netF.apply(paramsF, feats_k, ids)
+        total, total_src = 0.0, 0.0
+        for q, k in zip(fq, fk):
+            l, s = self._nce(q, k, b)
+            total += l
+            total_src += s
+        n = len(fq)
+        return total / n, total_src / n
+
+    def _g_loss(self, paramsG, paramsF, d_params, rng, inp):
+        real_A, real_B = inp["real_A"], inp["real_B"]
+        fake_B = self.netG.apply(paramsG, real_A)
+        losses = {}
+        # GAN term over all discriminators (base_gan_model.py:463-503)
+        g_gan = 0.0
+        for name, netD in self.netDs.items():
+            pred = netD.apply(d_params[name], fake_B)
+            if self.gan_mode == "projected":
+                g_gan += -jnp.mean(pred)
+            elif self.gan_mode == "wgangp":
+                g_gan += -jnp.mean(pred)
+            else:
+                g_gan += gan_loss(pred, True, self.gan_mode)
+        losses["G_GAN"] = g_gan * self.lambda_gan
+
+        rng_nce, rng_idt = jax.random.split(rng)
+        nce, src = self._nce_total(paramsG, paramsF, real_A, fake_B, rng_nce)
+        losses["G_NCE"] = nce * self.lambda_nce
+        if self.lambda_src > 0:
+            losses["G_SRC"] = src * self.lambda_src
+        idt_B = None
+        if self.nce_idt:
+            idt_B = self.netG.apply(paramsG, real_B)
+            nce_y, _ = self._nce_total(paramsG, paramsF, real_B, idt_B, rng_idt)
+            losses["G_NCE_Y"] = nce_y * self.lambda_nce
+            losses["G_NCE"] = (losses["G_NCE"] + losses["G_NCE_Y"]) * 0.5
+            losses.pop("G_NCE_Y")
+
+        if self.semantic_cls and "cls_A" in inp:
+            logits = self.netCLS.apply(inp["_cls_params"], fake_B)
+            losses["G_sem_cls"] = self.cls_lambda * jnp.mean(
+                _softmax_ce(logits, inp["cls_A"]))
+        if self.semantic_mask and "mask_A" in inp:
+            logits = self.netf_s.apply(inp["_fs_params"], fake_B)
+            losses["G_sem_mask"] = self.mask_lambda * jnp.mean(
+                _softmax_ce(logits, inp["mask_A"][..., 0]))
+            if self.out_mask:
+                m = jnp.clip(inp["mask_A"].astype(fake_B.dtype), 0, 1)
+                losses["G_out_mask"] = self.lambda_out_mask * jnp.mean(
+                    jnp.abs(fake_B * (1 - m) - real_A * (1 - m)))
+
+        total = sum(losses.values())
+        return total, (losses, fake_B, idt_B)
+
+    def _make_step(self):
+        txG, txF = self.txs["G_A"], self.txs["F"]
+        d_names = list(self.netDs.keys())
+
+        def step(states, pool, rng, inp):
+            rngs = jax.random.split(rng, 4)
+            d_params = {n: jax.lax.stop_gradient(states[n].params)
+                        for n in d_names}
+            inp = dict(inp)
+            if self.semantic_cls:
+                inp["_cls_params"] = jax.lax.stop_gradient(states["CLS"].params)
+            if self.semantic_mask:
+                inp["_fs_params"] = jax.lax.stop_gradient(states["f_s"].params)
+
+            # --- G + F group
+            (gtot, (losses, fake_B, idt_B)), grads = jax.value_and_grad(
+                lambda pG, pF: self._g_loss(pG, pF, d_params, rngs[0], inp),
+                argnums=(0, 1), has_aux=True)(
+                    states["G_A"].params, states["F"].params)
+            states = dict(states)
+            states["G_A"] = apply_updates(states["G_A"], grads[0], txG,
+                                          self.ema_beta)
+            states["F"] = apply_updates(states["F"], grads[1], txF)
+            losses["G_tot"] = gtot
+
+            # --- fake pool
+            fake_sg = jax.lax.stop_gradient(fake_B)
+            pool, pooled_fake = pool.query(rngs[1], fake_sg)
+
+            # --- discriminators (compute_D_loss, base_gan_model.py:382-419)
+            real_B = inp["real_B"]
+            for n in d_names:
+                netD = self.netDs[n]
+
+                def d_loss(p):
+                    lr = gan_loss(netD.apply(p, real_B), True, self.gan_mode)
+                    lf = gan_loss(netD.apply(p, pooled_fake), False,
+                                  self.gan_mode)
+                    return 0.5 * (lr + lf)
+
+                dl, dgrads = jax.value_and_grad(d_loss)(states[n].params)
+                states[n] = apply_updates(states[n], dgrads, self.txs[n])
+                losses[f"D_{n}"] = dl
+
+            # --- semantic heads train on real data (base_model.py:1442-1520)
+            if self.semantic_cls and "cls_A" in inp:
+                def cls_loss(p):
+                    logits = self.netCLS.apply(p, inp["real_A"])
+                    return jnp.mean(_softmax_ce(logits, inp["cls_A"]))
+                cl, cgrads = jax.value_and_grad(cls_loss)(states["CLS"].params)
+                states["CLS"] = apply_updates(states["CLS"], cgrads,
+                                              self.txs["CLS"])
+                losses["CLS"] = cl
+            if self.semantic_mask and "mask_A" in inp:
+                def fs_loss(p):
+                    logits = self.netf_s.apply(p, inp["real_A"])
+                    return jnp.mean(_softmax_ce(logits, inp["mask_A"][..., 0]))
+                fl, fgrads = jax.value_and_grad(fs_loss)(states["f_s"].params)
+                states["f_s"] = apply_updates(states["f_s"], fgrads,
+                                              self.txs["f_s"])
+                losses["f_s"] = fl
+
+            return states, pool, losses
+
+        donate = (0, 1) if getattr(self.opt, "tpu_donate", True) else ()
+        return jax.jit(step, donate_argnums=donate)
+
+    def optimize_parameters(self, batch):
+        inp = self.set_input(batch)
+        dev = self.put_batch(inp)
+        if self._jit_step is None:
+            self._jit_step = self._make_step()
+        self.states, self.pool, losses = self._jit_step(
+            self.states, self.pool, self.next_rng(), dev)
+        self.loss_log = {k: float(v) for k, v in losses.items()}
+        return self.loss_log
+
+    # ------------------------------------------------------------------
+    def inference(self, batch, use_ema=None):
+        inp = self.set_input(batch)
+        dev = self.put_batch(inp)
+        use_ema = self.use_ema if use_ema is None else use_ema
+        state = self.states["G_A"]
+        params = state.ema_params if (use_ema and state.ema_params is not None) \
+            else state.params
+        if self._jit_infer is None:
+            self._jit_infer = jax.jit(lambda p, x: self.netG.apply(p, x))
+        return np.asarray(jax.device_get(self._jit_infer(params, dev["real_A"])))

@@ -1,0 +1,159 @@
+"""CycleGAN (reference models/cycle_gan_model.py): G_A: A->B, G_B: B->A,
+one discriminator set per domain, cycle-consistency + identity losses.
+Both generator updates and both discriminator updates run in one jitted
+step with device-resident fake pools."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .base import BaseModel
+from .gan_networks import define_D, define_G
+from .train_state import apply_updates, init_net_state, make_optimizer
+from .modules.cut_networks import gan_loss
+from .modules.image_pool import ImagePool
+
+
+class CycleGANModel(BaseModel):
+    def __init__(self, opt, phase="train"):
+        super().__init__(opt, phase)
+        self.gan_mode = getattr(opt, "train_gan_mode", "lsgan")
+        self.lambda_A = float(getattr(opt, "alg_cyclegan_lambda_A", 10.0))
+        self.lambda_B = float(getattr(opt, "alg_cyclegan_lambda_B", 10.0))
+        self.lambda_idt = float(getattr(opt, "alg_cyclegan_lambda_identity", 0.5))
+        self.rec_noise = float(getattr(opt, "alg_cyclegan_rec_noise", 0.0))
+        self.use_ema = bool(getattr(opt, "train_G_ema", False))
+        self.ema_beta = float(getattr(opt, "train_G_ema_beta", 0.999))
+
+        size = opt.data_crop_size
+        self.netG_A = define_G(opt)
+        self.netG_B = define_G(opt)
+        self.netDs_A = define_D(opt)   # judges fakes in domain A
+        self.netDs_B = define_D(opt)   # judges fakes in domain B
+
+        ex = jnp.zeros((1, size, size, opt.model_input_nc), jnp.float32)
+        rngs = jax.random.split(self.next_rng(), 2 + len(self.netDs_A) * 2)
+        for i, (name, net) in enumerate(
+                [("G_A", self.netG_A), ("G_B", self.netG_B)]):
+            tx = make_optimizer(opt, getattr(opt, "train_G_lr", 2e-4))
+            self.txs[name] = tx
+            self.states[name] = init_net_state(rngs[i], net, (ex,), tx,
+                                               use_ema=self.use_ema)
+        self.d_names = []
+        k = 2
+        for dom, ds in (("A", self.netDs_A), ("B", self.netDs_B)):
+            for name, netD in ds.items():
+                sname = f"{name}_{dom}"
+                tx = make_optimizer(opt, getattr(opt, "train_D_lr", 2e-4))
+                self.txs[sname] = tx
+                self.states[sname] = init_net_state(rngs[k], netD, (ex,), tx)
+                self.d_names.append((sname, dom, name))
+                k += 1
+
+        pool_size = int(getattr(opt, "train_pool_size", 50))
+        shape = (size, size, opt.model_output_nc)
+        self.pool_A = ImagePool.create(pool_size, shape)
+        self.pool_B = ImagePool.create(pool_size, shape)
+        self._jit_step = None
+        self._jit_infer = None
+
+    def set_input(self, batch):
+        return {"real_A": batch["A"], "real_B": batch["B"]}
+
+    def _g_loss(self, pA, pB, d_params, rng, inp):
+        real_A, real_B = inp["real_A"], inp["real_B"]
+        fake_B = self.netG_A.apply(pA, real_A)
+        fake_A = self.netG_B.apply(pB, real_B)
+        rec_in_B, rec_in_A = fake_B, fake_A
+        if self.rec_noise > 0:
+            r1, r2 = jax.random.split(rng)
+            rec_in_B = fake_B + self.rec_noise * jax.random.normal(
+                r1, fake_B.shape, fake_B.dtype)
+            rec_in_A = fake_A + self.rec_noise * jax.random.normal(
+                r2, fake_A.shape, fake_A.dtype)
+        rec_A = self.netG_B.apply(pB, rec_in_B)
+        rec_B = self.netG_A.apply(pA, rec_in_A)
+
+        losses = {}
+        g_gan = 0.0
+        for sname, dom, dname in self.d_names:
+            netD = (self.netDs_B if dom == "B" else self.netDs_A)[dname]
+            fake = fake_B if dom == "B" else fake_A
+            g_gan += gan_loss(netD.apply(d_params[sname], fake), True,
+                              self.gan_mode)
+        losses["G_GAN"] = g_gan
+        losses["G_cycle_A"] = self.lambda_A * jnp.mean(jnp.abs(rec_A - real_A))
+        losses["G_cycle_B"] = self.lambda_B * jnp.mean(jnp.abs(rec_B - real_B))
+        if self.lambda_idt > 0:
+            idt_A = self.netG_A.apply(pA, real_B)
+            idt_B = self.netG_B.apply(pB, real_A)
+            losses["G_idt_A"] = (self.lambda_B * self.lambda_idt
+                                 * jnp.mean(jnp.abs(idt_A - real_B)))
+            losses["G_idt_B"] = (self.lambda_A * self.lambda_idt
+                                 * jnp.mean(jnp.abs(idt_B - real_A)))
+        total = sum(losses.values())
+        return total, (losses, fake_A, fake_B)
+
+    def _make_step(self):
+        def step(states, pools, rng, inp):
+            pool_A, pool_B = pools
+            rngs = jax.random.split(rng, 4)
+            d_params = {s: jax.lax.stop_gradient(states[s].params)
+                        for s, _, _ in self.d_names}
+
+            (gtot, (losses, fake_A, fake_B)), grads = jax.value_and_grad(
+                lambda a, b: self._g_loss(a, b, d_params, rngs[0], inp),
+                argnums=(0, 1), has_aux=True)(
+                    states["G_A"].params, states["G_B"].params)
+            states = dict(states)
+            states["G_A"] = apply_updates(states["G_A"], grads[0],
+                                          self.txs["G_A"], self.ema_beta)
+            states["G_B"] = apply_updates(states["G_B"], grads[1],
+                                          self.txs["G_B"], self.ema_beta)
+            losses["G_tot"] = gtot
+
+            pool_A, pooled_A = pool_A.query(rngs[1], jax.lax.stop_gradient(fake_A))
+            pool_B, pooled_B = pool_B.query(rngs[2], jax.lax.stop_gradient(fake_B))
+
+            for sname, dom, dname in self.d_names:
+                netD = (self.netDs_B if dom == "B" else self.netDs_A)[dname]
+                real = inp["real_B"] if dom == "B" else inp["real_A"]
+                pooled = pooled_B if dom == "B" else pooled_A
+
+                def d_loss(p):
+                    lr = gan_loss(netD.apply(p, real), True, self.gan_mode)
+                    lf = gan_loss(netD.apply(p, pooled), False, self.gan_mode)
+                    return 0.5 * (lr + lf)
+
+                dl, dgrads = jax.value_and_grad(d_loss)(states[sname].params)
+                states[sname] = apply_updates(states[sname], dgrads,
+                                              self.txs[sname])
+                losses[f"D_{sname}"] = dl
+            return states, (pool_A, pool_B), losses
+
+        donate = (0, 1) if getattr(self.opt, "tpu_donate", True) else ()
+        return jax.jit(step, donate_argnums=donate)
+
+    def optimize_parameters(self, batch):
+        inp = self.set_input(batch)
+        dev = self.put_batch(inp)
+        if self._jit_step is None:
+            self._jit_step = self._make_step()
+        self.states, (self.pool_A, self.pool_B), losses = self._jit_step(
+            self.states, (self.pool_A, self.pool_B), self.next_rng(), dev)
+        self.loss_log = {k: float(v) for k, v in losses.items()}
+        return self.loss_log
+
+    def inference(self, batch, use_ema=None, direction="AtoB"):
+        inp = self.set_input(batch)
+        dev = self.put_batch(inp)
+        use_ema = self.use_ema if use_ema is None else use_ema
+        name = "G_A" if direction == "AtoB" else "G_B"
+        net = self.netG_A if direction == "AtoB" else self.netG_B
+        state = self.states[name]
+        params = state.ema_params if (use_ema and state.ema_params is not None) \
+            else state.params
+        x = dev["real_A"] if direction == "AtoB" else dev["real_B"]
+        return np.asarray(jax.device_get(jax.jit(net.apply)(params, x)))

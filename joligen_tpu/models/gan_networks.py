@@ -1,0 +1,88 @@
+"""GAN network factories (reference models/gan_networks.py:51-560)."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .modules.cut_networks import PatchSampleF
+from .modules.discriminators import NLayerDiscriminator, PixelDiscriminator
+from .modules.resnet_generator import ResnetGenerator, ResnetGeneratorAttn
+
+
+def _dtype(opt):
+    return jnp.bfloat16 if getattr(opt, "tpu_bf16", True) else jnp.float32
+
+
+def define_G(opt):
+    netG = opt.G_netG
+    dtype = _dtype(opt)
+    if netG in ("resnet", "mobile_resnet", "resnet_9blocks", "resnet_6blocks"):
+        return ResnetGenerator(
+            out_channels=opt.model_output_nc, ngf=opt.G_ngf,
+            n_blocks=opt.G_nblocks, norm=opt.G_norm,
+            padding_type=opt.G_padding_type,
+            dropout=0.5 if opt.G_dropout else 0.0,
+            mobile="mobile" in netG, dtype=dtype)
+    if netG in ("resnet_attn", "mobile_resnet_attn"):
+        return ResnetGeneratorAttn(
+            out_channels=opt.model_output_nc,
+            nb_mask_attn=opt.G_attn_nb_mask_attn,
+            nb_mask_input=opt.G_attn_nb_mask_input,
+            ngf=opt.G_ngf, n_blocks=opt.G_nblocks, norm=opt.G_norm,
+            padding_type=opt.G_padding_type,
+            mobile="mobile" in netG, dtype=dtype)
+    if netG in ("unet_mha", "uvit"):
+        from .modules.unet_mha import UNetMHA
+        return UNetMHA(
+            in_channel=opt.model_input_nc, out_channel=opt.model_output_nc,
+            inner_channel=opt.G_ngf,
+            cond_embed_dim=opt.G_ngf * 4,
+            res_blocks=tuple(opt.G_unet_mha_res_blocks),
+            attn_res=tuple(opt.G_unet_mha_attn_res),
+            channel_mults=tuple(opt.G_unet_mha_channel_mults),
+            num_heads=opt.G_unet_mha_num_heads,
+            num_head_channels=opt.G_unet_mha_num_head_channels,
+            norm=opt.G_unet_mha_norm_layer,
+            group_size=opt.G_unet_mha_group_norm_size,
+            tanh=True, dtype=dtype)
+    if netG in ("unet_256", "unet_128"):
+        from .modules.unet_mha import UNetMHA
+        # classic pix2pix unet approximated by the attention-free unet_mha
+        return UNetMHA(
+            in_channel=opt.model_input_nc, out_channel=opt.model_output_nc,
+            inner_channel=opt.G_ngf, cond_embed_dim=opt.G_ngf * 4,
+            res_blocks=(1, 1, 1, 1), attn_res=(),
+            channel_mults=(1, 2, 4, 8), tanh=True, dtype=dtype)
+    raise NotImplementedError(f"GAN generator {netG}")
+
+
+def define_D(opt, names=None):
+    """Returns dict name -> discriminator module
+    (reference gan_networks.py:289-482 builds one D per D_netDs entry)."""
+    dtype = _dtype(opt)
+    names = names if names is not None else list(opt.D_netDs)
+    ds = {}
+    for name in names:
+        if name == "basic":
+            ds["D_B_" + name] = NLayerDiscriminator(
+                ndf=opt.D_ndf, n_layers=opt.D_n_layers, norm=opt.D_norm,
+                antialias=not getattr(opt, "D_no_antialias", False),
+                dtype=dtype)
+        elif name == "pixel":
+            ds["D_B_" + name] = PixelDiscriminator(
+                ndf=opt.D_ndf, norm=opt.D_norm, dtype=dtype)
+        elif name == "projected_d":
+            from .modules.projected_d import ProjectedDiscriminator
+            ds["D_B_" + name] = ProjectedDiscriminator(
+                interp=getattr(opt, "D_proj_interp", -1), dtype=dtype)
+        elif name in ("temporal", "vision_aided", "depth", "mask", "sam"):
+            raise NotImplementedError(f"discriminator {name}")
+        else:
+            raise NotImplementedError(f"discriminator {name}")
+    return ds
+
+
+def define_F(opt):
+    netF = getattr(opt, "alg_cut_netF", "mlp_sample")
+    return PatchSampleF(nc=opt.alg_cut_netF_nc,
+                        use_mlp="mlp" in netF, dtype=_dtype(opt))

@@ -1,0 +1,238 @@
+"""ResNet generators (CycleGAN/CUT family), NHWC flax.
+
+Behavioral parity with reference
+models/modules/resnet_architecture/resnet_generator.py: c7s1-ngf stem, two
+stride-2 downs, n residual blocks, two ups, c7s1-out + tanh; plus
+``ResnetGeneratorAttn`` (attention decoder mixing nb_mask_attn masks,
+reference attn_network.py:6-55 + resnet_generator.py:388-558) and mobile
+(separable conv) variants. Upsampling is resize+conv (TPU-friendly,
+checkerboard-free) instead of ConvTranspose.
+
+Encoder feature taps for CUT NCE are exposed via ``extract_layer_ids``
+indexed over the flat sub-layer list, matching the reference convention of
+indices into the torch Sequential encoder (cut_model.py:226).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def _pad(x, p, mode="reflect"):
+    if p == 0:
+        return x
+    mode = {"reflect": "reflect", "replicate": "edge", "zeros": "constant"}[mode]
+    return jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)), mode=mode)
+
+
+class InstanceNorm(nn.Module):
+    """Per-sample, per-channel spatial normalization (torch InstanceNorm2d
+    affine=False default in the reference norm helper)."""
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        orig = x.dtype
+        x32 = x.astype(jnp.float32)
+        mean = x32.mean(axis=(1, 2), keepdims=True)
+        var = x32.var(axis=(1, 2), keepdims=True)
+        return ((x32 - mean) * jax.lax.rsqrt(var + self.eps)).astype(orig)
+
+
+def make_norm(kind):
+    if kind == "instance":
+        return InstanceNorm()
+    if kind == "batch":
+        # batch stats are replaced by group stats on TPU (no SyncBN needed;
+        # SURVEY.md §2.7 — prefer group/instance norm over cross-device BN)
+        return nn.GroupNorm(num_groups=None, group_size=1)
+    return lambda x: x
+
+
+class SeparableConv(nn.Module):
+    features: int
+    kernel: int = 3
+    strides: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(x.shape[-1], (self.kernel, self.kernel),
+                    strides=self.strides, feature_group_count=x.shape[-1],
+                    padding="VALID", dtype=self.dtype, name="depthwise")(x)
+        x = InstanceNorm()(x)
+        return nn.Conv(self.features, (1, 1), dtype=self.dtype,
+                       name="pointwise")(x)
+
+
+class ResnetBlock(nn.Module):
+    dim: int
+    norm: str = "instance"
+    padding_type: str = "reflect"
+    dropout: float = 0.0
+    mobile: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        Conv = SeparableConv if self.mobile else (
+            lambda features, name: nn.Conv(features, (3, 3), padding="VALID",
+                                           dtype=self.dtype, name=name))
+        h = _pad(x, 1, self.padding_type)
+        h = Conv(self.dim, name="conv1")(h) if self.mobile else \
+            nn.Conv(self.dim, (3, 3), padding="VALID", dtype=self.dtype,
+                    name="conv1")(h)
+        h = make_norm(self.norm)(h)
+        h = nn.relu(h)
+        if self.dropout > 0:
+            h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = _pad(h, 1, self.padding_type)
+        h = Conv(self.dim, name="conv2")(h) if self.mobile else \
+            nn.Conv(self.dim, (3, 3), padding="VALID", dtype=self.dtype,
+                    name="conv2")(h)
+        h = make_norm(self.norm)(h)
+        return x + h
+
+
+class ResnetEncoder(nn.Module):
+    ngf: int = 64
+    n_blocks: int = 6
+    n_downsampling: int = 2
+    norm: str = "instance"
+    padding_type: str = "reflect"
+    dropout: float = 0.0
+    mobile: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, extract_layer_ids=None, deterministic=True):
+        feats = []
+
+        def tap(h):
+            feats.append(h)
+            return h
+
+        h = tap(x)  # layer id 0 = input (reference Sequential index 0 is pad)
+        h = _pad(x, 3, self.padding_type)
+        h = nn.Conv(self.ngf, (7, 7), padding="VALID", dtype=self.dtype,
+                    name="stem")(h)
+        h = make_norm(self.norm)(h)
+        h = tap(nn.relu(h))
+        mult = 1
+        for i in range(self.n_downsampling):
+            mult *= 2
+            h = nn.Conv(self.ngf * mult, (3, 3), strides=2, padding=1,
+                        dtype=self.dtype, name=f"down{i}")(h)
+            h = make_norm(self.norm)(h)
+            h = tap(nn.relu(h))
+        for i in range(self.n_blocks):
+            h = ResnetBlock(self.ngf * mult, self.norm, self.padding_type,
+                            self.dropout, self.mobile, self.dtype,
+                            name=f"res{i}")(h, deterministic)
+            tap(h)
+        if extract_layer_ids is not None:
+            ids = [min(i, len(feats) - 1) for i in extract_layer_ids]
+            return h, [feats[i] for i in ids]
+        return h, feats
+
+
+class ResnetDecoder(nn.Module):
+    out_channels: int = 3
+    ngf: int = 64
+    n_downsampling: int = 2
+    norm: str = "instance"
+    padding_type: str = "reflect"
+    tanh: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, h):
+        mult = 2 ** self.n_downsampling
+        for i in range(self.n_downsampling):
+            n, hh, ww, c = h.shape
+            h = jax.image.resize(h, (n, hh * 2, ww * 2, c), method="nearest")
+            h = nn.Conv(self.ngf * mult // (2 ** (i + 1)), (3, 3), padding=1,
+                        dtype=self.dtype, name=f"up{i}")(h)
+            h = make_norm(self.norm)(h)
+            h = nn.relu(h)
+        h = _pad(h, 3, self.padding_type)
+        h = nn.Conv(self.out_channels, (7, 7), padding="VALID",
+                    dtype=self.dtype, name="head")(h)
+        if self.tanh:
+            h = jnp.tanh(h)
+        return h.astype(jnp.float32)
+
+
+class ResnetGenerator(nn.Module):
+    """resnet / mobile_resnet G."""
+    out_channels: int = 3
+    ngf: int = 64
+    n_blocks: int = 9
+    norm: str = "instance"
+    padding_type: str = "reflect"
+    dropout: float = 0.0
+    mobile: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.encoder = ResnetEncoder(self.ngf, self.n_blocks, 2, self.norm,
+                                     self.padding_type, self.dropout,
+                                     self.mobile, self.dtype)
+        self.decoder = ResnetDecoder(self.out_channels, self.ngf, 2,
+                                     self.norm, self.padding_type, True,
+                                     self.dtype)
+
+    def __call__(self, x, deterministic=True, extract_layer_ids=None):
+        if extract_layer_ids is not None:
+            _, feats = self.encoder(x, extract_layer_ids, deterministic)
+            return feats
+        h, _ = self.encoder(x, None, deterministic)
+        return self.decoder(h)
+
+
+class ResnetGeneratorAttn(nn.Module):
+    """resnet_attn: attention decoder blending content images and input
+    (reference attn_network.py:13-46). Softmax over nb_mask_attn masks;
+    the last nb_mask_input masks re-use the input image."""
+    out_channels: int = 3
+    nb_mask_attn: int = 10
+    nb_mask_input: int = 1
+    ngf: int = 64
+    n_blocks: int = 9
+    norm: str = "instance"
+    padding_type: str = "reflect"
+    mobile: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.encoder = ResnetEncoder(self.ngf, self.n_blocks, 2, self.norm,
+                                     self.padding_type, 0.0, self.mobile,
+                                     self.dtype)
+        n_content = self.nb_mask_attn - self.nb_mask_input
+        self.content_decoder = ResnetDecoder(
+            self.out_channels * n_content, self.ngf, 2, self.norm,
+            self.padding_type, True, self.dtype)
+        self.attn_decoder = ResnetDecoder(
+            self.nb_mask_attn, self.ngf, 2, self.norm, self.padding_type,
+            False, self.dtype)
+
+    def __call__(self, x, deterministic=True, extract_layer_ids=None):
+        if extract_layer_ids is not None:
+            _, feats = self.encoder(x, extract_layer_ids, deterministic)
+            return feats
+        h, _ = self.encoder(x, None, deterministic)
+        n_content = self.nb_mask_attn - self.nb_mask_input
+        contents = self.content_decoder(h)
+        att = jax.nn.softmax(self.attn_decoder(h), axis=-1)
+        inp = x[..., :3]
+        out = 0.0
+        for i in range(n_content):
+            ci = contents[..., i * self.out_channels:(i + 1) * self.out_channels]
+            out = out + ci * att[..., i:i + 1]
+        for i in range(n_content, self.nb_mask_attn):
+            out = out + inp * att[..., i:i + 1]
+        return out.astype(jnp.float32)
