@@ -10,6 +10,25 @@ online bbox-crop dataset creation, and a REST serving API.
 __version__ = "0.1.0"
 
 
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache (huge win with remote-compile TPU
+    tunnels where every fresh compile is a network round-trip)."""
+    import os
+    cache = os.environ.get("JOLIGEN_JAX_CACHE",
+                           os.path.join(os.path.dirname(__file__), "..",
+                                        ".jax_cache"))
+    try:
+        import jax
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", os.path.abspath(cache))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+_enable_compilation_cache()
+
+
 def _respect_platform_env():
     """Honor JAX_PLATFORMS=cpu even on hosts whose sitecustomize force-selects
     the TPU plugin after env parsing (it rewrites jax_platforms at import)."""

@@ -1,0 +1,219 @@
+"""JiT — "Just image Transformer" DiT-style x-prediction denoiser.
+
+Behavioral parity with reference models/modules/vit/vit.py: bottleneck patch
+embed, fixed sin-cos positional embedding, register tokens, RMSNorm + qk-norm
+attention, SwiGLU FFN, AdaLN 6-way modulation, zero-initialized final layer,
+and the JiT-B/L/H variant table. TPU-first design choices: all transformer
+blocks are stacked with ``nn.scan`` (one compiled block program instead of
+``depth`` inlined copies — an order of magnitude smaller HLO), fused
+dot-product attention, bf16 compute with fp32 norms.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ...ops.schedules import timestep_embedding
+
+
+def sincos_2d_pos_embed(dim, grid_h, grid_w):
+    """Fixed 2D sin-cos embedding (reference vit.py get_2d_sincos_pos_embed)."""
+    def _1d(dim, pos):
+        omega = np.arange(dim // 2, dtype=np.float64) / (dim / 2.0)
+        omega = 1.0 / 10000 ** omega
+        out = np.einsum("m,d->md", pos.reshape(-1), omega)
+        return np.concatenate([np.sin(out), np.cos(out)], axis=1)
+
+    gh = np.arange(grid_h, dtype=np.float64)
+    gw = np.arange(grid_w, dtype=np.float64)
+    grid = np.meshgrid(gw, gh)  # (W, H) order
+    emb_h = _1d(dim // 2, grid[1])
+    emb_w = _1d(dim // 2, grid[0])
+    return np.concatenate([emb_h, emb_w], axis=1).astype(np.float32)
+
+
+class RMSNorm(nn.Module):
+    eps: float = 1e-6
+    scale: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        orig = x.dtype
+        x32 = x.astype(jnp.float32)
+        n = x32 * jax.lax.rsqrt(jnp.mean(x32 * x32, axis=-1, keepdims=True)
+                                + self.eps)
+        if self.scale:
+            g = self.param("scale", nn.initializers.ones, (x.shape[-1],))
+            n = n * g
+        return n.astype(orig)
+
+
+class SwiGLUFFN(nn.Module):
+    hidden: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = int(2 * self.hidden / 3 / 64) * 64 or self.hidden
+        a = nn.Dense(h, use_bias=False, dtype=self.dtype, name="w1")(x)
+        b = nn.Dense(h, use_bias=False, dtype=self.dtype, name="w3")(x)
+        return nn.Dense(x.shape[-1], use_bias=False, dtype=self.dtype,
+                        name="w2")(nn.silu(a) * b)
+
+
+def modulate(x, shift, scale):
+    return x * (1 + scale[:, None, :]) + shift[:, None, :]
+
+
+class JiTBlock(nn.Module):
+    num_heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, c):
+        d = x.shape[-1]
+        mod = nn.Dense(6 * d, dtype=self.dtype,
+                       kernel_init=nn.initializers.zeros,
+                       name="adaLN")(nn.silu(c))
+        (s_msa, sc_msa, g_msa, s_mlp, sc_mlp, g_mlp) = jnp.split(mod, 6, axis=-1)
+
+        h = modulate(RMSNorm(name="norm1")(x), s_msa, sc_msa)
+        qkv = nn.Dense(3 * d, dtype=self.dtype, name="qkv")(h)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        b, n, _ = q.shape
+        hd = d // self.num_heads
+        q = RMSNorm(name="q_norm")(q.reshape(b, n, self.num_heads, hd))
+        k = RMSNorm(name="k_norm")(k.reshape(b, n, self.num_heads, hd))
+        v = v.reshape(b, n, self.num_heads, hd)
+        a = jax.nn.dot_product_attention(q, k, v).reshape(b, n, d)
+        a = nn.Dense(d, dtype=self.dtype, name="proj")(a)
+        x = x + g_msa[:, None, :] * a
+
+        h = modulate(RMSNorm(name="norm2")(x), s_mlp, sc_mlp)
+        x = x + g_mlp[:, None, :] * SwiGLUFFN(int(d * 4), dtype=self.dtype,
+                                              name="mlp")(h)
+        return x, None
+
+
+JiT_VARIANT_CONFIGS = {
+    "JiT-B/16": dict(depth=12, hidden_size=768, num_heads=12,
+                     bottleneck_dim=128, patch_size=16),
+    "JiT-B/8": dict(depth=12, hidden_size=768, num_heads=12,
+                    bottleneck_dim=128, patch_size=8),
+    "JiT-B/4": dict(depth=12, hidden_size=768, num_heads=12,
+                    bottleneck_dim=128, patch_size=4),
+    "JiT-B/2": dict(depth=12, hidden_size=768, num_heads=12,
+                    bottleneck_dim=128, patch_size=2),
+    "JiT-B/32": dict(depth=12, hidden_size=768, num_heads=12,
+                     bottleneck_dim=128, patch_size=32),
+    "JiT-L/16": dict(depth=24, hidden_size=1024, num_heads=16,
+                     bottleneck_dim=128, patch_size=16),
+    "JiT-L/32": dict(depth=24, hidden_size=1024, num_heads=16,
+                     bottleneck_dim=128, patch_size=32),
+    "JiT-H/16": dict(depth=32, hidden_size=1280, num_heads=16,
+                     bottleneck_dim=256, patch_size=16),
+    "JiT-H/32": dict(depth=32, hidden_size=1280, num_heads=16,
+                     bottleneck_dim=256, patch_size=32),
+}
+
+
+class JiT(nn.Module):
+    """x-prediction ViT. call(x NHWC, t (B,) in [0,1], y (B,) int labels)."""
+    patch_size: int = 16
+    hidden_size: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    bottleneck_dim: int = 128
+    num_classes: int = 1
+    num_register_tokens: int = 0
+    out_channels: Optional[int] = None
+    mask_size_conditioning: bool = False
+    remat: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @classmethod
+    def from_opt(cls, opt, dtype=jnp.float32):
+        variant = getattr(opt, "G_vit_variant", "JiT-B/16") or "JiT-B/16"
+        cfg = dict(JiT_VARIANT_CONFIGS.get(variant, JiT_VARIANT_CONFIGS["JiT-B/16"]))
+        return cls(
+            patch_size=cfg["patch_size"], hidden_size=cfg["hidden_size"],
+            depth=cfg["depth"], num_heads=cfg["num_heads"],
+            bottleneck_dim=cfg["bottleneck_dim"],
+            num_classes=max(1, getattr(opt, "G_vit_num_classes", 1)),
+            num_register_tokens=getattr(opt, "G_vit_num_register_tokens", 0),
+            out_channels=opt.model_output_nc,
+            mask_size_conditioning=getattr(opt, "alg_b2b_mask_size_conditioning",
+                                           False),
+            remat=getattr(opt, "tpu_remat", False),
+            dtype=dtype)
+
+    @nn.compact
+    def __call__(self, x, t, y=None, mask_size=None, deterministic=True):
+        b, H, W, C = x.shape
+        p = self.patch_size
+        d = self.hidden_size
+        gh, gw = H // p, W // p
+        out_c = self.out_channels or C
+
+        # bottleneck patch embed (vit.py BottleneckPatchEmbed)
+        patches = x.reshape(b, gh, p, gw, p, C).transpose(0, 1, 3, 2, 4, 5)
+        patches = patches.reshape(b, gh * gw, p * p * C).astype(self.dtype)
+        h = nn.Dense(self.bottleneck_dim, dtype=self.dtype, name="patch_bneck")(patches)
+        h = nn.Dense(d, dtype=self.dtype, name="patch_proj")(h)
+
+        pos = sincos_2d_pos_embed(d, gh, gw)
+        h = h + jnp.asarray(pos, self.dtype)[None]
+
+        # conditioning vector: t + class (+ mask-size)
+        t_emb = timestep_embedding(t * 1000.0, 256)
+        t_emb = nn.Dense(d, dtype=self.dtype, name="t_0")(t_emb)
+        t_emb = nn.silu(t_emb)
+        c = nn.Dense(d, dtype=self.dtype, name="t_1")(t_emb)
+        if self.num_classes > 1:
+            ytab = self.param("y_embed", nn.initializers.normal(0.02),
+                              (self.num_classes + 1, d))  # +1 = CFG null class
+            if y is None:
+                y = jnp.full((b,), self.num_classes, jnp.int32)
+            c = c + jnp.take(ytab, y, axis=0).astype(c.dtype)
+        if self.mask_size_conditioning and mask_size is not None:
+            ms = nn.Dense(d, dtype=self.dtype, name="ms_0")(mask_size)
+            ms = nn.silu(ms)
+            c = c + nn.Dense(d, dtype=self.dtype, name="ms_1")(ms)
+
+        if self.num_register_tokens > 0:
+            reg = self.param("register_tokens",
+                             nn.initializers.normal(0.02),
+                             (1, self.num_register_tokens, d))
+            h = jnp.concatenate(
+                [jnp.tile(reg.astype(h.dtype), (b, 1, 1)), h], axis=1)
+
+        # scanned transformer stack: one block program, depth-stacked params
+        Block = JiTBlock
+        if self.remat:
+            Block = nn.remat(JiTBlock, prevent_cse=False)
+        ScanBlocks = nn.scan(
+            Block, variable_axes={"params": 0}, split_rngs={"params": True},
+            length=self.depth, in_axes=nn.broadcast)
+        h, _ = ScanBlocks(num_heads=self.num_heads, dtype=self.dtype,
+                          name="blocks")(h, c)
+
+        if self.num_register_tokens > 0:
+            h = h[:, self.num_register_tokens:]
+
+        # final layer (AdaLN modulate + zero-init linear)
+        mod = nn.Dense(2 * d, dtype=self.dtype,
+                       kernel_init=nn.initializers.zeros,
+                       name="final_adaLN")(nn.silu(c))
+        shift, scale = jnp.split(mod, 2, axis=-1)
+        h = modulate(RMSNorm(scale=False, name="final_norm")(h), shift, scale)
+        h = nn.Dense(p * p * out_c, dtype=self.dtype,
+                     kernel_init=nn.initializers.zeros, name="final_proj")(h)
+
+        h = h.reshape(b, gh, gw, p, p, out_c).transpose(0, 1, 3, 2, 4, 5)
+        return h.reshape(b, H, W, out_c).astype(jnp.float32)

@@ -92,7 +92,11 @@ def make_optimizer(opt, lr, iter_size=None):
 
 def init_net_state(rng, module, example_inputs, tx, use_ema=False,
                    init_kwargs=None):
-    params = module.init(rng, *example_inputs, **(init_kwargs or {}))
+    # jit the init: eager flax init compiles every op separately, which is
+    # catastrophically slow through remote-compile TPU tunnels.
+    init_fn = jax.jit(lambda r: module.init(r, *example_inputs,
+                                            **(init_kwargs or {})))
+    params = init_fn(rng)
     opt_state = tx.init(params)
     ema = jax.tree.map(jnp.copy, params) if use_ema else None
     return NetState(params=params, opt_state=opt_state, ema_params=ema,
