@@ -30,6 +30,8 @@ def find_dataset_class(mode):
         "single": D.SingleDataset,
         "temporal_labeled_mask_online": D.TemporalLabeledMaskOnlineDataset,
         "self_supervised_vid_mask_online": D.SelfSupervisedVidMaskOnlineDataset,
+        "self_supervised_vid_labeled_mask_cls_online":
+            D.SelfSupervisedVidLabeledMaskClsOnlineDataset,
         "self_supervised_temporal": D.SelfSupervisedTemporalDataset,
     }
     if mode not in table:

@@ -36,5 +36,7 @@ def make_labeled_path_dataset(d, paths, max_dataset_size=float("inf")):
         elif len(parts) >= 2:
             images.append(parts[0])
             labels.append(" ".join(parts[1:]))
+    if max_dataset_size in (None, float("inf")):
+        return images, labels
     n = min(int(max_dataset_size), len(images))
     return images[:n], labels[:n]

@@ -1,9 +1,14 @@
 """B2B flow-matching trainer (reference models/b2b_model.py).
 
-Image path of the B2B model: JiT x-prediction backbone, logistic-normal t,
-mask-as-channel option, class conditioning with CFG-null dropout, loss
-choices L1/MSE/pseudo-huber/multiscale with masked-region-only option.
-Video (JiTViD), LoRA finetuning and ref-copy arrive with the video stack.
+Image path: JiT x-prediction backbone, logistic-normal t, mask-as-channel,
+class conditioning with CFG-null dropout, loss choices
+L1/MSE/pseudo-huber/multiscale with masked-region-only option.
+
+Video path (G_netG=vit_vid): JiTViD with temporal motion modules,
+frame-step / mask-bbox-size / global-context / object-ref conditioning, and
+autoregressive training (a random frame is swapped for clean — optionally
+degraded — GT at t=1 and excluded from the flow loss, plus an image-space
+ref-copy loss; reference b2b_model.py:906-931, 1087-1130).
 """
 
 from __future__ import annotations
@@ -16,7 +21,7 @@ import numpy as np
 
 from .base import BaseModel
 from .train_state import apply_updates, init_net_state, make_optimizer
-from .modules.b2b import b2b_sample, b2b_training_outputs
+from .modules.b2b import b2b_sample, b2b_training_outputs, mask_size_condition
 from .modules.cm import pseudo_huber_loss
 
 
@@ -35,6 +40,8 @@ class B2BModel(BaseModel):
                                              0.0) or 0.0)
         self.mask_as_channel = bool(getattr(opt, "alg_b2b_mask_as_channel",
                                             False))
+        self.is_video = opt.G_netG == "vit_vid"
+        self.num_frames = int(getattr(opt, "data_temporal_number_frames", 1) or 1)
         size = opt.data_crop_size
         req_noise = float(getattr(opt, "alg_b2b_noise_scale", -1.0) or -1.0)
         self.noise_scale = req_noise if req_noise > 0 else (
@@ -48,18 +55,38 @@ class B2BModel(BaseModel):
                                              50))
         self.cfg_scale = float(getattr(opt, "alg_b2b_cfg_scale", 1.0))
         self.clip_denoised = bool(getattr(opt, "alg_b2b_clip_denoised", False))
+        self.mask_size_cond = bool(getattr(opt, "alg_b2b_mask_size_conditioning",
+                                           False))
+        self.frame_step_cond = bool(getattr(
+            opt, "alg_b2b_temporal_frame_step_conditioning", False))
+        self.autoregressive = bool(getattr(opt, "alg_b2b_autoregressive", False))
+        self.use_gt_prob = (float(getattr(opt, "alg_b2b_use_gt_prob", 0.1))
+                            if (self.autoregressive and self.is_video) else 0.0)
+        self.degrade_prob = float(getattr(
+            opt, "alg_b2b_ref_frame_degradation_prob", 0.0) or 0.0)
+        self.degrade_std = float(getattr(
+            opt, "alg_b2b_ref_frame_degradation_std", 0.0) or 0.0)
+        self.lambda_ref_copy = float(getattr(opt, "alg_b2b_lambda_ref_copy",
+                                             0.0) or 0.0)
         self.conditional = (
             getattr(opt, "alg_diffusion_cond_image_creation", "y_t") != "y_t"
             or self.task == "pix2pix")
 
-        from .modules.jit import JiT
         dtype = jnp.bfloat16 if getattr(opt, "tpu_bf16", True) else jnp.float32
-        self.netG = JiT.from_opt(opt, dtype=dtype)
+        if self.is_video:
+            from .modules.vit_vid import JiTViD
+            self.netG = JiTViD.from_opt(opt, dtype=dtype)
+        else:
+            from .modules.jit import JiT
+            self.netG = JiT.from_opt(opt, dtype=dtype)
 
         cin = opt.model_output_nc + (1 if self.mask_as_channel else 0)
         if self.conditional:
             cin += opt.model_input_nc
-        ex_x = jnp.zeros((1, size, size, cin), jnp.float32)
+        if self.is_video:
+            ex_x = jnp.zeros((1, self.num_frames, size, size, cin), jnp.float32)
+        else:
+            ex_x = jnp.zeros((1, size, size, cin), jnp.float32)
         ex_t = jnp.zeros((1,), jnp.float32)
         ex_y = jnp.zeros((1,), jnp.int32)
         tx = make_optimizer(opt, getattr(opt, "train_G_lr", 2e-4))
@@ -71,36 +98,61 @@ class B2BModel(BaseModel):
         self._jit_sample = {}
 
     def set_input(self, batch):
-        out = {"gt": batch["B"]}
+        gt = batch["B"]
         mask = batch.get("B_label_mask")
+        cond = batch["A"] if self.conditional else None
+        # video data through an image backbone: frames fold into the batch
+        if gt.ndim == 5 and not self.is_video:
+            b, f = gt.shape[:2]
+            gt = gt.reshape((b * f,) + gt.shape[2:])
+            if mask is not None:
+                mask = mask.reshape((b * f,) + mask.shape[2:])
+            if cond is not None:
+                cond = cond.reshape((b * f,) + cond.shape[2:])
+        out = {"gt": gt}
         if self.task == "inpainting" and mask is not None:
             out["mask"] = mask
-        if self.conditional:
-            out["y_cond"] = batch["A"]
+        if cond is not None:
+            out["y_cond"] = cond
         if self.num_classes > 1 and "B_label_cls" in batch:
             out["labels"] = np.asarray(batch["B_label_cls"], np.int32)
+        if self.frame_step_cond and "temporal_frame_step" in batch:
+            out["frame_step"] = np.asarray(batch["temporal_frame_step"],
+                                           np.float32)
+        if "B_global_context" in batch:
+            out["global_context"] = batch["B_global_context"]
         return out
 
-    def _apply(self, params, z_in, t, labels, mask_size):
-        return self.netG.apply(params, z_in, t, y=labels, mask_size=mask_size)
-
-    def _make_apply(self, mask=None):
-        if not self.mask_as_channel:
-            return self._apply
-        mch = jnp.clip(mask.astype(jnp.float32), 0.0, 1.0) if mask is not None \
-            else None
+    def _make_apply(self, mask=None, frame_step=None, global_context=None):
+        """Builds apply_fn(params, z_in, t, labels, mask_size) closing over
+        the static conditioning inputs."""
+        mch = None
+        if self.mask_as_channel and mask is not None:
+            mch = jnp.clip(mask.astype(jnp.float32), 0.0, 1.0)
 
         def apply_fn(params, z_in, t, labels, mask_size):
-            if mch is not None:
-                z_in = jnp.concatenate([z_in, mch], axis=-1)
-            else:
-                z_in = jnp.concatenate(
-                    [z_in, jnp.zeros(z_in.shape[:3] + (1,), z_in.dtype)], axis=-1)
+            if self.mask_as_channel:
+                pad = (mch if mch is not None else
+                       jnp.zeros(z_in.shape[:-1] + (1,), z_in.dtype))
+                z_in = jnp.concatenate([z_in, pad], axis=-1)
+            kwargs = {}
+            if self.is_video:
+                if self.frame_step_cond:
+                    kwargs["temporal_frame_step"] = frame_step
+                if global_context is not None:
+                    kwargs["global_context"] = global_context
+                return self.netG.apply(params, z_in, t, y=labels,
+                                       mask_size=mask_size, **kwargs)
             return self.netG.apply(params, z_in, t, y=labels,
                                    mask_size=mask_size)
         return apply_fn
 
     def _loss(self, v_pred, v_target, mask):
+        if v_pred.ndim == 5:  # fold frames for the spatial loss pyramid
+            v_pred = v_pred.reshape((-1,) + v_pred.shape[2:])
+            v_target = v_target.reshape((-1,) + v_target.shape[2:])
+            if mask is not None:
+                mask = mask.reshape((-1,) + mask.shape[2:])
         if self.loss_kind == "L1":
             err = jnp.abs(v_pred - v_target)
         elif self.loss_kind == "pseudo_huber":
@@ -109,9 +161,15 @@ class B2BModel(BaseModel):
             from flax import linen as nn
             base = (jnp.abs if "L1" in self.loss_kind
                     else (lambda d: d ** 2))
-            total, e = 0.0, (v_pred - v_target)
+            total, e, m = 0.0, (v_pred - v_target), mask
             for _ in range(3):
-                total = total + jnp.mean(base(e))
+                if m is not None and self.masked_only:
+                    mm = jnp.clip(m.astype(e.dtype), 0.0, 1.0)
+                    total = total + jnp.sum(base(e) * mm) / jnp.maximum(
+                        jnp.sum(mm) * e.shape[-1], 1.0)
+                    m = nn.avg_pool(m.astype(e.dtype), (2, 2), strides=(2, 2))
+                else:
+                    total = total + jnp.mean(base(e))
                 e = nn.avg_pool(e, (2, 2), strides=(2, 2))
             return total / 3.0
         else:
@@ -119,6 +177,9 @@ class B2BModel(BaseModel):
         if mask is not None and self.masked_only:
             m = jnp.clip(mask.astype(err.dtype), 0.0, 1.0)
             return jnp.sum(err * m) / jnp.maximum(jnp.sum(m) * err.shape[-1], 1.0)
+        if mask is not None:
+            m = jnp.clip(mask.astype(err.dtype), 0.0, 1.0)
+            err = err * m
         return jnp.mean(err)
 
     def optimize_parameters(self, batch):
@@ -127,27 +188,47 @@ class B2BModel(BaseModel):
         if self._jit_step is None:
             tx = self.txs["G_A"]
 
-            def loss_fn(params, rng, gt, y_cond, mask, labels):
-                apply_fn = self._make_apply(mask)
-                v_pred, v_target = b2b_training_outputs(
-                    apply_fn, params, rng, gt, y_cond=y_cond,
-                    mask=(None if self.mask_as_channel else mask),
-                    labels=labels, num_classes=self.num_classes,
-                    noise_scale=self.noise_scale, P_mean=self.P_mean,
-                    P_std=self.P_std, uniform_mix_prob=self.uniform_mix,
-                    t_eps=self.t_eps, label_drop_prob=self.label_drop_prob)
-                return self.lambda_G * self._loss(v_pred, v_target, mask)
+            def loss_fn(params, rng, gt, y_cond, mask, labels, frame_step,
+                        global_context):
+                apply_fn = self._make_apply(mask, frame_step, global_context)
+                ms = None
+                if self.mask_size_cond and mask is not None:
+                    ms = mask_size_condition(mask, gt.shape[-3], gt.shape[-2])
+                v_pred, v_target, loss_mask, raw_x_pred, is_ref = \
+                    b2b_training_outputs(
+                        apply_fn, params, rng, gt, y_cond=y_cond,
+                        mask=(None if self.mask_as_channel else mask),
+                        labels=labels, num_classes=self.num_classes,
+                        noise_scale=self.noise_scale, P_mean=self.P_mean,
+                        P_std=self.P_std, uniform_mix_prob=self.uniform_mix,
+                        t_eps=self.t_eps, label_drop_prob=self.label_drop_prob,
+                        mask_size=ms, use_gt_prob=self.use_gt_prob,
+                        degrade_prob=self.degrade_prob,
+                        degrade_std=self.degrade_std)
+                loss = self.lambda_G * self._loss(v_pred, v_target, loss_mask)
+                aux = {}
+                if self.lambda_ref_copy > 0.0 and is_ref is not None:
+                    # image-space copy loss on the autoregressive GT frame
+                    num = jnp.sum(jnp.abs(raw_x_pred - gt) * is_ref)
+                    den = jnp.maximum(jnp.sum(is_ref) * gt.shape[-1], 1.0)
+                    ref_copy = num / den
+                    aux["G_ref_copy"] = ref_copy
+                    loss = loss + self.lambda_ref_copy * ref_copy
+                return loss, aux
 
-            def step(state, rng, gt, y_cond, mask, labels):
-                loss, grads = jax.value_and_grad(loss_fn)(
-                    state.params, rng, gt, y_cond, mask, labels)
-                return apply_updates(state, grads, tx, self.ema_beta), \
-                    {"G_tot": loss}
+            def step(state, rng, gt, y_cond, mask, labels, frame_step,
+                     global_context):
+                (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                    state.params, rng, gt, y_cond, mask, labels, frame_step,
+                    global_context)
+                losses = {"G_tot": loss, **aux}
+                return apply_updates(state, grads, tx, self.ema_beta), losses
 
             self._jit_step = jax.jit(step, donate_argnums=(0,))
         self.states["G_A"], losses = self._jit_step(
             self.states["G_A"], self.next_rng(), dev["gt"],
-            dev.get("y_cond"), dev.get("mask"), dev.get("labels"))
+            dev.get("y_cond"), dev.get("mask"), dev.get("labels"),
+            dev.get("frame_step"), dev.get("global_context"))
         self.loss_log = {k: float(v) for k, v in losses.items()}
         return self.loss_log
 
@@ -163,17 +244,22 @@ class B2BModel(BaseModel):
             else state.params
         key = (steps, cfg, dev["gt"].shape)
         if key not in self._jit_sample:
-            def run(p, rng, y, y_cond, mask, labels):
-                apply_fn = self._make_apply(mask)
+            def run(p, rng, y, y_cond, mask, labels, frame_step,
+                    global_context):
+                apply_fn = self._make_apply(mask, frame_step, global_context)
+                ms = None
+                if self.mask_size_cond and mask is not None:
+                    ms = mask_size_condition(mask, y.shape[-3], y.shape[-2])
                 return b2b_sample(
                     apply_fn, p, rng, y, y_cond=y_cond,
                     mask=(None if self.mask_as_channel else mask),
                     labels=labels, num_classes=self.num_classes,
                     denoise_timesteps=steps, noise_scale=self.noise_scale,
                     t_eps=self.t_eps, cfg_scale=cfg,
-                    clip_denoised=self.clip_denoised)
+                    clip_denoised=self.clip_denoised, mask_size=ms)
             self._jit_sample[key] = jax.jit(run)
         out = self._jit_sample[key](params, self.next_rng(), dev["gt"],
                                     dev.get("y_cond"), dev.get("mask"),
-                                    dev.get("labels"))
+                                    dev.get("labels"), dev.get("frame_step"),
+                                    dev.get("global_context"))
         return np.asarray(jax.device_get(out))

@@ -38,10 +38,38 @@ def define_inner_G(opt):
             remat=getattr(opt, "tpu_remat", False),
             dtype=dtype,
         )
+    if netG == "unet_vid":
+        from .modules.unet_vid import UNetVid
+        return UNetVid(
+            in_channel=opt.model_input_nc + opt.model_output_nc,
+            out_channel=opt.model_output_nc,
+            inner_channel=opt.G_ngf,
+            cond_embed_dim=opt.alg_diffusion_cond_embed_dim,
+            res_blocks=tuple(opt.G_unet_mha_res_blocks),
+            attn_res=tuple(opt.G_unet_mha_attn_res),
+            channel_mults=tuple(opt.G_unet_mha_channel_mults),
+            num_heads=opt.G_unet_mha_num_heads,
+            num_head_channels=opt.G_unet_mha_num_head_channels,
+            norm=opt.G_unet_mha_norm_layer,
+            group_size=opt.G_unet_mha_group_norm_size,
+            max_sequence_length=getattr(
+                opt, "G_unet_vid_max_sequence_length", 25),
+            motion_num_heads=getattr(opt, "G_unet_vid_num_attention_heads", 8),
+            motion_num_transformer_blocks=getattr(
+                opt, "G_unet_vid_num_transformer_blocks", 2),
+            remat=getattr(opt, "tpu_remat", False),
+            dtype=dtype,
+        )
     if netG in ("vit", "dit"):
         from .modules.jit import JiT
         return JiT.from_opt(opt, dtype=dtype)
+    if netG == "vit_vid":
+        from .modules.vit_vid import JiTViD
+        return JiTViD.from_opt(opt, dtype=dtype)
     raise NotImplementedError(f"diffusion generator {netG}")
+
+
+VIDEO_NETGS = ("unet_vid", "vit_vid")
 
 
 def define_G(opt):

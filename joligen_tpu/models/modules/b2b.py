@@ -36,31 +36,97 @@ def drop_labels(rng, labels, num_classes, drop_prob):
     return jnp.where(drop, num_classes, labels)
 
 
+def mask_size_condition(mask, H, W):
+    """Per-(leading-dims) mask-bbox descriptor [cx, cy, w, h, area,
+    log_aspect] (b2b_generator.py:85-175). mask: (..., H, W, 1)."""
+    flat = (mask[..., 0] > 0.5).reshape(-1, H, W)
+    positive = jnp.any(flat, axis=(1, 2))
+    area = jnp.mean(flat.astype(jnp.float32), axis=(1, 2))
+    y_any = jnp.any(flat, axis=2)
+    x_any = jnp.any(flat, axis=1)
+    y_idx = jnp.arange(H, dtype=jnp.float32)
+    x_idx = jnp.arange(W, dtype=jnp.float32)
+    y_min = jnp.min(jnp.where(y_any, y_idx[None], float(H)), axis=1)
+    y_max = jnp.max(jnp.where(y_any, y_idx[None], -1.0), axis=1)
+    x_min = jnp.min(jnp.where(x_any, x_idx[None], float(W)), axis=1)
+    x_max = jnp.max(jnp.where(x_any, x_idx[None], -1.0), axis=1)
+    width = (x_max - x_min + 1.0) / max(1, W)
+    height = (y_max - y_min + 1.0) / max(1, H)
+    cx = (x_min + x_max + 1.0) / (2.0 * max(1, W))
+    cy = (y_min + y_max + 1.0) / (2.0 * max(1, H))
+    log_aspect = jnp.clip(jnp.log((width + 1e-6) / (height + 1e-6)),
+                          -3.0, 3.0) / 3.0
+    feats = jnp.stack([cx, cy, width, height, area, log_aspect], axis=1)
+    feats = jnp.where(positive[:, None], feats, jnp.zeros_like(feats))
+    return feats.reshape(mask.shape[:-3] + (6,))
+
+
+def _bcast(t, ndim):
+    return t.reshape(t.shape + (1,) * (ndim - t.ndim))
+
+
 def b2b_training_outputs(apply_fn, params, rng, y0, y_cond=None, mask=None,
                          labels=None, num_classes=1, noise_scale=1.0,
                          P_mean=-0.8, P_std=0.8, uniform_mix_prob=0.1,
-                         t_eps=5e-2, label_drop_prob=0.0, mask_size=None):
-    """Returns (v_pred, v_target) (b2b_generator.py b2b_forward + forward)."""
+                         t_eps=5e-2, label_drop_prob=0.0, mask_size=None,
+                         use_gt_prob=0.0, degrade_prob=0.0, degrade_std=0.0):
+    """Returns (v_pred, v_target, loss_mask, x_pred).
+
+    Image (4D) and video (5D) paths (b2b_generator.py b2b_forward + forward).
+    For video with ``use_gt_prob>0`` (autoregressive training,
+    b2b_model.py:906-931): with that probability per sample, one random frame
+    is replaced by its clean GT (t=1) — optionally degraded with gaussian
+    noise — and excluded from the loss; the model learns to propagate it.
+    """
     b = y0.shape[0]
-    r_t, r_n, r_d = jax.random.split(rng, 3)
+    video = y0.ndim == 5
+    r_t, r_n, r_d, r_g, r_gi, r_dg, r_dn = jax.random.split(rng, 7)
     t = sample_t(r_t, b, P_mean, P_std, uniform_mix_prob)
-    t4 = t.reshape(-1, 1, 1, 1)
 
     m = None if mask is None else jnp.clip(mask.astype(y0.dtype), 0.0, 1.0)
     e = jax.random.normal(r_n, y0.shape, y0.dtype) * noise_scale
-    z_t = t4 * y0 + (1.0 - t4) * e
+
+    loss_mask = m
+    if video and use_gt_prob > 0.0:
+        f = y0.shape[1]
+        use_gt = jax.random.uniform(r_g, (b,)) < use_gt_prob
+        ref_idx = jax.random.randint(r_gi, (b,), 0, f)
+        is_ref = (jnp.arange(f)[None, :] == ref_idx[:, None]) & use_gt[:, None]
+        # per-frame t: GT frame pinned at 1.0 (clean)
+        t_frames = jnp.where(is_ref, 1.0, t[:, None])           # (B,F)
+        tb = _bcast(t_frames, y0.ndim)
+        z_t = tb * y0 + (1.0 - tb) * e
+        # GT frame content replaces its noisy version (optionally degraded)
+        degrade = (jax.random.uniform(r_dg, (b,)) < degrade_prob) & use_gt
+        gt_ref = y0 + degrade_std * jax.random.normal(r_dn, y0.shape, y0.dtype) \
+            * _bcast(degrade.astype(y0.dtype), y0.ndim)
+        z_t = jnp.where(_bcast(is_ref.astype(jnp.bool_), y0.ndim), gt_ref, z_t)
+        # exclude GT frame from the loss
+        keep = 1.0 - _bcast(is_ref.astype(y0.dtype), y0.ndim)
+        loss_mask = keep if m is None else m * keep
+        t_model = t_frames
+    else:
+        tb = _bcast(t, y0.ndim)
+        z_t = tb * y0 + (1.0 - tb) * e
+        t_model = t
+
     z = z_t * m + (1.0 - m) * y0 if m is not None else z_t
 
     labels_d = drop_labels(r_d, labels, num_classes, label_drop_prob)
 
     z_in = z if y_cond is None else jnp.concatenate([y_cond, z], axis=-1)
-    v_target = (y0 - z) / jnp.maximum(1.0 - t4, t_eps)
+    denom = jnp.maximum(1.0 - tb, t_eps)
+    v_target = (y0 - z) / denom
 
-    x_pred = apply_fn(params, z_in, t, labels_d, mask_size)
-    if m is not None:
-        x_pred = x_pred * m + (1.0 - m) * y0
-    v_pred = (x_pred - z) / jnp.maximum(1.0 - t4, t_eps)
-    return v_pred, v_target
+    raw_x_pred = apply_fn(params, z_in, t_model, labels_d, mask_size)
+    x_pred = raw_x_pred * m + (1.0 - m) * y0 if m is not None else raw_x_pred
+    v_pred = (x_pred - z) / denom
+    # is_ref indicator for the ref-copy loss (zeros when not autoregressive)
+    if video and use_gt_prob > 0.0:
+        is_ref_b = _bcast(is_ref.astype(y0.dtype), y0.ndim)
+    else:
+        is_ref_b = None
+    return v_pred, v_target, loss_mask, raw_x_pred, is_ref_b
 
 
 def b2b_sample(apply_fn, params, rng, y, y_cond=None, mask=None, labels=None,

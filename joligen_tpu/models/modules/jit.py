@@ -141,6 +141,13 @@ class JiT(nn.Module):
     def from_opt(cls, opt, dtype=jnp.float32):
         variant = getattr(opt, "G_vit_variant", "JiT-B/16") or "JiT-B/16"
         cfg = dict(JiT_VARIANT_CONFIGS.get(variant, JiT_VARIANT_CONFIGS["JiT-B/16"]))
+        # explicit G_vit_* attrs override the variant table
+        # (reference diffusion_networks.py:258-276)
+        for key in ("depth", "hidden_size", "num_heads", "patch_size",
+                    "bottleneck_dim"):
+            v = getattr(opt, f"G_vit_{key}", None)
+            if v is not None:
+                cfg[key] = v
         return cls(
             patch_size=cfg["patch_size"], hidden_size=cfg["hidden_size"],
             depth=cfg["depth"], num_heads=cfg["num_heads"],

@@ -77,7 +77,7 @@ class PaletteDenoiser(nn.Module):
 
         if "mask" in self.conditioning:
             if mask is None:
-                mask = jnp.zeros(x.shape[:3] + (1,), dtype=jnp.int32)
+                mask = jnp.zeros(x.shape[:-1] + (1,), dtype=jnp.int32)
             m = jnp.clip(mask[..., 0].astype(jnp.int32), 0, self.nclasses - 1)
             mask_embed = LabelEmbedder(self.nclasses, self.cond_embed_dim,
                                        name="embedder_mask")(m)
@@ -123,11 +123,12 @@ def palette_training_outputs(apply_fn, params, rng, schedule: NoiseSchedule,
     y0/y_cond: (B,H,W,C) NHWC in [-1,1]. mask: (B,H,W,1) int labels or None.
     """
     b = y0.shape[0]
+    bshape = (b,) + (1,) * (y0.ndim - 1)
     rng_g, rng_n, rng_drop = jax.random.split(rng, 3)
     t, gammas = sample_continuous_gammas(rng_g, schedule, b)
     noise = jax.random.normal(rng_n, y0.shape, dtype=y0.dtype)
 
-    g4 = gammas.reshape(b, 1, 1, 1)
+    g4 = gammas.reshape(bshape)
     y_noisy = q_sample(y0, g4, noise)
 
     if mask is not None:
@@ -140,13 +141,13 @@ def palette_training_outputs(apply_fn, params, rng, schedule: NoiseSchedule,
         if cls is not None:
             cls = jnp.where(keep, cls, 0)
         if mask is not None:
-            mask = jnp.where(keep.reshape(b, 1, 1, 1), mask,
+            mask = jnp.where(keep.reshape(bshape), mask,
                              jnp.zeros_like(mask))
 
     x_in = jnp.concatenate([y_cond, y_noisy], axis=-1)
     noise_hat = apply_fn(params, x_in, gammas, cls=cls, mask=mask)
 
-    weight = min_snr_weight(schedule, t).reshape(b, 1, 1, 1) if minsnr else 1.0
+    weight = min_snr_weight(schedule, t).reshape(bshape) if minsnr else 1.0
     return noise, noise_hat, weight
 
 
@@ -210,11 +211,12 @@ def ddpm_sample(apply_fn, params, rng, schedule: NoiseSchedule, y_cond,
                 out_channel=None):
     """Full ancestral DDPM chain as one lax.scan
     (reference restoration_ddpm, diffusion_generator.py:119-177)."""
-    b, h, w, _ = y_cond.shape
+    b = y_cond.shape[0]
     c = out_channel or y_cond.shape[-1]
     rng, rng_init = jax.random.split(rng)
     if y_t is None:
-        y_t = jax.random.normal(rng_init, (b, h, w, c), dtype=y_cond.dtype)
+        y_t = jax.random.normal(rng_init, y_cond.shape[:-1] + (c,),
+                                dtype=y_cond.dtype)
 
     tmask = None if mask is None else jnp.clip(mask.astype(y_cond.dtype), 0.0, 1.0)
 
@@ -244,11 +246,12 @@ def ddim_sample(apply_fn, params, rng, schedule: NoiseSchedule, y_cond,
     from the net output in its ddim path (no eps->x0 conversion) — matched."""
     import numpy as np
 
-    b, h, w, _ = y_cond.shape
+    b = y_cond.shape[0]
     c = out_channel or y_cond.shape[-1]
     rng, rng_init = jax.random.split(rng)
     if y_t is None:
-        y_t = jax.random.normal(rng_init, (b, h, w, c), dtype=y_cond.dtype)
+        y_t = jax.random.normal(rng_init, y_cond.shape[:-1] + (c,),
+                                dtype=y_cond.dtype)
 
     tmask = None if mask is None else jnp.clip(mask.astype(y_cond.dtype), 0.0, 1.0)
     tseq = np.linspace(0, schedule.num_timesteps - 1, num_steps).astype(np.int32)

@@ -20,7 +20,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from ..ops.schedules import NoiseSchedule
 from ..parallel.mesh import batch_sharding, param_sharding
 from .base import BaseModel
-from .diffusion_networks import define_G
+from .diffusion_networks import VIDEO_NETGS, define_G
 from .train_state import apply_updates, init_net_state, make_optimizer
 from .modules.palette_diffusion import (
     ddim_sample,
@@ -47,11 +47,17 @@ class PaletteModel(BaseModel):
         self.sched_test = NoiseSchedule.for_phase(opt, "test")
 
         self.netG = define_G(opt)
+        self.is_video = opt.G_netG in VIDEO_NETGS
+        self.num_frames = int(getattr(opt, "data_temporal_number_frames", 1) or 1)
         size = opt.data_crop_size
         cin = opt.model_input_nc + opt.model_output_nc
-        ex_x = jnp.zeros((1, size, size, cin), jnp.float32)
+        if self.is_video:
+            ex_x = jnp.zeros((1, self.num_frames, size, size, cin), jnp.float32)
+            ex_mask = jnp.zeros((1, self.num_frames, size, size, 1), jnp.int32)
+        else:
+            ex_x = jnp.zeros((1, size, size, cin), jnp.float32)
+            ex_mask = jnp.zeros((1, size, size, 1), jnp.int32)
         ex_g = jnp.zeros((1,), jnp.float32)
-        ex_mask = jnp.zeros((1, size, size, 1), jnp.int32)
         ex_cls = jnp.zeros((1,), jnp.int32)
 
         tx = make_optimizer(opt, getattr(opt, "train_G_lr", 2e-4))
@@ -84,6 +90,16 @@ class PaletteModel(BaseModel):
             mask = None
         if "class" not in self.conditioning:
             cls = None
+        # video batches: (B,F,H,W,C). Non-video denoisers treat frames as
+        # batch (reference rearrange_5dto4d, palette_model.py:471-510).
+        if gt.ndim == 5 and not self.is_video:
+            b, f = gt.shape[:2]
+            gt = gt.reshape((b * f,) + gt.shape[2:])
+            cond = cond.reshape((b * f,) + cond.shape[2:])
+            if mask is not None:
+                mask = mask.reshape((b * f,) + mask.shape[2:])
+            if cls is not None:
+                cls = np.repeat(np.asarray(cls), f)
         out = {"y_cond": cond, "gt": gt}
         if mask is not None:
             out["mask"] = mask
@@ -99,6 +115,15 @@ class PaletteModel(BaseModel):
             apply_fn, params, rng, self.sched_train, gt, y_cond,
             mask=mask, cls=cls, dropout_prob=self.dropout_prob,
             minsnr=self.minsnr)
+        if noise.ndim == 5:  # fold frames for the (spatial) loss pyramid
+            fold = lambda a: (a.reshape((-1,) + a.shape[2:])
+                              if a is not None and hasattr(a, "ndim")
+                              and a.ndim == 5 else a)
+            noise, noise_hat, mask = fold(noise), fold(noise_hat), fold(mask)
+            if hasattr(weight, "ndim") and weight.ndim == 5:
+                # (B,1,1,1,1) -> (B*F,1,1,1): one weight per sequence
+                weight = jnp.repeat(weight[:, 0],
+                                    noise.shape[0] // weight.shape[0], axis=0)
         loss = masked_elementwise_loss(noise, noise_hat, mask=mask,
                                        weight=weight, kind=self.loss_kind)
         return self.lambda_G * loss

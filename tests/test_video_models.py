@@ -1,0 +1,146 @@
+"""Video stack end-to-end: temporal datasets -> UNetVid / JiTViD training +
+sampling on a tiny synthetic video dataset, on the 8-device CPU mesh
+(mirrors reference tests test_run_vid_diffusion_online.py /
+test_run_b2b_vid_diffusion_online.py at miniature scale)."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from tools.make_fake_dataset import make_video  # noqa: E402
+
+from joligen_tpu.options import TrainOptions  # noqa: E402
+
+FRAMES = 3
+
+
+@pytest.fixture(scope="module")
+def vidds(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("vds"))
+    make_video(root, n_series=2, frames=10, size=48)
+    return root
+
+
+def _opt(vidds, tmpdir, **over):
+    args = [
+        "--dataroot", vidds, "--model_type", "palette",
+        "--data_dataset_mode", "self_supervised_vid_mask_online",
+        "--data_crop_size", "16", "--data_load_size", "16",
+        "--data_relative_paths",
+        "--data_temporal_number_frames", str(FRAMES),
+        "--data_temporal_frame_step", "2",
+        "--data_online_creation_crop_size_A", "32",
+        "--data_online_creation_crop_delta_A", "4",
+        "--G_netG", "unet_vid", "--G_ngf", "8",
+        "--G_unet_mha_channel_mults", "1", "2",
+        "--G_unet_mha_res_blocks", "1", "1",
+        "--G_unet_mha_attn_res", "4",
+        "--G_unet_mha_num_head_channels", "8",
+        "--G_unet_vid_num_attention_heads", "2",
+        "--G_unet_vid_num_transformer_blocks", "1",
+        "--G_diff_n_timestep_train", "50", "--G_diff_n_timestep_test", "10",
+        "--train_batch_size", "1",
+        "--checkpoints_dir", str(tmpdir), "--name", "t",
+        "--data_num_threads", "2",
+    ]
+    for k, v in over.items():
+        flag = "--" + k
+        if isinstance(v, bool):
+            args += [flag, str(v)]
+        elif isinstance(v, list):
+            args += [flag] + [str(x) for x in v]
+        else:
+            args += [flag, str(v)]
+    opt = TrainOptions().parse_cli(args)
+    opt.steps_per_epoch = 3
+    return opt
+
+
+def test_temporal_dataset_shapes(vidds, tmp_path):
+    from joligen_tpu.data import create_dataloader, create_dataset
+
+    opt = _opt(vidds, tmp_path)
+    ds = create_dataset(opt, "train")
+    dl = create_dataloader(opt, ds)
+    batch = next(iter(dl))
+    import jax
+    gb = jax.device_count()
+    assert batch["A"].shape == (gb, FRAMES, 16, 16, 3)
+    assert batch["B"].shape == (gb, FRAMES, 16, 16, 3)
+    assert batch["B_label_mask"].shape == (gb, FRAMES, 16, 16, 1)
+    assert batch["temporal_frame_step"].shape == (gb,)
+    # masked region of A is randomized, outside preserved
+    m = batch["B_label_mask"] > 0
+    outside = ~m[..., 0]
+    np.testing.assert_allclose(batch["A"][outside], batch["B"][outside],
+                               atol=1e-6)
+    inside = m[..., 0]
+    assert np.abs(batch["A"][inside] - batch["B"][inside]).max() > 0.01
+
+
+def test_palette_unet_vid_train_sample(vidds, tmp_path):
+    from joligen_tpu.data import create_dataloader, create_dataset
+    from joligen_tpu.models import create_model
+
+    opt = _opt(vidds, tmp_path)
+    ds = create_dataset(opt, "train")
+    batch = next(iter(create_dataloader(opt, ds)))
+    m = create_model(opt)
+    l0 = m.optimize_parameters(batch)["G_tot"]
+    assert np.isfinite(l0)
+
+    fake = m.inference(batch, sampling_method="ddim", num_steps=3)
+    import jax
+    gb = jax.device_count()
+    assert fake.shape == (gb, FRAMES, 16, 16, 3)
+    assert np.isfinite(fake).all()
+    # unmasked pixels preserved by the per-frame mask re-projection
+    outside = ~(batch["B_label_mask"][..., 0] > 0)
+    assert np.abs(fake - batch["B"]).max(axis=-1)[outside].max() < 1e-3
+
+
+def test_b2b_vit_vid_autoregressive_train_sample(vidds, tmp_path):
+    from joligen_tpu.data import create_dataloader, create_dataset
+    from joligen_tpu.models import create_model
+
+    opt = _opt(
+        vidds, tmp_path,
+        model_type="b2b", G_netG="vit_vid",
+        G_vit_depth=2, G_vit_hidden_size=64, G_vit_num_heads=2,
+        G_vit_patch_size=4, G_vit_bottleneck_dim=16,
+        alg_b2b_mask_size_conditioning=True,
+        alg_b2b_temporal_frame_step_conditioning=True,
+        alg_b2b_autoregressive=True,
+        alg_b2b_use_gt_prob=0.5,
+        alg_b2b_lambda_ref_copy=0.1,
+        alg_b2b_denoise_timesteps=3,
+    )
+    ds = create_dataset(opt, "train")
+    batch = next(iter(create_dataloader(opt, ds)))
+    m = create_model(opt)
+    losses = m.optimize_parameters(batch)
+    assert np.isfinite(losses["G_tot"])
+    assert "G_ref_copy" in losses and np.isfinite(losses["G_ref_copy"])
+
+    fake = m.inference(batch, denoise_timesteps=2)
+    import jax
+    gb = jax.device_count()
+    assert fake.shape == (gb, FRAMES, 16, 16, 3)
+    assert np.isfinite(fake).all()
+
+
+def test_motion_module_identity_at_init():
+    """Zero-init proj_out makes a fresh MotionModule the identity — the
+    property that lets image checkpoints finetune into video models."""
+    import jax
+    import jax.numpy as jnp
+    from joligen_tpu.models.modules.motion import MotionModule
+
+    mm = MotionModule(num_heads=2, num_transformer_blocks=1, max_len=8)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 4, 4, 8))
+    params = mm.init(jax.random.PRNGKey(1), x)
+    y = mm.apply(params, x)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-5)

@@ -44,8 +44,40 @@ def make(root, n=8, size=64, nclasses=2, seed=0):
     print(f"fake dataset at {root}: {n} train imgs per domain, {size}px")
 
 
+def make_video(root, n_series=2, frames=8, size=64, seed=0, domains=("A",)):
+    """Video layout (reference mario/bdd100K datasets): frames grouped in
+    per-series directories, paths.txt lines 'img bbox' with a moving object."""
+    rng = np.random.RandomState(seed)
+    for dom in domains:
+        for phase in ("train", "test"):
+            base = f"{phase}{dom}"
+            lines = []
+            for s in range(n_series):
+                os.makedirs(os.path.join(root, base, f"vid{s}"), exist_ok=True)
+                x1, y1 = rng.randint(4, size // 3, 2)
+                w = rng.randint(size // 8, size // 4)
+                vx, vy = rng.randint(1, 4, 2)
+                for i in range(frames):
+                    img = (rng.rand(size, size, 3) * 255).astype(np.uint8)
+                    xa = int(np.clip(x1 + i * vx, 0, size - w - 1))
+                    ya = int(np.clip(y1 + i * vy, 0, size - w - 1))
+                    img[ya:ya + w, xa:xa + w] = rng.randint(0, 255, 3)
+                    ipath = os.path.join(base, f"vid{s}", f"frame_{i:03d}.png")
+                    Image.fromarray(img).save(os.path.join(root, ipath))
+                    bpath = os.path.join(base, f"vid{s}", f"frame_{i:03d}.txt")
+                    with open(os.path.join(root, bpath), "w") as f:
+                        f.write(f"1 {xa} {ya} {xa + w} {ya + w}\n")
+                    lines.append(f"{ipath} {bpath}")
+            with open(os.path.join(root, base, "paths.txt"), "w") as f:
+                f.write("\n".join(lines) + "\n")
+    print(f"fake video dataset at {root}: {n_series} series x {frames} frames")
+
+
 if __name__ == "__main__":
     root = sys.argv[1] if len(sys.argv) > 1 else "/tmp/fakeds"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     size = int(sys.argv[3]) if len(sys.argv) > 3 else 64
-    make(root, n=n, size=size)
+    if len(sys.argv) > 4 and sys.argv[4] == "video":
+        make_video(root, n_series=2, frames=n, size=size)
+    else:
+        make(root, n=n, size=size)
