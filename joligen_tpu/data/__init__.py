@@ -44,10 +44,12 @@ def create_dataset(opt, phase="train", name=""):
     return cls(opt, phase, name=name)
 
 
-def create_dataloader(opt, dataset, shuffle=None, batch_size=None):
+def create_dataloader(opt, dataset, shuffle=None, batch_size=None,
+                      drop_last=None):
     """batch_size option is PER-DEVICE (reference semantics: per-GPU rank,
     data/__init__.py:124-129); the loader emits the global batch, which the
-    mesh shards over its data-parallel extent."""
+    mesh shards over its data-parallel extent. Global batches are capped at
+    the dataset size so tiny eval sets still yield full batches."""
     if batch_size is None:
         batch_size = (opt.train_batch_size if getattr(opt, "isTrain", True)
                       else opt.test_batch_size)
@@ -55,7 +57,11 @@ def create_dataloader(opt, dataset, shuffle=None, batch_size=None):
     dp = jax.device_count() // max(1, getattr(opt, "tpu_mesh_tensor", 1))
     if shuffle is None:
         shuffle = not getattr(opt, "data_serial_batches", False)
-    return DataLoader(dataset, batch_size=batch_size * dp, shuffle=shuffle,
+    if drop_last is None:
+        drop_last = shuffle  # eval loaders keep the remainder
+    global_batch = max(1, min(batch_size * dp, len(dataset)))
+    return DataLoader(dataset, batch_size=global_batch, shuffle=shuffle,
+                      drop_last=drop_last,
                       num_workers=getattr(opt, "data_num_threads", 4))
 
 

@@ -62,7 +62,9 @@ class DataLoader:
         sample_q: queue.Queue = queue.Queue(maxsize=self.prefetch * self.batch_size)
         stop = threading.Event()
 
-        chunks = [indices[i::self.num_workers] for i in range(self.num_workers)]
+        chunks = [c for c in
+                  (indices[i::self.num_workers] for i in range(self.num_workers))
+                  if c]
 
         def worker(chunk, wid):
             for i in chunk:
@@ -82,7 +84,7 @@ class DataLoader:
             t.start()
 
         try:
-            live = sum(1 for c in chunks if c)
+            live = len(chunks)
             batch = []
             while live > 0:
                 wid, s = sample_q.get()

@@ -116,6 +116,75 @@ class BaseModel:
                     self.states[name] = self.states[name].replace(
                         opt_state=jax.device_put(restored))
 
+    # ---------------- metrics (reference base_model.py:148-206, 1791-2256) --
+    def init_metrics(self, dataloader_real=None):
+        """Build the feature extractor and cache real-set activations."""
+        from ..utils.metrics import InceptionV3Features, _cov_mean
+        self.metric_extractor = InceptionV3Features()
+        self.real_stats = None
+        if dataloader_real is not None:
+            reals = []
+            nmax = int(getattr(self.opt, "train_nb_img_max_fid", 10 ** 9))
+            for batch in dataloader_real:
+                reals.append(np.asarray(batch["B"], np.float32))
+                if sum(r.shape[0] for r in reals) >= nmax:
+                    break
+            if reals:
+                reals = np.concatenate(reals)[:nmax]
+                if reals.ndim == 5:
+                    reals = reals.reshape((-1,) + reals.shape[2:])
+                acts = self.metric_extractor(reals)
+                mu, sigma = _cov_mean(acts)
+                self.real_stats = (mu, sigma, acts)
+
+    def compute_metrics_test(self, dataloader_test, n_epoch="latest",
+                             n_iter=0, **infer_kwargs):
+        """Run inference over a test dataloader and compute the configured
+        metric list (reference compute_metrics_test, base_model.py:1791)."""
+        from ..utils.metrics import compute_metrics, fvd
+        metrics_list = list(getattr(self.opt, "train_metrics_list", ["FID"])
+                            or ["FID"])
+        nmax = int(getattr(self.opt, "train_nb_img_max_fid", 10 ** 9))
+        fakes, reals, masks = [], [], []
+        fake_clips, real_clips = [], []
+        for batch in dataloader_test:
+            fake = self.inference(batch, **infer_kwargs)
+            real = np.asarray(batch["B"], np.float32)
+            if fake.ndim == 5:  # video: clip metrics + frame metrics
+                fake_clips.append(fake)
+                real_clips.append(real)
+                fake = fake.reshape((-1,) + fake.shape[2:])
+                real = real.reshape((-1,) + real.shape[2:])
+            fakes.append(fake)
+            reals.append(real)
+            m = batch.get("B_label_mask")
+            if m is not None:
+                m = np.asarray(m, np.float32)
+                if m.ndim == 5:
+                    m = m.reshape((-1,) + m.shape[2:])
+                masks.append(m)
+            if sum(f.shape[0] for f in fakes) >= nmax:
+                break
+        if not fakes:
+            return {}
+        fakes = np.concatenate(fakes)[:nmax]
+        reals = np.concatenate(reals)[:nmax]
+        mask = np.concatenate(masks)[:nmax] if masks else None
+        use_mask = bool(getattr(self.opt,
+                                f"alg_{self.opt.model_type}_metric_mask", False))
+        out = compute_metrics(
+            fakes, reals, [m for m in metrics_list if m != "FVD"],
+            extractor=getattr(self, "metric_extractor", None),
+            real_stats=getattr(self, "real_stats", None),
+            mask=(mask if use_mask else None))
+        if "FVD" in metrics_list and fake_clips:
+            out["FVD"] = fvd(np.concatenate(real_clips),
+                             np.concatenate(fake_clips))
+        return {f"{k}_test": v for k, v in out.items()}
+
+    def inference(self, batch, **kwargs):
+        raise NotImplementedError
+
     # ---------------- misc ----------------
     def param_count(self):
         return {n: sum(x.size for x in jax.tree.leaves(s.params))

@@ -70,6 +70,16 @@ def replicate(mesh):
 
 
 def shard_batch(mesh, batch):
-    """Host numpy batch -> global device arrays sharded over the batch axis."""
+    """Host numpy batch -> global device arrays sharded over the batch axis.
+    Batches not divisible by the data extent (tiny eval remainders) are
+    replicated instead — correctness over speed off the hot path."""
     sharding = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    n = mesh.shape["data"] * mesh.shape["fsdp"]
+    repl = replicate(mesh)
+
+    def put(x):
+        if hasattr(x, "shape") and x.ndim > 0 and x.shape[0] % n == 0:
+            return jax.device_put(x, sharding)
+        return jax.device_put(x, repl)
+
+    return jax.tree.map(put, batch)

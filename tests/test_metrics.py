@@ -1,0 +1,139 @@
+"""Metric machinery: exactness of PSNR/SSIM, sanity of FID/KID/MSID
+(zero on identical sets, positive on disjoint ones), and the offline
+test.py evaluation pipeline end-to-end."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from tools.make_fake_dataset import make as make_fake  # noqa: E402
+
+
+def test_psnr_exact():
+    from joligen_tpu.utils.metrics import psnr
+    rng = np.random.RandomState(0)
+    a = rng.uniform(-1, 1, (4, 16, 16, 3)).astype(np.float32)
+    noise = 0.1 * rng.randn(4, 16, 16, 3).astype(np.float32)
+    b = a + noise
+    expect = np.mean([20 * np.log10(2.0) - 10 * np.log10(np.mean(n ** 2))
+                      for n in noise])
+    assert abs(psnr(a, b) - expect) < 1e-3
+    assert psnr(a, a) > 100  # identical -> huge PSNR
+
+
+def test_ssim_properties():
+    from joligen_tpu.utils.metrics import ssim
+    rng = np.random.RandomState(0)
+    a = rng.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32)
+    assert abs(ssim(a, a) - 1.0) < 1e-5
+    b = np.clip(a + 0.5 * rng.randn(*a.shape).astype(np.float32), -1, 1)
+    v = ssim(a, b)
+    assert 0.0 < v < 0.9
+
+
+def test_fid_kid_msid_sanity():
+    from joligen_tpu.utils.metrics import (fid_from_acts, kid_from_acts,
+                                           msid_from_acts)
+    rng = np.random.RandomState(0)
+    x = rng.randn(128, 16).astype(np.float64)
+    y = x + 5.0  # shifted distribution
+    assert fid_from_acts(x, x.copy()) < 1e-6
+    assert fid_from_acts(x, y) > 10.0
+    kid_same = abs(kid_from_acts(x, x.copy(), subset_size=64))
+    kid_far = kid_from_acts(x, y, subset_size=64)
+    # unbiased MMD estimator has sampling variance on identical sets; it
+    # must still be orders of magnitude below a shifted distribution
+    assert kid_far > 50 * kid_same and kid_far > 1.0
+    assert msid_from_acts(x, y) >= 0.0
+
+
+def test_frechet_matches_closed_form():
+    """FID of two gaussians with diagonal covs has a closed form."""
+    from joligen_tpu.utils.metrics import frechet_distance
+    mu1 = np.zeros(4)
+    mu2 = np.ones(4)
+    s1 = np.diag([1.0, 2.0, 3.0, 4.0])
+    s2 = np.diag([2.0, 2.0, 2.0, 2.0])
+    expect = (np.sum((mu1 - mu2) ** 2)
+              + np.trace(s1 + s2 - 2 * np.sqrt(s1 @ s2)))
+    got = frechet_distance(mu1, s1, mu2, s2)
+    assert abs(got - expect) < 1e-4
+
+
+def test_extractor_deterministic():
+    from joligen_tpu.utils.metrics import InceptionV3Features
+    rng = np.random.RandomState(0)
+    imgs = rng.uniform(-1, 1, (5, 32, 32, 3)).astype(np.float32)
+    a1 = InceptionV3Features()(imgs)
+    a2 = InceptionV3Features()(imgs)
+    np.testing.assert_allclose(a1, a2, atol=1e-5)
+    assert a1.shape == (5, 2048)
+
+
+def test_compute_metrics_full():
+    from joligen_tpu.utils.metrics import compute_metrics
+    rng = np.random.RandomState(0)
+    reals = rng.uniform(-1, 1, (12, 32, 32, 3)).astype(np.float32)
+    fakes = np.clip(reals + 0.1 * rng.randn(*reals.shape), -1, 1).astype(np.float32)
+    out = compute_metrics(fakes, reals, ["FID", "KID", "PSNR", "SSIM", "LPIPS"])
+    for k in ("FID", "KID", "PSNR", "SSIM", "LPIPS"):
+        assert k in out and np.isfinite(out[k]), out
+
+
+def test_fvd_sanity():
+    from joligen_tpu.utils.metrics import fvd
+    rng = np.random.RandomState(0)
+    real = rng.uniform(-1, 1, (6, 4, 16, 16, 3)).astype(np.float32)
+    same = fvd(real, real.copy())
+    far = fvd(real, -real)
+    assert same < 1e-4
+    assert far > same
+
+
+@pytest.mark.parametrize("nothing", [None])
+def test_testpy_end_to_end(tmp_path, nothing):
+    """Train 1 tiny epoch via train.py, then evaluate via test.py."""
+    root = str(tmp_path / "ds")
+    ckpt = str(tmp_path / "ckpt")
+    make_fake(root, n=6, size=32)
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    args = [
+        sys.executable, os.path.join(repo, "train.py"),
+        "--dataroot", root, "--model_type", "palette",
+        "--data_dataset_mode", "self_supervised_labeled_mask",
+        "--data_crop_size", "16", "--data_load_size", "16",
+        "--data_relative_paths",
+        "--G_netG", "unet_mha", "--G_ngf", "8",
+        "--G_unet_mha_channel_mults", "1", "2",
+        "--G_unet_mha_res_blocks", "1", "1",
+        "--G_unet_mha_attn_res", "4",
+        "--G_diff_n_timestep_train", "20", "--G_diff_n_timestep_test", "5",
+        "--train_batch_size", "2", "--train_n_epochs", "1",
+        "--train_n_epochs_decay", "0", "--data_max_dataset_size", "6",
+        "--checkpoints_dir", ckpt, "--name", "m", "--output_print_freq", "4",
+    ]
+    r = subprocess.run(args, env=env, capture_output=True, text=True,
+                       timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "test.py"),
+         "--test_model_dir", os.path.join(ckpt, "m"),
+         "--test_metrics_list", "FID", "PSNR", "SSIM",
+         "--test_nb_img", "4", "--test_batch_size", "2"],
+        env=env, capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    mdir = os.path.join(ckpt, "m", "metrics")
+    files = os.listdir(mdir)
+    assert files
+    data = json.load(open(os.path.join(mdir, files[0])))
+    key = next(iter(data))
+    assert "FID_test" in data[key] and np.isfinite(data[key]["FID_test"])
+    assert "PSNR_test" in data[key]
