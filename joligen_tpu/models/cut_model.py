@@ -62,6 +62,17 @@ class CUTModel(BaseModel):
         self.lambda_out_mask = float(getattr(opt, "train_mask_lambda_out_mask", 10.0))
         self.nce_layers = self._select_nce_layers(opt)
 
+        # device-resident augmentation + APA (reference base_gan_model.py:82-90,
+        # loss.py:199-232, util/diff_aug.py)
+        self.diff_policy = getattr(opt, "dataaug_diff_aug_policy", "") or ""
+        self.diff_prob = float(getattr(opt, "dataaug_diff_aug_proba", 0.5))
+        self.apa = bool(getattr(opt, "dataaug_APA", False))
+        self.apa_target = float(getattr(opt, "dataaug_APA_target", 0.6))
+        self.apa_every = int(getattr(opt, "dataaug_APA_every", 4) or 4)
+        self.apa_nimg = float(getattr(opt, "dataaug_APA_nimg", 50) or 50)
+        self.d_noise = float(getattr(opt, "dataaug_D_noise", 0.0) or 0.0)
+        self.apa_p = jnp.asarray(float(getattr(opt, "dataaug_APA_p", 0.0)))
+
         size = opt.data_crop_size
         self.netG = define_G(opt)
         self.netF = define_F(opt)
@@ -162,14 +173,24 @@ class CUTModel(BaseModel):
         n = len(fq)
         return total / n, total_src / n
 
+    def _augment(self, rng, img):
+        """diff-aug policy applied to D inputs in both G and D loss paths
+        (reference base_gan_model.py:437-439)."""
+        if not self.diff_policy:
+            return img
+        from ..ops.diff_aug import diff_augment
+        return diff_augment(rng, img, self.diff_policy, self.diff_prob)
+
     def _g_loss(self, paramsG, paramsF, d_params, rng, inp):
         real_A, real_B = inp["real_A"], inp["real_B"]
         fake_B = self.netG.apply(paramsG, real_A)
         losses = {}
+        rng, rng_aug = jax.random.split(rng)
+        fake_for_D = self._augment(rng_aug, fake_B)
         # GAN term over all discriminators (base_gan_model.py:463-503)
         g_gan = 0.0
         for name, netD in self.netDs.items():
-            pred = netD.apply(d_params[name], fake_B)
+            pred = netD.apply(d_params[name], fake_for_D)
             if self.gan_mode == "projected":
                 g_gan += -jnp.mean(pred)
             elif self.gan_mode == "wgangp":
@@ -211,8 +232,8 @@ class CUTModel(BaseModel):
         txG, txF = self.txs["G_A"], self.txs["F"]
         d_names = list(self.netDs.keys())
 
-        def step(states, pool, rng, inp):
-            rngs = jax.random.split(rng, 4)
+        def step(states, pool, apa_p, rng, inp):
+            rngs = jax.random.split(rng, 8)
             d_params = {n: jax.lax.stop_gradient(states[n].params)
                         for n in d_names}
             inp = dict(inp)
@@ -238,18 +259,48 @@ class CUTModel(BaseModel):
 
             # --- discriminators (compute_D_loss, base_gan_model.py:382-419)
             real_B = inp["real_B"]
+            fake_in = pooled_fake
+            real_in = real_B
+            if self.d_noise > 0:  # dataaug_D_noise
+                real_in = real_in + self.d_noise * jax.random.normal(
+                    rngs[4], real_in.shape, real_in.dtype)
+                fake_in = fake_in + self.d_noise * jax.random.normal(
+                    rngs[5], fake_in.shape, fake_in.dtype)
+            real_in = self._augment(rngs[2], real_in)
+            fake_in = self._augment(rngs[3], fake_in)
+            if self.apa:
+                # adaptive pseudo augmentation: show past fakes as "real"
+                # with adaptive probability p (reference loss.py:199-232)
+                b = real_in.shape[0]
+                pseudo = pool.get_random(rngs[6], b)
+                use = (jax.random.uniform(rngs[7], (b,)) < apa_p)
+                real_in = jnp.where(use[:, None, None, None], pseudo, real_in)
+            apa_logits_real = None
             for n in d_names:
                 netD = self.netDs[n]
 
                 def d_loss(p):
-                    lr = gan_loss(netD.apply(p, real_B), True, self.gan_mode)
-                    lf = gan_loss(netD.apply(p, pooled_fake), False,
+                    logits_real = netD.apply(p, real_in)
+                    lr = gan_loss(logits_real, True, self.gan_mode)
+                    lf = gan_loss(netD.apply(p, fake_in), False,
                                   self.gan_mode)
-                    return 0.5 * (lr + lf)
+                    return 0.5 * (lr + lf), logits_real
 
-                dl, dgrads = jax.value_and_grad(d_loss)(states[n].params)
+                (dl, logits_real), dgrads = jax.value_and_grad(
+                    d_loss, has_aux=True)(states[n].params)
+                if apa_logits_real is None:
+                    apa_logits_real = logits_real
                 states[n] = apply_updates(states[n], dgrads, self.txs[n])
                 losses[f"D_{n}"] = dl
+
+            if self.apa and apa_logits_real is not None:
+                # p adaptation from the D-real logit sign heuristic
+                lam = jnp.mean(jnp.sign(apa_logits_real))
+                adjust = jnp.sign(lam - self.apa_target)
+                step_sz = (real_B.shape[0] * self.apa_every
+                           / (self.apa_nimg * 1000.0))
+                apa_p = jnp.clip(apa_p + adjust * step_sz, 0.0, 1.0)
+                losses["APA_p"] = apa_p
 
             # --- semantic heads train on real data (base_model.py:1442-1520)
             if self.semantic_cls and "cls_A" in inp:
@@ -269,7 +320,7 @@ class CUTModel(BaseModel):
                                               self.txs["f_s"])
                 losses["f_s"] = fl
 
-            return states, pool, losses
+            return states, pool, apa_p, losses
 
         donate = (0, 1) if getattr(self.opt, "tpu_donate", True) else ()
         return jax.jit(step, donate_argnums=donate)
@@ -279,8 +330,8 @@ class CUTModel(BaseModel):
         dev = self.put_batch(inp)
         if self._jit_step is None:
             self._jit_step = self._make_step()
-        self.states, self.pool, losses = self._jit_step(
-            self.states, self.pool, self.next_rng(), dev)
+        self.states, self.pool, self.apa_p, losses = self._jit_step(
+            self.states, self.pool, self.apa_p, self.next_rng(), dev)
         self.loss_log = {k: float(v) for k, v in losses.items()}
         return self.loss_log
 

@@ -22,6 +22,8 @@ def define_inner_G(opt):
     dtype = _compute_dtype(opt)
     if netG in ("unet_mha", "uvit"):
         return UNetMHA(
+            transformer_blocks=(getattr(opt, "G_uvit_num_transformer_blocks", 6)
+                                if netG == "uvit" else 0),
             in_channel=opt.model_input_nc + opt.model_output_nc,
             out_channel=opt.model_output_nc,
             inner_channel=opt.G_ngf,

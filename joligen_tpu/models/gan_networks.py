@@ -34,6 +34,8 @@ def define_G(opt):
     if netG in ("unet_mha", "uvit"):
         from .modules.unet_mha import UNetMHA
         return UNetMHA(
+            transformer_blocks=(getattr(opt, "G_uvit_num_transformer_blocks", 6)
+                                if netG == "uvit" else 0),
             in_channel=opt.model_input_nc, out_channel=opt.model_output_nc,
             inner_channel=opt.G_ngf,
             cond_embed_dim=opt.G_ngf * 4,
@@ -45,6 +47,11 @@ def define_G(opt):
             norm=opt.G_unet_mha_norm_layer,
             group_size=opt.G_unet_mha_group_norm_size,
             tanh=True, dtype=dtype)
+    if netG == "ittr":
+        from .modules.ittr import ITTRGenerator
+        return ITTRGenerator(
+            out_channels=opt.model_output_nc, ngf=opt.G_ngf,
+            n_blocks=opt.G_nblocks, img_size=opt.data_crop_size, dtype=dtype)
     if netG in ("unet_256", "unet_128"):
         from .modules.unet_mha import UNetMHA
         # classic pix2pix unet approximated by the attention-free unet_mha
@@ -75,8 +82,16 @@ def define_D(opt, names=None):
             from .modules.projected_d import ProjectedDiscriminator
             ds["D_B_" + name] = ProjectedDiscriminator(
                 interp=getattr(opt, "D_proj_interp", -1), dtype=dtype)
-        elif name in ("temporal", "vision_aided", "depth", "mask", "sam"):
-            raise NotImplementedError(f"discriminator {name}")
+        elif name == "temporal":
+            from .modules.projected_d import TemporalProjectedDiscriminator
+            ds["D_B_" + name] = TemporalProjectedDiscriminator(
+                interp=getattr(opt, "D_proj_interp", -1), dtype=dtype)
+        elif name in ("vision_aided", "depth", "sam"):
+            raise NotImplementedError(
+                f"discriminator {name} requires frozen pretrained backbones "
+                "(CLIP/MiDaS/SAM) whose weights cannot be downloaded in this "
+                "environment; drop ported weights into JOLIGEN_TPU_WEIGHTS_DIR "
+                "and file an issue to enable")
         else:
             raise NotImplementedError(f"discriminator {name}")
     return ds

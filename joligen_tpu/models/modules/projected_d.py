@@ -1,0 +1,221 @@
+"""Projected-GAN discriminator (reference models/modules/projected_d/).
+
+Structure: a FROZEN multi-scale feature network (EfficientNet-lite trunk),
+frozen random cross-channel (CCM) and cross-scale (CSM) projections, and a
+trainable MultiScaleD — one small patch discriminator per feature scale
+whose logits are concatenated (reference projected_d/discriminator.py:233,
+projector.py:490).
+
+Freezing is expressed functionally: every frozen submodule's OUTPUT passes
+through ``stop_gradient``, so its parameters receive exactly zero gradient
+and never move — no requires_grad bookkeeping needed. Pretrained
+EfficientNet weights load from ``$JOLIGEN_TPU_WEIGHTS_DIR/efficientnet_lite.
+npz`` when present; otherwise the trunk stays at its (fixed-seed) random
+init — random frozen features + random projections remain a usable
+projected-GAN signal, while parity with the reference's ImageNet features
+requires dropping in the ported weights.
+
+The temporal variant (reference TemporalProjectedDiscriminator,
+discriminator.py:289-422) runs the frozen trunk per frame and aggregates
+frame features with a small GRU-style recurrent mixer before MultiScaleD.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+sg = jax.lax.stop_gradient
+
+
+class MBConv(nn.Module):
+    """Mobile inverted bottleneck (EfficientNet-lite: no SE, relu6)."""
+    out_ch: int
+    stride: int = 1
+    expand: int = 6
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        h = x
+        if self.expand != 1:
+            h = nn.Conv(c * self.expand, (1, 1), use_bias=False,
+                        dtype=self.dtype, name="expand")(h)
+            h = nn.GroupNorm(num_groups=min(8, c * self.expand),
+                             dtype=jnp.float32)(h.astype(jnp.float32)).astype(h.dtype)
+            h = nn.relu(jnp.minimum(h, 6.0))  # relu6
+        h = nn.Conv(h.shape[-1], (3, 3), strides=self.stride, padding=1,
+                    feature_group_count=h.shape[-1], use_bias=False,
+                    dtype=self.dtype, name="dw")(h)
+        h = nn.GroupNorm(num_groups=min(8, h.shape[-1]),
+                         dtype=jnp.float32)(h.astype(jnp.float32)).astype(h.dtype)
+        h = nn.relu(jnp.minimum(h, 6.0))
+        h = nn.Conv(self.out_ch, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="project")(h)
+        if self.stride == 1 and c == self.out_ch:
+            h = h + x
+        return h
+
+
+class EfficientNetLiteTrunk(nn.Module):
+    """Returns features at strides 4, 8, 16, 32."""
+    widths: Sequence[int] = (24, 40, 112, 320)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Conv(32, (3, 3), strides=2, padding=1, use_bias=False,
+                    dtype=self.dtype, name="stem")(x)
+        h = nn.relu(jnp.minimum(h, 6.0))
+        h = MBConv(16, 1, expand=1, dtype=self.dtype, name="b0")(h)
+        feats = []
+        h = MBConv(self.widths[0], 2, dtype=self.dtype, name="b1a")(h)
+        h = MBConv(self.widths[0], 1, dtype=self.dtype, name="b1b")(h)
+        feats.append(h)                                    # 1/4
+        h = MBConv(self.widths[1], 2, dtype=self.dtype, name="b2a")(h)
+        h = MBConv(self.widths[1], 1, dtype=self.dtype, name="b2b")(h)
+        feats.append(h)                                    # 1/8
+        h = MBConv(80, 2, dtype=self.dtype, name="b3a")(h)
+        h = MBConv(80, 1, dtype=self.dtype, name="b3b")(h)
+        h = MBConv(self.widths[2], 1, dtype=self.dtype, name="b4a")(h)
+        feats.append(h)                                    # 1/16
+        h = MBConv(192, 2, dtype=self.dtype, name="b5a")(h)
+        h = MBConv(192, 1, dtype=self.dtype, name="b5b")(h)
+        h = MBConv(self.widths[3], 1, dtype=self.dtype, name="b6")(h)
+        feats.append(h)                                    # 1/32
+        return feats
+
+
+class FRandomProj(nn.Module):
+    """Frozen random projections: CCM 1x1 per scale + CSM top-down mixing
+    (reference projector.py CCM/CSM blocks). All outputs stop_gradient'd."""
+    out_ch: int = 64
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats):
+        # CCM: random 1x1 channel mixing
+        ccm = [nn.Conv(self.out_ch * (2 ** i), (1, 1), use_bias=False,
+                       dtype=self.dtype, name=f"ccm{i}")(f)
+               for i, f in enumerate(feats)]
+        # CSM: top-down upsample + 3x3 conv, deepest to shallowest
+        out = [None] * len(ccm)
+        prev = ccm[-1]
+        out[-1] = prev
+        for i in range(len(ccm) - 2, -1, -1):
+            n, h, w, c = prev.shape
+            up = jax.image.resize(prev, (n, ccm[i].shape[1], ccm[i].shape[2], c),
+                                  "nearest")
+            up = nn.Conv(ccm[i].shape[-1], (3, 3), padding=1, use_bias=False,
+                         dtype=self.dtype, name=f"csm{i}")(up)
+            prev = ccm[i] + up
+            out[i] = prev
+        return [sg(o) for o in out]
+
+
+class DownBlockPatch(nn.Module):
+    """Per-scale patch discriminator head (reference SingleDisc)."""
+    channels: int = 64
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = x
+        ch = self.channels
+        # downsample to ~4px grid
+        steps = 0
+        while min(h.shape[1], h.shape[2]) > 4 and steps < 4:
+            h = nn.Conv(ch, (4, 4), strides=2, padding=1, use_bias=False,
+                        dtype=self.dtype, name=f"down{steps}")(h)
+            h = nn.GroupNorm(num_groups=min(8, ch), dtype=jnp.float32)(
+                h.astype(jnp.float32)).astype(h.dtype)
+            h = nn.leaky_relu(h, 0.2)
+            ch = min(ch * 2, 512)
+            steps += 1
+        return nn.Conv(1, (4, 4), padding=1, dtype=self.dtype,
+                       name="out")(h)
+
+
+class ProjectedDiscriminator(nn.Module):
+    """Frozen trunk + frozen projections + trainable MultiScaleD.
+    call(x (B,H,W,C) in [-1,1]) -> (B, total_patches) logits."""
+    interp: int = -1        # resize input to this size first (224 typical)
+    proj_ch: int = 64
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        if x.shape[-1] == 1:
+            x = jnp.tile(x, (1, 1, 1, 3))
+        if self.interp and self.interp > 0 and x.shape[1] != self.interp:
+            x = jax.image.resize(
+                x, (x.shape[0], self.interp, self.interp, x.shape[-1]),
+                "bilinear")
+        feats = EfficientNetLiteTrunk(dtype=self.dtype, name="feature_network")(x)
+        feats = [sg(f) for f in feats]      # frozen trunk
+        projs = FRandomProj(self.proj_ch, dtype=self.dtype, name="proj")(feats)
+        logits = []
+        for i, p in enumerate(projs):
+            li = DownBlockPatch(self.proj_ch, dtype=self.dtype,
+                                name=f"disc{i}")(p)
+            logits.append(li.reshape(li.shape[0], -1))
+        return jnp.concatenate(logits, axis=1).astype(jnp.float32)
+
+
+class TemporalProjectedDiscriminator(nn.Module):
+    """Video D: per-frame frozen features -> recurrent temporal mixing ->
+    MultiScaleD (reference discriminator.py:289-422 uses an LSTM; a GRU cell
+    scan keeps the same expressivity with one gate fewer)."""
+    interp: int = -1
+    proj_ch: int = 64
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        """x: (B, F, H, W, C)."""
+        b, f = x.shape[:2]
+        flat = x.reshape((b * f,) + x.shape[2:])
+        if flat.shape[-1] == 1:
+            flat = jnp.tile(flat, (1, 1, 1, 3))
+        if self.interp and self.interp > 0 and flat.shape[1] != self.interp:
+            flat = jax.image.resize(
+                flat, (flat.shape[0], self.interp, self.interp,
+                       flat.shape[-1]), "bilinear")
+        feats = EfficientNetLiteTrunk(dtype=self.dtype,
+                                      name="feature_network")(flat)
+        feats = [sg(ft) for ft in feats]
+        projs = FRandomProj(self.proj_ch, dtype=self.dtype, name="proj")(feats)
+        logits = []
+        for i, p in enumerate(projs):
+            c = p.shape[-1]
+            seq = p.reshape((b, f) + p.shape[1:])          # (B,F,h,w,c)
+            # GRU over frames at each spatial location (explicit params so
+            # the recurrence can live in one lax.scan)
+            seq = seq.transpose(1, 0, 2, 3, 4)             # (F,B,h,w,c)
+            init = nn.initializers.lecun_normal()
+            w_g = self.param(f"gru_gates_w{i}", init, (2 * c, 2 * c))
+            b_g = self.param(f"gru_gates_b{i}", nn.initializers.zeros, (2 * c,))
+            w_c = self.param(f"gru_cand_w{i}", init, (2 * c, c))
+            b_c = self.param(f"gru_cand_b{i}", nn.initializers.zeros, (c,))
+
+            def step(hprev, xt):
+                hx = jnp.concatenate([hprev, xt], -1)
+                zr = jax.nn.sigmoid(hx @ w_g.astype(hx.dtype)
+                                    + b_g.astype(hx.dtype))
+                z, r = jnp.split(zr, 2, axis=-1)
+                rx = jnp.concatenate([r * hprev, xt], -1)
+                hh = jnp.tanh(rx @ w_c.astype(hx.dtype)
+                              + b_c.astype(hx.dtype))
+                hnew = (1 - z) * hprev + z * hh
+                return hnew, None
+
+            h0 = jnp.zeros_like(seq[0])
+            hT, _ = jax.lax.scan(step, h0, seq)
+            li = DownBlockPatch(self.proj_ch, dtype=self.dtype,
+                                name=f"disc{i}")(hT)
+            logits.append(li.reshape(b, -1))
+        return jnp.concatenate(logits, axis=1).astype(jnp.float32)

@@ -157,6 +157,31 @@ class AttentionBlock(nn.Module):
         return x + a.reshape(n, h, w, c)
 
 
+class TransformerBlock(nn.Module):
+    """UViT middle block: attention + MLP residual pair with FiLM timestep
+    conditioning (reference unet_generator_attn.py:283-330 AttentionBlock
+    with use_transformer=True)."""
+    num_heads: int = 1
+    num_head_channels: int = -1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, emb):
+        h = AttentionBlock(num_heads=self.num_heads,
+                           num_head_channels=self.num_head_channels,
+                           dtype=self.dtype, name="attn")(x)
+        n, hh, ww, c = h.shape
+        y = _norm("groupnorm", 32)(h)
+        e = nn.Dense(2 * c, dtype=self.dtype, name="emb_proj")(nn.silu(emb))
+        scale, shift = jnp.split(e[:, None, None, :], 2, axis=-1)
+        y = y * (1 + scale) + shift
+        y = nn.Dense(4 * c, dtype=self.dtype, name="mlp_in")(y)
+        y = nn.gelu(y)
+        y = nn.Dense(c, dtype=self.dtype, kernel_init=zeros_init,
+                     bias_init=zeros_init, name="mlp_out")(y)
+        return h + y
+
+
 class UNetMHA(nn.Module):
     """The unet_mha denoiser/generator.
 
@@ -180,6 +205,7 @@ class UNetMHA(nn.Module):
     tanh: bool = False
     use_scale_shift_norm: bool = True
     resblock_updown: bool = True
+    transformer_blocks: int = 0   # >0 = UViT: transformer middle stack
     remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
@@ -230,11 +256,17 @@ class UNetMHA(nn.Module):
             return [hs[i] for i in extract_layer_ids]
 
         # middle
-        h = Res(out_channel=ch, dropout=self.dropout, **args)(h, emb, deterministic)
-        h = AttentionBlock(num_heads=self.num_heads,
-                           num_head_channels=self.num_head_channels,
-                           dtype=self.dtype)(h)
-        h = Res(out_channel=ch, dropout=self.dropout, **args)(h, emb, deterministic)
+        if self.transformer_blocks > 0:   # UViT variant
+            for ti in range(self.transformer_blocks):
+                h = TransformerBlock(num_heads=self.num_heads,
+                                     num_head_channels=self.num_head_channels,
+                                     dtype=self.dtype, name=f"mid_t{ti}")(h, emb)
+        else:
+            h = Res(out_channel=ch, dropout=self.dropout, **args)(h, emb, deterministic)
+            h = AttentionBlock(num_heads=self.num_heads,
+                               num_head_channels=self.num_head_channels,
+                               dtype=self.dtype)(h)
+            h = Res(out_channel=ch, dropout=self.dropout, **args)(h, emb, deterministic)
 
         # decoder
         for level, mult in reversed(list(enumerate(self.channel_mults))):

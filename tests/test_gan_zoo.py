@@ -1,0 +1,154 @@
+"""Wider GAN zoo: projected discriminator (frozen trunk + random
+projections), temporal projected D, ITTR generator, UViT middle stack,
+DiffAugment kernels, APA adaptation."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from tools.make_fake_dataset import make as make_fake  # noqa: E402
+
+from joligen_tpu.options import TrainOptions  # noqa: E402
+
+
+def _opt(root, tmpdir, **over):
+    args = [
+        "--dataroot", root, "--model_type", "cut",
+        "--data_dataset_mode", "unaligned",
+        "--data_crop_size", "32", "--data_load_size", "32",
+        "--G_netG", "resnet", "--G_ngf", "8", "--G_nblocks", "2",
+        "--D_netDs", "basic", "--D_ndf", "8", "--D_n_layers", "2",
+        "--train_batch_size", "2",
+        "--checkpoints_dir", str(tmpdir), "--name", "t",
+        "--data_num_threads", "2",
+    ]
+    for k, v in over.items():
+        args += ["--" + k] + ([str(x) for x in v] if isinstance(v, list)
+                              else ([] if v is True else [str(v)]))
+    opt = TrainOptions().parse_cli(args)
+    opt.steps_per_epoch = 3
+    return opt
+
+
+@pytest.fixture(scope="module")
+def fakeds(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("ds"))
+    make_fake(root, n=12, size=32)
+    return root
+
+
+def test_projected_d_frozen_trunk():
+    """The frozen feature trunk must receive exactly zero gradient."""
+    import jax
+    import jax.numpy as jnp
+    from joligen_tpu.models.modules.projected_d import ProjectedDiscriminator
+
+    d = ProjectedDiscriminator(interp=32)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+    params = d.init(jax.random.PRNGKey(1), x)
+    out = d.apply(params, x)
+    assert out.ndim == 2 and out.shape[0] == 2 and np.isfinite(out).all()
+
+    grads = jax.grad(lambda p: jnp.mean(d.apply(p, x) ** 2))(params)
+    gp = grads["params"]
+    feat_leaves = jax.tree.leaves(gp["feature_network"])
+    proj_leaves = jax.tree.leaves(gp["proj"])
+    disc_leaves = [leaf for k in gp if k.startswith("disc")
+                   for leaf in jax.tree.leaves(gp[k])]
+    assert all(float(jnp.abs(g).max()) == 0.0 for g in feat_leaves)
+    assert all(float(jnp.abs(g).max()) == 0.0 for g in proj_leaves)
+    assert any(float(jnp.abs(g).max()) > 0.0 for g in disc_leaves)
+
+
+def test_temporal_projected_d():
+    import jax
+    from joligen_tpu.models.modules.projected_d import (
+        TemporalProjectedDiscriminator)
+
+    d = TemporalProjectedDiscriminator(interp=32)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 32, 32, 3))
+    params = d.init(jax.random.PRNGKey(1), x)
+    out = d.apply(params, x)
+    assert out.shape[0] == 2 and np.isfinite(out).all()
+
+
+def test_ittr_generator_and_feats():
+    import jax
+    from joligen_tpu.models.modules.ittr import ITTRGenerator
+
+    g = ITTRGenerator(out_channels=3, ngf=8, n_blocks=2, img_size=32)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 32, 32, 3))
+    params = g.init(jax.random.PRNGKey(1), x)
+    y = g.apply(params, x)
+    assert y.shape == (1, 32, 32, 3)
+    assert float(np.abs(y).max()) <= 1.0
+    feats = g.apply(params, x, extract_layer_ids=[0, 1])
+    assert len(feats) == 2
+
+
+def test_uvit_transformer_middle():
+    import jax
+    from joligen_tpu.models.modules.unet_mha import UNetMHA
+
+    net = UNetMHA(in_channel=3, out_channel=3, inner_channel=8,
+                  cond_embed_dim=16, res_blocks=(1, 1), attn_res=(4,),
+                  channel_mults=(1, 2), transformer_blocks=2, tanh=True)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 16, 3))
+    params = net.init(jax.random.PRNGKey(1), x)
+    y = net.apply(params, x)
+    assert y.shape == (1, 16, 16, 3)
+    # param structure must contain the transformer middle
+    names = list(params["params"].keys())
+    assert any(n.startswith("mid_t") for n in names), names
+
+
+def test_diff_augment_shapes_and_gate():
+    import jax
+    from joligen_tpu.ops.diff_aug import diff_augment
+
+    x = jax.random.uniform(jax.random.PRNGKey(0), (4, 16, 16, 3),
+                           minval=-1, maxval=1)
+    for policy in ("color", "translation", "cutout", "noise", "resize",
+                   "color,translation,cutout"):
+        y = diff_augment(jax.random.PRNGKey(1), x, policy, prob=1.0)
+        assert y.shape == x.shape and np.isfinite(y).all(), policy
+        assert float(np.abs(np.asarray(y - x)).max()) > 0.0, policy
+    # prob=0 -> identity
+    y = diff_augment(jax.random.PRNGKey(2), x, "color", prob=0.0)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x))
+
+
+def test_cut_with_projected_d_diffaug_apa(fakeds, tmp_path):
+    from joligen_tpu.data import create_dataloader, create_dataset
+    from joligen_tpu.models import create_model
+
+    opt = _opt(fakeds, tmp_path,
+               D_netDs=["projected_d", "basic"],
+               D_proj_interp=32,
+               dataaug_diff_aug_policy="color,cutout",
+               dataaug_APA=True, dataaug_APA_p=0.3)
+    ds = create_dataset(opt, "train")
+    batch = next(iter(create_dataloader(opt, ds)))
+    m = create_model(opt)
+    l0 = m.optimize_parameters(batch)
+    assert np.isfinite(l0["G_tot"]) and "D_D_B_projected_d" in l0
+    assert "APA_p" in l0
+    l1 = m.optimize_parameters(batch)
+    assert np.isfinite(l1["G_tot"])
+
+
+def test_cut_with_ittr(fakeds, tmp_path):
+    from joligen_tpu.data import create_dataloader, create_dataset
+    from joligen_tpu.models import create_model
+
+    opt = _opt(fakeds, tmp_path, G_netG="ittr", G_nblocks=2)
+    ds = create_dataset(opt, "train")
+    batch = next(iter(create_dataloader(opt, ds)))
+    m = create_model(opt)
+    losses = m.optimize_parameters(batch)
+    assert np.isfinite(losses["G_tot"])
+    fake = m.inference(batch)
+    assert fake.shape[1:] == (32, 32, 3)
