@@ -91,7 +91,8 @@ class JiTBlock(nn.Module):
         q = RMSNorm(name="q_norm")(q.reshape(b, n, self.num_heads, hd))
         k = RMSNorm(name="k_norm")(k.reshape(b, n, self.num_heads, hd))
         v = v.reshape(b, n, self.num_heads, hd)
-        a = jax.nn.dot_product_attention(q, k, v).reshape(b, n, d)
+        from ...ops.flash_attention import flash_attention
+        a = flash_attention(q, k, v).reshape(b, n, d)
         a = nn.Dense(d, dtype=self.dtype, name="proj")(a)
         x = x + g_msa[:, None, :] * a
 

@@ -10,7 +10,7 @@ identity (enables finetuning an image model into a video model).
 TPU-first: frames ride the batch axis everywhere except inside the temporal
 attention, where the tensor is reshaped to (B*H*W, F, C) sequences — F is
 small (<=25) so this is a perfectly MXU-shaped batched matmul; attention
-runs through the fused ``jax.nn.dot_product_attention`` path.
+runs through the Pallas flash kernel on TPU (XLA fallback elsewhere).
 """
 
 from __future__ import annotations
@@ -65,7 +65,8 @@ class TemporalSelfAttention(nn.Module):
         q = q.reshape(s, f, heads, hd)
         k = k.reshape(s, f, heads, hd)
         v = v.reshape(s, f, heads, hd)
-        a = jax.nn.dot_product_attention(q, k, v).reshape(s, f, c)
+        from ...ops.flash_attention import flash_attention
+        a = flash_attention(q, k, v).reshape(s, f, c)
         return nn.Dense(c, dtype=self.dtype, name="to_out")(a)
 
 

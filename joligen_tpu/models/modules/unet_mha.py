@@ -5,8 +5,8 @@ Behavioral parity with the reference UNet
 FiLM scale-shift GroupNorm ResBlocks, self-attention at configured
 downsample rates, resblock up/down sampling, zero-initialized output
 projections, and a GAN mode (tanh head + constant embedding). Rebuilt
-rather than ported: NHWC layout for TPU convolutions, a fused
-``jax.nn.dot_product_attention`` path, compute-dtype (bf16) policy with
+rather than ported: NHWC layout for TPU convolutions, Pallas flash
+attention on TPU (ops/flash_attention.py), compute-dtype (bf16) policy with
 fp32 params, and optional rematerialization instead of torch checkpointing.
 """
 
@@ -150,7 +150,8 @@ class AttentionBlock(nn.Module):
         q = q.reshape(n, h * w, heads, hd)
         k = k.reshape(n, h * w, heads, hd)
         v = v.reshape(n, h * w, heads, hd)
-        a = jax.nn.dot_product_attention(q, k, v)
+        from ...ops.flash_attention import flash_attention
+        a = flash_attention(q, k, v)
         a = a.reshape(n, h * w, c)
         a = nn.Dense(c, dtype=self.dtype, kernel_init=zeros_init,
                      bias_init=zeros_init, name="proj_out")(a)
