@@ -28,6 +28,18 @@ def find_dataset_class(mode):
         "self_supervised_labeled_mask_cls_online": D.SelfSupervisedLabeledMaskClsOnlineDataset,
         "aligned": D.AlignedDataset,
         "single": D.SingleDataset,
+        "colorization": D.ColorizationDataset,
+        "unaligned_labeled_mask_ref": D.UnalignedLabeledMaskRefDataset,
+        "unaligned_labeled_mask_online_ref":
+            D.UnalignedLabeledMaskOnlineRefDataset,
+        "unaligned_labeled_mask_online_prompt":
+            D.UnalignedLabeledMaskOnlinePromptDataset,
+        "self_supervised_labeled_mask_ref":
+            D.SelfSupervisedLabeledMaskRefDataset,
+        "self_supervised_labeled_mask_online_ref":
+            D.SelfSupervisedLabeledMaskOnlineRefDataset,
+        "nuplet_unaligned_labeled_mask": D.NupletUnalignedLabeledMaskDataset,
+        "multi_dataset": D.MultiDataset,
         "temporal_labeled_mask_online": D.TemporalLabeledMaskOnlineDataset,
         "self_supervised_vid_mask_online": D.SelfSupervisedVidMaskOnlineDataset,
         "self_supervised_vid_labeled_mask_cls_online":

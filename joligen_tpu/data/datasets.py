@@ -287,6 +287,250 @@ class SelfSupervisedLabeledMaskClsOnlineDataset(SelfSupervisedLabeledMaskOnlineD
     with_cls = True
 
 
+class UnalignedLabeledMaskRefDataset(UnalignedLabeledMaskDataset):
+    """Mask dataset + per-image reference/conditioning image resolved from
+    trainA/conditions.txt (reference data/unaligned_labeled_mask_ref_dataset.py)."""
+
+    def __init__(self, opt, phase, name=""):
+        super().__init__(opt, phase, name)
+        from .image_folder import make_ref_path
+        self.A_img_ref = make_ref_path(self.dir_A, "/conditions.txt")
+        self.ref_size = int(getattr(opt, "alg_diffusion_ref_size", -1) or -1)
+        if self.ref_size <= 0:
+            self.ref_size = opt.data_crop_size
+
+    def _load_ref(self, img_path):
+        ref_path = self.A_img_ref[img_path]
+        from PIL import Image
+        ref = load_image(self._resolve(ref_path))
+        ref = ref_resize(ref, self.ref_size)
+        return ref
+
+    def __getitem__(self, index):
+        out = super().__getitem__(index)
+        if out is None:
+            return None
+        try:
+            out["ref_A"] = self._load_ref(out["A_img_paths"])
+        except Exception as e:
+            print(f"failure reading A domain image ref for "
+                  f"{out['A_img_paths']}: {e}")
+            return None
+        return out
+
+
+class UnalignedLabeledMaskOnlineRefDataset(UnalignedLabeledMaskOnlineDataset):
+    """Online-crop dataset + reference image
+    (reference data/unaligned_labeled_mask_online_ref_dataset.py)."""
+
+    def __init__(self, opt, phase, name=""):
+        super().__init__(opt, phase, name)
+        from .image_folder import make_ref_path
+        self.A_img_ref = make_ref_path(self.dir_A, "/conditions.txt")
+        self.ref_size = int(getattr(opt, "alg_diffusion_ref_size", -1) or -1)
+        if self.ref_size <= 0:
+            self.ref_size = opt.data_crop_size
+
+    def __getitem__(self, index):
+        out = super().__getitem__(index)
+        if out is None:
+            return None
+        try:
+            ref_path = self.A_img_ref[out["A_img_paths"]]
+            out["ref_A"] = ref_resize(load_image(self._resolve(ref_path)),
+                                      self.ref_size)
+        except Exception as e:
+            print(f"ref load failure {out['A_img_paths']}: {e}")
+            return None
+        return out
+
+
+class SelfSupervisedLabeledMaskRefDataset(SelfSupervisedLabeledMaskDataset):
+    """Self-supervised mask dataset + reference image (reference
+    data/self_supervised_labeled_mask_ref_dataset.py)."""
+
+    def __init__(self, opt, phase, name=""):
+        super().__init__(opt, phase, name)
+        from .image_folder import make_ref_path
+        self.A_img_ref = make_ref_path(self.dir_A, "/conditions.txt")
+        self.ref_size = int(getattr(opt, "alg_diffusion_ref_size", -1) or -1)
+        if self.ref_size <= 0:
+            self.ref_size = opt.data_crop_size
+
+    def __getitem__(self, index):
+        out = super().__getitem__(index)
+        if out is None:
+            return None
+        try:
+            ref_path = self.A_img_ref[out["A_img_paths"]]
+            out["ref_A"] = ref_resize(load_image(self._resolve(ref_path)),
+                                      self.ref_size)
+        except Exception as e:
+            print(f"ref load failure {out['A_img_paths']}: {e}")
+            return None
+        return out
+
+
+class SelfSupervisedLabeledMaskOnlineRefDataset(
+        SelfSupervisedLabeledMaskOnlineDataset):
+    """Self-supervised online dataset + reference image."""
+
+    def __init__(self, opt, phase, name=""):
+        super().__init__(opt, phase, name)
+        from .image_folder import make_ref_path
+        self.A_img_ref = make_ref_path(self.dir_A, "/conditions.txt")
+        self.ref_size = int(getattr(opt, "alg_diffusion_ref_size", -1) or -1)
+        if self.ref_size <= 0:
+            self.ref_size = opt.data_crop_size
+
+    def __getitem__(self, index):
+        out = super().__getitem__(index)
+        if out is None:
+            return None
+        try:
+            ref_path = self.A_img_ref[out["A_img_paths"]]
+            out["ref_A"] = ref_resize(load_image(self._resolve(ref_path)),
+                                      self.ref_size)
+        except Exception as e:
+            print(f"ref load failure {out['A_img_paths']}: {e}")
+            return None
+        return out
+
+
+class UnalignedLabeledMaskOnlinePromptDataset(UnalignedLabeledMaskOnlineDataset):
+    """Online dataset + per-image text prompt from trainB/prompts.txt
+    (reference data/unaligned_labeled_mask_online_prompt_dataset.py)."""
+
+    def __init__(self, opt, phase, name=""):
+        super().__init__(opt, phase, name)
+        from .image_folder import make_ref_path_list
+        self.B_img_prompt = make_ref_path_list(self.dir_B, "/prompts.txt")
+
+    def __getitem__(self, index):
+        out = super().__getitem__(index)
+        if out is None or "B_img_paths" not in out:
+            return out
+        prompts = self.B_img_prompt.get(out["B_img_paths"], [""])
+        out["real_B_prompt"] = prompts[0]
+        return out
+
+
+class ColorizationDataset(BaseDataset):
+    """RGB -> (L, ab) Lab pairs for pix2pix colorization (reference
+    data/colorization_dataset.py; cv2 Lab instead of skimage). A = L channel
+    scaled to [-1,1], B = ab channels scaled to [-1,1]."""
+
+    def __init__(self, opt, phase, name=""):
+        super().__init__(opt, phase, name)
+        d = os.path.join(self.root, phase)
+        if not os.path.isdir(d):
+            d = self.dir_A
+        self.A_img_paths = make_dataset(d, opt.data_max_dataset_size)
+        self.A_size = len(self.A_img_paths)
+
+    def __getitem__(self, index):
+        import cv2
+        p = self.transform.sample_params()
+        rgb = self.transform.image(
+            load_image(self._resolve(self.A_img_paths[index % self.A_size])), p)
+        u8 = ((rgb + 1.0) * 127.5).clip(0, 255).astype(np.uint8)
+        lab = cv2.cvtColor(u8, cv2.COLOR_RGB2LAB).astype(np.float32)
+        L = lab[:, :, :1] / 127.5 - 1.0             # L in [0,255] for cv2 8U
+        ab = lab[:, :, 1:] / 127.5 - 1.0
+        return {"A": L.astype(np.float32), "B": ab.astype(np.float32),
+                "A_img_paths": self.A_img_paths[index % self.A_size]}
+
+
+class NupletUnalignedLabeledMaskDataset(UnalignedLabeledMaskDataset):
+    """N consecutive frames from domain A + one B image, for the ReCUT /
+    ReCycleGAN next-frame regularization (reference
+    data/nuplet_unaligned_labeled_mask_dataset.py)."""
+
+    def __init__(self, opt, phase, name=""):
+        super().__init__(opt, phase, name)
+        self.nuplet = int(getattr(opt, "alg_re_nuplet_size", 3) or 3)
+
+    def __getitem__(self, index):
+        frames, masks = [], []
+        for i in range(self.nuplet):
+            j = (index + i) % self.A_size
+            p = self.transform.sample_params()
+            frames.append(self.transform.image(
+                load_image(self._resolve(self.A_img_paths[j])), p))
+            if self.A_mask_paths[j]:
+                masks.append(self.transform.mask(
+                    load_mask(self._resolve(self.A_mask_paths[j])), p))
+        out = {"A": np.stack(frames), "A_img_paths": self.A_img_paths[index % self.A_size]}
+        if masks:
+            out["A_label_mask"] = np.stack(masks)
+        if self.B_size:
+            j = random.randint(0, self.B_size - 1)
+            pB = self.transform.sample_params()
+            out["B"] = self.transform.image(
+                load_image(self._resolve(self.B_img_paths[j])), pB)
+            if self.B_mask_paths and self.B_mask_paths[j]:
+                out["B_label_mask"] = self.transform.mask(
+                    load_mask(self._resolve(self.B_mask_paths[j])), pB)
+        return out
+
+
+class MultiDataset:
+    """Weighted mixture of child datasets, each with its own option
+    overrides, from a JSON config (reference data/multi_dataset_dataset.py:
+    52-305). Config: {"datasets": {name: {"dataroot":..., "weight":...,
+    <flat option overrides>}}}."""
+
+    def __init__(self, opt, phase, name=""):
+        import copy as _copy
+        import json as _json
+        cfg_path = getattr(opt, "data_multi_dataset_config", "") or ""
+        if not cfg_path:
+            raise ValueError("multi_dataset mode requires "
+                             "--data_multi_dataset_config")
+        with open(cfg_path) as f:
+            cfg = _json.load(f)
+        from . import find_dataset_class
+        self.children, self.weights = [], []
+        for cname, c in cfg["datasets"].items():
+            child_opt = _copy.deepcopy(opt)
+            for k, v in c.items():
+                if k in ("weight",):
+                    continue
+                setattr(child_opt, k if k.startswith("data") or "_" in k
+                        else k, v)
+            child_opt.dataroot = c.get("dataroot", opt.dataroot)
+            mode = c.get("data_dataset_mode", opt.data_dataset_mode)
+            if mode == "multi_dataset":
+                raise ValueError("multi_dataset cannot nest")
+            cls = find_dataset_class(mode)
+            self.children.append(cls(child_opt, phase, name=name))
+            self.weights.append(float(c.get("weight", 1.0)))
+        total = sum(self.weights)
+        self.weights = [w / total for w in self.weights]
+
+    def __len__(self):
+        return sum(len(c) for c in self.children)
+
+    def __getitem__(self, index):
+        r = random.random()
+        acc = 0.0
+        for child, w in zip(self.children, self.weights):
+            acc += w
+            if r <= acc:
+                return child[random.randint(0, len(child) - 1)]
+        return self.children[-1][index % len(self.children[-1])]
+
+
+def ref_resize(img, size):
+    """PIL image -> (size,size,C) float32 in [-1,1] (reference
+    get_transform_ref: resize + normalize, no augmentation)."""
+    from PIL import Image
+    r = np.asarray(img.resize((size, size), Image.BICUBIC), np.uint8)
+    if r.ndim == 2:
+        r = r[:, :, None]
+    return r.astype(np.float32) / 127.5 - 1.0
+
+
 class AlignedDataset(BaseDataset):
     """Paired A/B by sorted order (reference data/aligned_dataset.py)."""
 

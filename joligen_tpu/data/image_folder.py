@@ -40,3 +40,29 @@ def make_labeled_path_dataset(d, paths, max_dataset_size=float("inf")):
         return images, labels
     n = min(int(max_dataset_size), len(images))
     return images[:n], labels[:n]
+
+
+def make_ref_path(d, paths):
+    """img path -> single reference path mapping from a 'conditions.txt'
+    (reference data/image_folder.py:123-136)."""
+    ref = {}
+    assert os.path.isdir(d), f"{d} is not a valid directory"
+    with open(d + paths) as f:
+        for line in f.read().split("\n"):
+            parts = line.split(" ")
+            if len(parts) == 2:
+                ref[parts[0]] = parts[1]
+    return ref
+
+
+def make_ref_path_list(d, paths):
+    """img path -> list of reference entries (prompts or ref image paths)
+    (reference data/image_folder.py:139-160)."""
+    ref = {}
+    assert os.path.isdir(d), f"{d} is not a valid directory"
+    with open(d + paths) as f:
+        for line in f.read().split("\n"):
+            parts = line.split(" ", 1)
+            if len(parts) == 2:
+                ref[parts[0]] = [parts[1]]
+    return ref

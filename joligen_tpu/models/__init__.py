@@ -24,4 +24,13 @@ def create_model(opt, phase="train"):
     if name in ("b2b",):
         from .b2b_model import B2BModel
         return B2BModel(opt, phase=phase)
+    if name in ("segmentation",):
+        from .segmentation_model import SegmentationModel
+        return SegmentationModel(opt, phase=phase)
+    if name in ("test",):
+        from .test_model import TestModel
+        return TestModel(opt, phase=phase)
+    if name in ("mat",):
+        from .mat_model import MATModel
+        return MATModel(opt, phase=phase)
     raise NotImplementedError(f"model type {name}")

@@ -9,7 +9,9 @@ import numpy as np
 from PIL import Image
 
 
-def make(root, n=8, size=64, nclasses=2, seed=0):
+def make(root, n=8, size=64, nclasses=2, seed=0, online=False):
+    """online=True writes 'img bbox.txt' paths lines (online-crop layout);
+    default writes 'img cls mask.png' (labeled-mask layout)."""
     rng = np.random.RandomState(seed)
     for dom in ("A", "B"):
         for phase in ("train", "test"):
@@ -38,9 +40,23 @@ def make(root, n=8, size=64, nclasses=2, seed=0):
                     f.write(f"1 {x1} {y1} {x2} {y2}\n")
 
                 cls = int(rng.randint(0, nclasses))
-                lines.append(f"{ipath} {cls} {mpath}")
+                if online:
+                    lines.append(f"{ipath} {bpath}")
+                else:
+                    lines.append(f"{ipath} {cls} {mpath}")
             with open(os.path.join(root, f"{phase}{dom}", "paths.txt"), "w") as f:
                 f.write("\n".join(lines) + "\n")
+            # ref-image conditioning map + text prompts (reference
+            # conditions.txt / prompts.txt contracts)
+            img_rel = [ln.split()[0] for ln in lines]
+            with open(os.path.join(root, f"{phase}{dom}", "conditions.txt"),
+                      "w") as f:
+                f.write("\n".join(f"{p} {img_rel[(i + 1) % len(img_rel)]}"
+                                  for i, p in enumerate(img_rel)) + "\n")
+            with open(os.path.join(root, f"{phase}{dom}", "prompts.txt"),
+                      "w") as f:
+                f.write("\n".join(f"{p} a photo of object {i}"
+                                  for i, p in enumerate(img_rel)) + "\n")
     print(f"fake dataset at {root}: {n} train imgs per domain, {size}px")
 
 

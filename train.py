@@ -4,12 +4,22 @@ Single-process design: JAX owns all local devices through one mesh
 (reference forks one process per GPU via mp.spawn, train.py:540-549; on TPU
 the mesh + pjit replaces the process group). Multi-host pods call
 ``jax.distributed.initialize`` before anything else.
+
+Features mirrored from reference train.py: periodic loss printing with
+per-image timing (train.py:273-301), latest/epoch checkpointing, train-time
+metric evaluation on test sets every ``train_metrics_every`` iterations
+(train.py:359-413), HTML visuals, resume (--train_continue) incl. loss
+history, finetune-from (--train_continue_from) with provenance metadata
+(train.py:98-120), final eval_results.json (train.py:474-512), and
+SIGINT/SIGTERM checkpoint-on-exit.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
+import signal
 import sys
 import time
 
@@ -19,12 +29,35 @@ sys.path.insert(0, ROOT)
 from joligen_tpu.options import TrainOptions  # noqa: E402
 
 
+def _maybe_continue_from(opt):
+    """Copy checkpoints from another run dir and record provenance
+    (reference train.py:98-120)."""
+    src = getattr(opt, "train_continue_from", "") or ""
+    if not src:
+        return
+    dst = os.path.join(opt.checkpoints_dir, opt.name)
+    os.makedirs(dst, exist_ok=True)
+    copied = []
+    for fn in os.listdir(src):
+        if "_net_" in fn and fn.startswith("latest"):
+            shutil.copy2(os.path.join(src, fn), os.path.join(dst, fn))
+            copied.append(fn)
+    with open(os.path.join(dst, "finetune_source.json"), "w") as f:
+        json.dump({"source": os.path.abspath(src), "files": copied,
+                   "date": time.strftime("%c")}, f, indent=2)
+    print(f"continuing from {src}: copied {len(copied)} nets")
+
+
 def launch_training(opt):
     import jax
 
-    from joligen_tpu.data import create_dataloader, create_dataset
+    from joligen_tpu.data import (create_dataloader, create_dataset,
+                                  list_test_sets)
     from joligen_tpu.models import create_model
     from joligen_tpu.utils.visualizer import Visualizer
+
+    if getattr(opt, "tpu_cache_dir", ""):
+        jax.config.update("jax_compilation_cache_dir", opt.tpu_cache_dir)
 
     dataset = create_dataset(opt, "train")
     dataloader = create_dataloader(opt, dataset)
@@ -34,6 +67,7 @@ def launch_training(opt):
     print(f"dataset [{opt.data_dataset_mode}] of size {len(dataset)} created, "
           f"{steps_per_epoch} steps/epoch, devices={jax.device_count()}")
 
+    _maybe_continue_from(opt)
     model = create_model(opt, phase="train")
     print("model [%s] created; params: %s" %
           (opt.model_type, {k: f"{v/1e6:.2f}M" for k, v in model.param_count().items()}))
@@ -45,20 +79,55 @@ def launch_training(opt):
 
     if getattr(opt, "train_continue", False):
         try:
-            model.load_networks(opt.train_epoch or "latest")
-            print("resumed from checkpoint", opt.train_epoch)
+            model.load_networks(getattr(opt, "train_epoch", "latest") or "latest")
+            print("resumed from checkpoint")
         except FileNotFoundError:
             print("no checkpoint to resume from; starting fresh")
+    elif getattr(opt, "train_continue_from", ""):
+        model.load_networks("latest", load_optim=False, strict=False)
+
+    # test dataloaders for train-time metric evaluation (rank-0 equivalent:
+    # process_index 0; reference train.py:147-174)
+    metric_loaders = []
+    compute_metrics = (getattr(opt, "train_compute_metrics_test", False)
+                       and jax.process_index() == 0)
+    if compute_metrics:
+        for name in (list_test_sets(opt.dataroot) or [""]):
+            try:
+                tds = create_dataset(opt, "test", name=name)
+                metric_loaders.append(
+                    (name, create_dataloader(opt, tds, shuffle=False,
+                                             batch_size=opt.test_batch_size)))
+            except (AssertionError, FileNotFoundError) as e:
+                print(f"no test set '{name}': {e}")
+        if metric_loaders:
+            model.init_metrics(metric_loaders[0][1])
+    metrics_every = int(getattr(opt, "train_metrics_every", 1000) or 1000)
+
+    # graceful shutdown: save latest on SIGINT/SIGTERM (reference
+    # train.py:88-90 destroys the process group; here we checkpoint)
+    stop = {"now": False}
+
+    def _sig(signum, frame):
+        stop["now"] = True
+    for s in (signal.SIGINT, signal.SIGTERM):
+        signal.signal(s, _sig)
+
+    profile_dir = getattr(opt, "tpu_profile_dir", "") or ""
 
     total_iters = 0
     batch = opt.train_batch_size
     t_data, t_compute = 0.0, 0.0
     epoch_start = getattr(opt, "train_epoch_count", 1)
+    last_metrics = {}
 
     for epoch in range(epoch_start, opt.train_n_epochs + opt.train_n_epochs_decay + 1):
         epoch_t0 = time.time()
         t_prev = time.time()
         for data in dataloader:
+            if profile_dir and total_iters == 3 * batch:
+                import jax.profiler
+                jax.profiler.start_trace(profile_dir)
             t0 = time.time()
             t_data += t0 - t_prev
             losses = model.optimize_parameters(data)
@@ -66,6 +135,9 @@ def launch_training(opt):
             t_compute += t1 - t0
             t_prev = t1
             total_iters += batch
+            if profile_dir and total_iters == 6 * batch:
+                import jax.profiler
+                jax.profiler.stop_trace()
 
             if total_iters % max(batch, (opt.output_print_freq // batch) * batch) == 0:
                 msg = " ".join(f"{k}: {v:.4f}" for k, v in losses.items())
@@ -75,8 +147,32 @@ def launch_training(opt):
                       flush=True)
                 visualizer.log_losses(epoch, total_iters, losses)
 
+            if (getattr(opt, "output_display_freq", 0) and total_iters %
+                    max(batch, (opt.output_display_freq // batch) * batch) == 0):
+                try:
+                    fake = model.inference(data)
+                    vis = {"real_A": data["A"], "fake_B": fake,
+                           "real_B": data["B"]}
+                    visualizer.save_images(vis, epoch)
+                except Exception as e:  # visuals must never kill training
+                    print(f"visuals failed: {e}")
+
+            if compute_metrics and metric_loaders and total_iters % max(
+                    batch, (metrics_every // batch) * batch) == 0:
+                for name, ml in metric_loaders:
+                    m = model.compute_metrics_test(ml)
+                    last_metrics[f"test{name}" if name else "test"] = m
+                    print(f"metrics[test{name}] " + " ".join(
+                        f"{k}: {v:.4f}" for k, v in m.items()), flush=True)
+                    visualizer.log_metrics(epoch, total_iters, m)
+
             if total_iters % max(batch, (opt.train_save_latest_freq // batch) * batch) == 0:
                 model.save_networks("latest")
+
+            if stop["now"]:
+                print("signal received: saving latest and exiting")
+                model.save_networks("latest")
+                return model
 
         model.save_networks("latest")
         if epoch % max(1, opt.train_save_epoch_freq) == 0:
@@ -85,6 +181,13 @@ def launch_training(opt):
         print(f"end of epoch {epoch} \t time: {time.time() - epoch_t0:.1f}s")
 
     model.save_networks("latest")
+    # final eval (reference train.py:474-512 writes eval_results.json)
+    if compute_metrics and metric_loaders:
+        for name, ml in metric_loaders:
+            last_metrics[f"test{name}" if name else "test"] = \
+                model.compute_metrics_test(ml)
+        with open(os.path.join(expr_dir, "eval_results.json"), "w") as f:
+            json.dump(last_metrics, f, indent=2)
     return model
 
 
