@@ -18,11 +18,15 @@ import numpy as np
 
 def collate(samples):
     """Stack dict-of-arrays samples; non-array fields become lists."""
+    from .native import stack_f32  # C memcpy fanout, numpy fallback
     out = {}
     for k in samples[0]:
         vals = [s[k] for s in samples if k in s]
         if isinstance(vals[0], np.ndarray):
-            out[k] = np.stack(vals)
+            if vals[0].dtype == np.float32:
+                out[k] = stack_f32(vals)
+            else:
+                out[k] = np.stack(vals)
         elif isinstance(vals[0], (int, float, np.integer, np.floating)):
             out[k] = np.asarray(vals)
         else:

@@ -81,7 +81,8 @@ class PairedTransform:
 
     def image(self, img: Image.Image, params):
         img = self._geo(img, params, Image.BICUBIC)
-        arr = np.asarray(img, dtype=np.float32) / 127.5 - 1.0
+        from .native import normalize_u8  # C kernel, numpy fallback
+        arr = normalize_u8(np.asarray(img, dtype=np.uint8))
         if arr.ndim == 2:
             arr = arr[:, :, None]
         return arr  # (H, W, C) in [-1, 1]

@@ -62,6 +62,14 @@ def define_inner_G(opt):
             remat=getattr(opt, "tpu_remat", False),
             dtype=dtype,
         )
+    if netG == "hdit":
+        from .modules.hdit import HDiT
+        widths = tuple(getattr(opt, "G_hdit_widths", None) or (128, 256))
+        depths = tuple(getattr(opt, "G_hdit_depths", None) or (2, 4))
+        return HDiT(
+            patch_size=getattr(opt, "G_hdit_patch_size", 4) or 4,
+            widths=widths, depths=depths,
+            out_channels=opt.model_output_nc, dtype=dtype)
     if netG in ("vit", "dit"):
         from .modules.jit import JiT
         return JiT.from_opt(opt, dtype=dtype)
@@ -84,5 +92,6 @@ def define_G(opt):
         cond_embed_dim=opt.alg_diffusion_cond_embed_dim,
         conditioning=conditioning,
         nclasses=nclasses,
+        raw_t=opt.G_netG in ("vit", "dit", "hdit", "vit_vid"),
         dtype=_compute_dtype(opt),
     )

@@ -47,6 +47,12 @@ def define_G(opt):
             norm=opt.G_unet_mha_norm_layer,
             group_size=opt.G_unet_mha_group_norm_size,
             tanh=True, dtype=dtype)
+    if "segformer" in netG:  # segformer_attn_conv
+        from .modules.segformer import SegformerGeneratorAttn
+        return SegformerGeneratorAttn(
+            out_channels=opt.model_output_nc,
+            nb_mask_attn=opt.G_attn_nb_mask_attn,
+            nb_mask_input=opt.G_attn_nb_mask_input, dtype=dtype)
     if netG == "ittr":
         from .modules.ittr import ITTRGenerator
         return ITTRGenerator(

@@ -49,6 +49,7 @@ class PaletteDenoiser(nn.Module):
     cond_embed_dim: int
     conditioning: str = ""
     nclasses: int = 2
+    raw_t: bool = False   # inner takes raw t in [0,1] (JiT/HDiT style)
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -62,6 +63,14 @@ class PaletteDenoiser(nn.Module):
     @nn.compact
     def __call__(self, x, gammas, cls=None, mask=None, deterministic=True):
         """x: (B,H,W,C) concatenated [y_cond, y_noisy]. gammas: (B,) noise levels."""
+        if self.raw_t:
+            # DiT-style denoisers embed the timestep themselves; gamma in
+            # [0,1] plays the role of t (class label forwarded as y)
+            if "mask" in self.conditioning and mask is not None:
+                m = jnp.clip(mask.astype(x.dtype), 0.0, 1.0)
+                x = jnp.concatenate([x, m], axis=-1)
+            return self.inner(x, gammas,
+                              y=(cls if "class" in self.conditioning else None))
         g = self.gamma_dim
         emb = gamma_embedding(gammas, g)
         emb = nn.Dense(g, dtype=self.dtype, name="cond_embed_0")(emb)

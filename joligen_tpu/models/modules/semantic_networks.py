@@ -70,4 +70,17 @@ def define_C(opt):
 
 
 def define_f(opt):
+    """f_s factory (reference semantic_networks.py:45): unet / vgg /
+    segformer (from-scratch MiT; pretrained weights are weight-gated) /
+    sam (needs downloaded SAM weights — unavailable in this image)."""
+    net = getattr(opt, "f_s_net", "unet") or "unet"
+    if net == "segformer":
+        from .segformer import SegformerSegmenter
+        return SegformerSegmenter(num_classes=opt.f_s_semantic_nclasses)
+    if net == "sam":
+        raise NotImplementedError(
+            "f_s_net=sam requires downloaded SAM weights; drop them into "
+            "JOLIGEN_TPU_WEIGHTS_DIR (zero-egress environment)")
+    # 'unet' and 'vgg' both train from scratch here (the reference's
+    # VGG16-FCN8s also needs torchvision weights)
     return UNetSegmenter(nclasses=opt.f_s_semantic_nclasses, nf=opt.f_s_nf)

@@ -52,6 +52,12 @@ def upfirdn2d(x, f, up=1, down=1, padding=(0, 0, 0, 0), gain=1.0):
     n, h, w, c = x.shape
     fh, fw = f.shape
 
+    # torch upfirdn2d zero-stuffs to h*up (trailing zeros after the last
+    # sample); lax lhs_dilation inserts zeros only BETWEEN samples
+    # (h*up - (up-1)). Add the missing trailing zeros as extra padding.
+    pady1 += up[0] - 1
+    padx1 += up[1] - 1
+
     # depthwise conv: kernel (fh, fw, 1, C) with feature_group_count=C
     kernel = jnp.tile(f[::-1, ::-1, None, None].astype(x.dtype), (1, 1, 1, c))
     out = lax.conv_general_dilated(

@@ -47,6 +47,11 @@ log_paths: dict = {}     # name -> log file
 
 WS_MAGIC = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
 
+# fork() of a thread-carrying JAX process deadlocks on held allocator
+# locks; spawn starts jobs in a clean interpreter (reference uses fork on
+# torch, which tolerates it — JAX does not)
+_mp = mp.get_context("spawn")
+
 
 def _train_target(opt, log_path):
     sys.stdout = sys.stderr = open(log_path, "a", buffering=1)
@@ -180,7 +185,7 @@ class Handler(BaseHTTPRequestHandler):
         TrainOptions().save_config(opt, expr_dir)
         log_path = os.path.join(expr_dir, "log")
         log_paths[name] = log_path
-        proc = mp.Process(target=_train_target, args=(opt, log_path))
+        proc = _mp.Process(target=_train_target, args=(opt, log_path))
         ctx[name] = proc
         proc.start()
         if body.get("server", {}).get("sync"):
@@ -202,7 +207,7 @@ class Handler(BaseHTTPRequestHandler):
         name = "predict_%d" % int(time.time() * 1000)
         log_path = os.path.join(po.get("dir_out", "/tmp"), name + ".log")
         log_paths[name] = log_path
-        proc = mp.Process(target=_predict_target, args=(po, log_path))
+        proc = _mp.Process(target=_predict_target, args=(po, log_path))
         ctx[name] = proc
         proc.start()
         if body.get("server", {}).get("sync"):

@@ -1,0 +1,69 @@
+"""HDiT hourglass diffusion transformer: shape/finite checks, RoPE
+correctness, and a palette training step with G_netG=hdit."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from tools.make_fake_dataset import make as make_fake  # noqa: E402
+
+from joligen_tpu.options import TrainOptions  # noqa: E402
+
+
+def test_rope_preserves_norm():
+    import jax.numpy as jnp
+    from joligen_tpu.models.modules.hdit import apply_rope, axial_rope_freqs
+    x = np.random.RandomState(0).randn(2, 16, 32).astype(np.float32)
+    ang = axial_rope_freqs(32, 4, 4)
+    y = apply_rope(jnp.asarray(x), jnp.asarray(ang))
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(y), axis=-1),
+                               np.linalg.norm(x, axis=-1), rtol=1e-5)
+
+
+def test_hdit_forward():
+    import jax
+    import jax.numpy as jnp
+    from joligen_tpu.models.modules.hdit import HDiT
+    net = HDiT(patch_size=2, widths=(32, 64), depths=(1, 1), window=4,
+               out_channels=3)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 6))
+    t = jnp.full((2,), 0.5)
+    params = net.init(jax.random.PRNGKey(1), x, t)
+    y = net.apply(params, x, t)
+    assert y.shape == (2, 16, 16, 3)
+    assert np.isfinite(np.asarray(y)).all()
+    # zero-init output head -> exact zeros at init
+    np.testing.assert_allclose(np.asarray(y), 0.0)
+
+
+def test_palette_hdit_train(tmp_path, tmp_path_factory):
+    from joligen_tpu.data import create_dataloader, create_dataset
+    from joligen_tpu.models import create_model
+    root = str(tmp_path_factory.mktemp("ds"))
+    make_fake(root, n=6, size=32)
+    args = [
+        "--dataroot", root, "--model_type", "palette",
+        "--data_dataset_mode", "self_supervised_labeled_mask",
+        "--data_crop_size", "16", "--data_load_size", "16",
+        "--data_relative_paths",
+        "--G_netG", "hdit",
+        "--G_hdit_widths", "32", "64", "--G_hdit_depths", "1", "1",
+        "--G_hdit_patch_size", "2",
+        "--G_diff_n_timestep_train", "20", "--G_diff_n_timestep_test", "5",
+        "--train_batch_size", "2",
+        "--checkpoints_dir", str(tmp_path), "--name", "h",
+        "--data_num_threads", "2",
+    ]
+    opt = TrainOptions().parse_cli(args)
+    opt.steps_per_epoch = 2
+    ds = create_dataset(opt, "train")
+    batch = next(iter(create_dataloader(opt, ds)))
+    m = create_model(opt)
+    loss = m.optimize_parameters(batch)["G_tot"]
+    assert np.isfinite(loss)
+    fake = m.inference(batch, sampling_method="ddim", num_steps=3)
+    assert fake.shape[1:] == (16, 16, 3)
+    assert np.isfinite(fake).all()

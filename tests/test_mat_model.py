@@ -1,0 +1,93 @@
+"""MAT inpainting: generator/discriminator shapes, known-pixel composition,
+and an end-to-end training + inference step (reference tests/test_mat_model.py
+pattern at miniature scale)."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from tools.make_fake_dataset import make as make_fake  # noqa: E402
+
+from joligen_tpu.options import TrainOptions  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def fakeds(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("ds"))
+    make_fake(root, n=8, size=64)
+    return root
+
+
+def test_mat_generator_composition():
+    """Known pixels must pass through untouched; holes get generated."""
+    import jax
+    import jax.numpy as jnp
+    from joligen_tpu.models.modules.mat import MATGenerator
+
+    g = MATGenerator(base=16, w_dim=64, z_dim=64)
+    img = jax.random.uniform(jax.random.PRNGKey(0), (1, 32, 32, 3),
+                             minval=-1, maxval=1)
+    mask = jnp.ones((1, 32, 32, 1))
+    mask = mask.at[:, 8:24, 8:24].set(0.0)   # hole in the middle
+    z = jax.random.normal(jax.random.PRNGKey(1), (1, 64))
+    params = g.init(jax.random.PRNGKey(2), img, mask, z,
+                    rng=jax.random.PRNGKey(3))
+    out, stg1 = g.apply(params, img, mask, z, rng=jax.random.PRNGKey(4),
+                        return_stg1=True)
+    assert out.shape == img.shape and stg1.shape == img.shape
+    keep = np.asarray(mask[..., 0]) > 0
+    np.testing.assert_allclose(np.asarray(out)[keep], np.asarray(img)[keep],
+                               atol=1e-5)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_mat_discriminator():
+    import jax
+    import jax.numpy as jnp
+    from joligen_tpu.models.modules.mat import MATDiscriminator
+
+    d = MATDiscriminator(base=16)
+    img = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+    mask = jnp.ones((2, 32, 32, 1))
+    params = d.init(jax.random.PRNGKey(1), img, mask, img)
+    l, l1 = d.apply(params, img, mask, img)
+    assert l.shape == (2, 1) and l1.shape == (2, 1)
+
+
+def test_mat_train_and_infer(fakeds, tmp_path):
+    from joligen_tpu.data import create_dataloader, create_dataset
+    from joligen_tpu.models import create_model
+
+    args = [
+        "--dataroot", fakeds, "--model_type", "mat",
+        "--data_dataset_mode", "self_supervised_labeled_mask",
+        "--data_crop_size", "32", "--data_load_size", "32",
+        "--data_relative_paths",
+        "--G_ngf", "16", "--D_ndf", "16",
+        "--alg_mat_z_dim", "64", "--alg_mat_w_dim", "64",
+        "--alg_mat_d_reg_every", "2",
+        "--train_batch_size", "2",
+        "--checkpoints_dir", str(tmp_path), "--name", "m",
+        "--data_num_threads", "2",
+    ]
+    opt = TrainOptions().parse_cli(args)
+    opt.steps_per_epoch = 2
+    ds = create_dataset(opt, "train")
+    batch = next(iter(create_dataloader(opt, ds)))
+    m = create_model(opt)
+    l0 = m.optimize_parameters(batch)
+    for k in ("G_adv", "G_adv_stg1", "G_pcp", "G_l1", "G_tot", "D_main",
+              "D_tot"):
+        assert k in l0 and np.isfinite(l0[k]), (k, l0)
+    l1 = m.optimize_parameters(batch)   # step 1: r1 fires on step%2==0
+    assert np.isfinite(l1["D_r1"])
+
+    fake = m.inference(batch)
+    assert fake.shape == batch["B"].shape
+    # composition: outside the object mask, output == input
+    keep = ~(np.asarray(batch["B_label_mask"])[..., 0] > 0)
+    diff = np.abs(fake - np.asarray(batch["B"], np.float32)).max(axis=-1)
+    assert diff[keep].max() < 1e-4
