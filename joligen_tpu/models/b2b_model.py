@@ -183,13 +183,19 @@ class B2BModel(BaseModel):
         return jnp.mean(err)
 
     def optimize_parameters(self, batch):
+        from ..parallel.mesh import dequantize_on_device, quantize_batch
         inp = self.set_input(batch)
+        inp = quantize_batch(inp, float_keys=("gt", "y_cond"),
+                             int_keys=("mask",))
         dev = self.put_batch(inp)
         if self._jit_step is None:
             tx = self.txs["G_A"]
 
             def loss_fn(params, rng, gt, y_cond, mask, labels, frame_step,
                         global_context):
+                gt = dequantize_on_device(gt, "image")
+                y_cond = dequantize_on_device(y_cond, "image")
+                mask = dequantize_on_device(mask, "label")
                 apply_fn = self._make_apply(mask, frame_step, global_context)
                 ms = None
                 if self.mask_size_cond and mask is not None:
@@ -229,7 +235,7 @@ class B2BModel(BaseModel):
             self.states["G_A"], self.next_rng(), dev["gt"],
             dev.get("y_cond"), dev.get("mask"), dev.get("labels"),
             dev.get("frame_step"), dev.get("global_context"))
-        self.loss_log = {k: float(v) for k, v in losses.items()}
+        self.loss_log = losses  # device scalars, lazy host sync
         return self.loss_log
 
     def inference(self, batch, use_ema=None, denoise_timesteps=None,

@@ -173,7 +173,7 @@ class CMModel(BaseModel):
             # ECT stage doubles every 1000 ticks of 50k imgs (cm_model ECT
             # tick schedule); simplified host counter
             self.ect_stage = self.step_count // (1000 * 50)
-        self.loss_log = {k: float(v) for k, v in losses.items()}
+        self.loss_log = losses  # device scalars, lazy host sync
         return self.loss_log
 
     def inference(self, batch, use_ema=None, sigmas=SAMPLING_SIGMAS):

@@ -233,6 +233,12 @@ class CUTModel(BaseModel):
         d_names = list(self.netDs.keys())
 
         def step(states, pool, apa_p, rng, inp):
+            from ..parallel.mesh import dequantize_on_device
+            inp = dict(inp)
+            for key in ("real_A", "real_B"):
+                inp[key] = dequantize_on_device(inp[key], "image")
+            if "mask_A" in inp:
+                inp["mask_A"] = dequantize_on_device(inp["mask_A"], "label")
             rngs = jax.random.split(rng, 8)
             d_params = {n: jax.lax.stop_gradient(states[n].params)
                         for n in d_names}
@@ -326,13 +332,16 @@ class CUTModel(BaseModel):
         return jax.jit(step, donate_argnums=donate)
 
     def optimize_parameters(self, batch):
+        from ..parallel.mesh import quantize_batch
         inp = self.set_input(batch)
+        inp = quantize_batch(inp, float_keys=("real_A", "real_B"),
+                             int_keys=("mask_A",))
         dev = self.put_batch(inp)
         if self._jit_step is None:
             self._jit_step = self._make_step()
         self.states, self.pool, self.apa_p, losses = self._jit_step(
             self.states, self.pool, self.apa_p, self.next_rng(), dev)
-        self.loss_log = {k: float(v) for k, v in losses.items()}
+        self.loss_log = losses  # device scalars, lazy host sync
         return self.loss_log
 
     # ------------------------------------------------------------------

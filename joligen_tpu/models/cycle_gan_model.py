@@ -143,7 +143,7 @@ class CycleGANModel(BaseModel):
             self._jit_step = self._make_step()
         self.states, (self.pool_A, self.pool_B), losses = self._jit_step(
             self.states, (self.pool_A, self.pool_B), self.next_rng(), dev)
-        self.loss_log = {k: float(v) for k, v in losses.items()}
+        self.loss_log = losses  # device scalars, lazy host sync
         return self.loss_log
 
     def inference(self, batch, use_ema=None, direction="AtoB"):

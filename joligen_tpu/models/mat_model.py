@@ -178,7 +178,7 @@ class MATModel(BaseModel):
         self.states, self.w_avg, losses = self._jit_step(
             self.states, self.w_avg, self.next_rng(), dev["real"],
             dev["mask"])
-        self.loss_log = {k: float(v) for k, v in losses.items()}
+        self.loss_log = losses  # device scalars, lazy host sync
         return self.loss_log
 
     # ------------------------------------------------------------------

@@ -18,7 +18,8 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..ops.schedules import NoiseSchedule
-from ..parallel.mesh import batch_sharding, param_sharding
+from ..parallel.mesh import (batch_sharding, dequantize_on_device,
+                             param_sharding, quantize_batch)
 from .base import BaseModel
 from .diffusion_networks import VIDEO_NETGS, define_G
 from .train_state import apply_updates, init_net_state, make_optimizer
@@ -109,6 +110,10 @@ class PaletteModel(BaseModel):
 
     # ------------------------------------------------------------------
     def _loss_fn(self, params, rng, y_cond, gt, mask, cls):
+        # wire-compressed inputs decode on device (mesh.quantize_batch)
+        y_cond = dequantize_on_device(y_cond, "image")
+        gt = dequantize_on_device(gt, "image")
+        mask = dequantize_on_device(mask, "label")
         apply_fn = lambda p, x, g, cls=None, mask=None: self.netG.apply(
             p, x, g, cls=cls, mask=mask)
         noise, noise_hat, weight = palette_training_outputs(
@@ -143,13 +148,17 @@ class PaletteModel(BaseModel):
 
     def optimize_parameters(self, batch):
         inp = self.set_input(batch)
+        inp = quantize_batch(inp, float_keys=("y_cond", "gt"),
+                             int_keys=("mask",))
         dev = self.put_batch(inp)
         if self._jit_train_step is None:
             self._jit_train_step = self._make_train_step()
         self.states["G_A"], losses = self._jit_train_step(
             self.states["G_A"], self.next_rng(),
             dev["y_cond"], dev["gt"], dev.get("mask"), dev.get("cls"))
-        self.loss_log = {k: float(v) for k, v in losses.items()}
+        # device scalars: the host sync happens only when a value is read
+        # (print freq), not every step
+        self.loss_log = losses
         return self.loss_log
 
     # ------------------------------------------------------------------

@@ -78,7 +78,7 @@ class SCModel(BaseModel):
         self.states["G_A"], losses = self._jit_step(
             self.states["G_A"], self.next_rng(), dev["gt"],
             dev.get("y_cond"), dev.get("mask"))
-        self.loss_log = {k: float(v) for k, v in losses.items()}
+        self.loss_log = losses  # device scalars, lazy host sync
         return self.loss_log
 
     def inference(self, batch, use_ema=None, denoise_timesteps=None):

@@ -51,7 +51,7 @@ class SegmentationModel(BaseModel):
             self._jit_step = jax.jit(step, donate_argnums=(0,))
         self.states["f_s"], losses = self._jit_step(
             self.states["f_s"], dev["img"], dev["mask"])
-        self.loss_log = {k: float(v) for k, v in losses.items()}
+        self.loss_log = losses  # device scalars, lazy host sync
         return self.loss_log
 
     def inference(self, batch, **kwargs):

@@ -17,6 +17,7 @@ All collectives ride ICI; multi-host initialization goes through
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -67,6 +68,36 @@ def param_sharding(mesh, params):
 
 def replicate(mesh):
     return NamedSharding(mesh, P())
+
+
+def quantize_batch(batch, float_keys=(), int_keys=()):
+    """Host-side wire compression: float32 [-1,1] images -> uint8, int label
+    masks -> uint8 (4x less host->device traffic — the tunnel/PCIe transfer
+    is the bench bottleneck, not HBM). Dequantization happens INSIDE the
+    jitted step (see dequantize_on_device)."""
+    import numpy as np
+    out = dict(batch)
+    for k in float_keys:
+        v = out.get(k)
+        if v is not None and getattr(v, "dtype", None) == np.float32:
+            out[k] = ((np.asarray(v) + 1.0) * 127.5).round().clip(
+                0, 255).astype(np.uint8)
+    for k in int_keys:
+        v = out.get(k)
+        if v is not None and np.issubdtype(getattr(v, "dtype", np.int64),
+                                           np.integer):
+            out[k] = np.asarray(v).clip(0, 255).astype(np.uint8)
+    return out
+
+
+def dequantize_on_device(x, kind="image"):
+    """Inverse of quantize_batch, traced into the step. No-op for float
+    inputs (static dtype dispatch at trace time)."""
+    if x is None or x.dtype != jnp.uint8:
+        return x
+    if kind == "image":
+        return x.astype(jnp.float32) / 127.5 - 1.0
+    return x.astype(jnp.int32)
 
 
 def shard_batch(mesh, batch):

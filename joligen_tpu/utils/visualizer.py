@@ -49,6 +49,7 @@ class Visualizer:
         return []
 
     def log_losses(self, epoch, iters, losses):
+        losses = {k: float(v) for k, v in losses.items()}  # sync here only
         msg = f"(epoch: {epoch}, iters: {iters}) " + " ".join(
             f"{k}: {v:.6f}" for k, v in losses.items())
         with open(self.log_path, "a") as f:
@@ -58,6 +59,7 @@ class Visualizer:
             json.dump(self.loss_history, f)
 
     def log_metrics(self, epoch, iters, metrics):
+        metrics = {k: float(v) for k, v in metrics.items()}
         self.metric_history.append({"epoch": epoch, "iters": iters, **metrics})
         with open(self.metrics_json, "w") as f:
             json.dump(self.metric_history, f)
