@@ -94,8 +94,31 @@ class B2BModel(BaseModel):
         self.states["G_A"] = init_net_state(
             self.next_rng(), self.netG, (ex_x, ex_t, ex_y), tx,
             use_ema=self.use_ema)
+
+        # LoRA finetuning: base params frozen, adapter pytree optimized
+        # (reference b2b_model.py:455-783; see models/lora.py)
+        self.use_lora = bool(getattr(opt, "alg_b2b_lora", False)) \
+            and phase == "train"
+        if self.use_lora:
+            from .lora import DEFAULT_TARGETS, init_lora
+            self.lora_rank = int(getattr(opt, "alg_b2b_lora_rank", 8) or 8)
+            self.lora_alpha = float(getattr(opt, "alg_b2b_lora_alpha", 16)
+                                    or 16)
+            targets = tuple(getattr(opt, "alg_b2b_lora_target_modules", None)
+                            or DEFAULT_TARGETS)
+            adapters = init_lora(self.next_rng(),
+                                 self.states["G_A"].params,
+                                 rank=self.lora_rank, targets=targets)
+            tx_l = make_optimizer(opt, getattr(opt, "train_G_lr", 2e-4))
+            self.txs["G_lora"] = tx_l
+            from .train_state import NetState
+            self.states["G_lora"] = NetState(
+                params=adapters, opt_state=tx_l.init(adapters),
+                ema_params=None, step=jnp.zeros((), jnp.int32))
+
         self._jit_step = None
         self._jit_sample = {}
+
 
     def set_input(self, batch):
         gt = batch["B"]
@@ -222,21 +245,62 @@ class B2BModel(BaseModel):
                     loss = loss + self.lambda_ref_copy * ref_copy
                 return loss, aux
 
-            def step(state, rng, gt, y_cond, mask, labels, frame_step,
-                     global_context):
-                (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                    state.params, rng, gt, y_cond, mask, labels, frame_step,
-                    global_context)
-                losses = {"G_tot": loss, **aux}
-                return apply_updates(state, grads, tx, self.ema_beta), losses
+            if self.use_lora:
+                from .lora import merge_lora
+                tx_l = self.txs["G_lora"]
 
-            self._jit_step = jax.jit(step, donate_argnums=(0,))
-        self.states["G_A"], losses = self._jit_step(
-            self.states["G_A"], self.next_rng(), dev["gt"],
-            dev.get("y_cond"), dev.get("mask"), dev.get("labels"),
-            dev.get("frame_step"), dev.get("global_context"))
+                def lora_loss(adapters, base, *a):
+                    merged = merge_lora(jax.lax.stop_gradient(base), adapters,
+                                        alpha=self.lora_alpha,
+                                        rank=self.lora_rank)
+                    return loss_fn(merged, *a)
+
+                def step(states, rng, gt, y_cond, mask, labels, frame_step,
+                         global_context):
+                    (loss, aux), grads = jax.value_and_grad(
+                        lora_loss, has_aux=True)(
+                        states["G_lora"].params, states["G_A"].params, rng,
+                        gt, y_cond, mask, labels, frame_step, global_context)
+                    states = dict(states)
+                    states["G_lora"] = apply_updates(states["G_lora"], grads,
+                                                     tx_l)
+                    return states, {"G_tot": loss, **aux}
+
+                self._jit_step = jax.jit(step, donate_argnums=(0,))
+            else:
+                def step(state, rng, gt, y_cond, mask, labels, frame_step,
+                         global_context):
+                    (loss, aux), grads = jax.value_and_grad(
+                        loss_fn, has_aux=True)(
+                        state.params, rng, gt, y_cond, mask, labels,
+                        frame_step, global_context)
+                    losses = {"G_tot": loss, **aux}
+                    return apply_updates(state, grads, tx, self.ema_beta), \
+                        losses
+
+                self._jit_step = jax.jit(step, donate_argnums=(0,))
+        if self.use_lora:
+            self.states, losses = self._jit_step(
+                self.states, self.next_rng(), dev["gt"],
+                dev.get("y_cond"), dev.get("mask"), dev.get("labels"),
+                dev.get("frame_step"), dev.get("global_context"))
+        else:
+            self.states["G_A"], losses = self._jit_step(
+                self.states["G_A"], self.next_rng(), dev["gt"],
+                dev.get("y_cond"), dev.get("mask"), dev.get("labels"),
+                dev.get("frame_step"), dev.get("global_context"))
         self.loss_log = losses  # device scalars, lazy host sync
         return self.loss_log
+
+    def merge_lora_checkpoint(self):
+        """Fold the trained adapters into the base weights (reference raw->
+        merged checkpoint conversion, b2b_model.py:784-833)."""
+        assert self.use_lora
+        from .lora import merge_lora
+        merged = merge_lora(self.states["G_A"].params,
+                            self.states["G_lora"].params,
+                            alpha=self.lora_alpha, rank=self.lora_rank)
+        self.states["G_A"] = self.states["G_A"].replace(params=merged)
 
     def inference(self, batch, use_ema=None, denoise_timesteps=None,
                   cfg_scale=None):
@@ -248,6 +312,10 @@ class B2BModel(BaseModel):
         state = self.states["G_A"]
         params = state.ema_params if (use_ema and state.ema_params is not None) \
             else state.params
+        if self.use_lora:
+            from .lora import merge_lora
+            params = merge_lora(params, self.states["G_lora"].params,
+                                alpha=self.lora_alpha, rank=self.lora_rank)
         key = (steps, cfg, dev["gt"].shape)
         if key not in self._jit_sample:
             def run(p, rng, y, y_cond, mask, labels, frame_step,

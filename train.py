@@ -192,5 +192,15 @@ def launch_training(opt):
 
 
 if __name__ == "__main__":
+    # topic help: `train.py --help [topic]` (reference options/helpers.py)
+    if "--help" in sys.argv:
+        i = sys.argv.index("--help")
+        topic = sys.argv[i + 1] if len(sys.argv) > i + 1 else None
+        if topic and not topic.startswith("-"):
+            TrainOptions().print_topic_help(topic)
+            sys.exit(0)
+        elif topic is None:
+            TrainOptions().print_topic_help(None)
+            sys.exit(0)
     opt = TrainOptions().parse_cli()
     launch_training(opt)
