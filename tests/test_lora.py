@@ -47,6 +47,12 @@ def test_b2b_lora_train(tmp_path, tmp_path_factory):
         "--data_crop_size", "16", "--data_load_size", "16",
         "--data_relative_paths",
         "--G_netG", "vit", "--alg_b2b_lora", "--alg_b2b_lora_rank", "2",
+        # include the output head: a freshly-initialized JiT has a zero-init
+        # final layer, so interior adapters see zero gradient until the head
+        # is nonzero (LoRA presumes a pretrained base; the head target makes
+        # the 1-step movement check meaningful)
+        "--alg_b2b_lora_target_modules", "attn.qkv", "attn.proj", "mlp.w12",
+        "mlp.w3", "final_proj",
         "--alg_b2b_denoise_timesteps", "2",
         "--train_batch_size", "2",
         "--checkpoints_dir", str(tmp_path), "--name", "l",
