@@ -62,6 +62,23 @@ def define_inner_G(opt):
             remat=getattr(opt, "tpu_remat", False),
             dtype=dtype,
         )
+    if netG == "unet_mha_ref_attn":
+        from .modules.unet_ref_attn import UNetRefAttn
+        return UNetRefAttn(
+            in_channel=opt.model_input_nc + opt.model_output_nc,
+            out_channel=opt.model_output_nc,
+            inner_channel=opt.G_ngf,
+            cond_embed_dim=opt.alg_diffusion_cond_embed_dim,
+            res_blocks=tuple(opt.G_unet_mha_res_blocks),
+            attn_res=tuple(opt.G_unet_mha_attn_res),
+            channel_mults=tuple(opt.G_unet_mha_channel_mults),
+            num_heads=opt.G_unet_mha_num_heads,
+            num_head_channels=opt.G_unet_mha_num_head_channels,
+            norm=opt.G_unet_mha_norm_layer,
+            group_size=opt.G_unet_mha_group_norm_size,
+            remat=getattr(opt, "tpu_remat", False),
+            dtype=dtype,
+        )
     if netG == "hdit":
         from .modules.hdit import HDiT
         widths = tuple(getattr(opt, "G_hdit_widths", None) or (128, 256))

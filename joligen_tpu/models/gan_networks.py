@@ -53,6 +53,11 @@ def define_G(opt):
             out_channels=opt.model_output_nc,
             nb_mask_attn=opt.G_attn_nb_mask_attn,
             nb_mask_input=opt.G_attn_nb_mask_input, dtype=dtype)
+    if netG == "hat":
+        from .modules.hat import HAT
+        return HAT(out_channels=opt.model_output_nc,
+                   window_size=min(16, max(4, opt.data_crop_size // 8)),
+                   upscale=1, dtype=dtype)
     if netG == "ittr":
         from .modules.ittr import ITTRGenerator
         return ITTRGenerator(

@@ -61,8 +61,13 @@ class PaletteDenoiser(nn.Module):
         return self.cond_embed_dim
 
     @nn.compact
-    def __call__(self, x, gammas, cls=None, mask=None, deterministic=True):
-        """x: (B,H,W,C) concatenated [y_cond, y_noisy]. gammas: (B,) noise levels."""
+    def __call__(self, x, gammas, cls=None, mask=None, ref=None,
+                 deterministic=True):
+        """x: (B,H,W,C) concatenated [y_cond, y_noisy]. gammas: (B,) noise
+        levels. ref: optional reference image for ref-attention denoisers /
+        ref embedding conditioning (reference palette_denoise_fn.py ref
+        encoders are CLIP/ImageBind — weight-gated here; a small conv
+        encoder provides the embedding instead)."""
         if self.raw_t:
             # DiT-style denoisers embed the timestep themselves; gamma in
             # [0,1] plays the role of t (class label forwarded as y)
@@ -84,6 +89,24 @@ class PaletteDenoiser(nn.Module):
                                       name="embedder_class")(cls)
             emb = jnp.concatenate([emb, cls_embed.astype(emb.dtype)], axis=1)
 
+        if "ref" in self.conditioning and "class" not in self.conditioning:
+            # ref-image embedding concatenated to the gamma embedding
+            # (palette_denoise_fn.py ref branch; conv encoder replaces the
+            # downloaded CLIP/ImageBind in this zero-egress environment)
+            if ref is None:
+                ref_embed = jnp.zeros(
+                    (x.shape[0], self.cond_embed_dim - g), emb.dtype)
+            else:
+                h = ref.astype(self.dtype)
+                for i, chn in enumerate((64, 128, 256)):
+                    h = nn.Conv(chn, (3, 3), strides=2, padding=1,
+                                dtype=self.dtype, name=f"ref_enc{i}")(h)
+                    h = nn.silu(h)
+                h = jnp.mean(h, axis=(1, 2))
+                ref_embed = nn.Dense(self.cond_embed_dim - g,
+                                     dtype=self.dtype, name="ref_proj")(h)
+            emb = jnp.concatenate([emb, ref_embed.astype(emb.dtype)], axis=1)
+
         if "mask" in self.conditioning:
             if mask is None:
                 mask = jnp.zeros(x.shape[:-1] + (1,), dtype=jnp.int32)
@@ -92,6 +115,9 @@ class PaletteDenoiser(nn.Module):
                                        name="embedder_mask")(m)
             x = jnp.concatenate([x, mask_embed.astype(x.dtype)], axis=-1)
 
+        from .unet_ref_attn import UNetRefAttn
+        if isinstance(self.inner, UNetRefAttn):
+            return self.inner(x, emb, ref=ref, deterministic=deterministic)
         return self.inner(x, emb, deterministic=deterministic)
 
 
@@ -202,22 +228,22 @@ def q_posterior(schedule: NoiseSchedule, y0_hat, y_t, t):
 
 
 def _denoise(apply_fn, params, schedule, y_t, y_cond, t, cls, mask,
-             guidance_scale):
+             guidance_scale, ref=None):
     gammas = jnp.take(jnp.asarray(schedule.gammas), t)
     x_in = jnp.concatenate([y_cond, y_t], axis=-1)
-    noise_hat = apply_fn(params, x_in, gammas, cls=cls, mask=mask)
+    noise_hat = apply_fn(params, x_in, gammas, cls=cls, mask=mask, ref=ref)
     y0_hat = predict_start_from_noise(schedule, y_t, t, noise_hat)
     if guidance_scale > 0.0:
         noise_uncond = apply_fn(params, x_in, jnp.zeros_like(gammas),
-                                cls=None, mask=None)
+                                cls=None, mask=None, ref=ref)
         y0_uncond = predict_start_from_noise(schedule, y_t, t, noise_uncond)
         y0_hat = (1 + guidance_scale) * y0_hat - guidance_scale * y0_uncond
     return jnp.clip(y0_hat, -1.0, 1.0)
 
 
 def ddpm_sample(apply_fn, params, rng, schedule: NoiseSchedule, y_cond,
-                y_t=None, y_0=None, mask=None, cls=None, guidance_scale=0.0,
-                out_channel=None):
+                y_t=None, y_0=None, mask=None, cls=None, ref=None,
+                guidance_scale=0.0, out_channel=None):
     """Full ancestral DDPM chain as one lax.scan
     (reference restoration_ddpm, diffusion_generator.py:119-177)."""
     b = y_cond.shape[0]
@@ -234,7 +260,7 @@ def ddpm_sample(apply_fn, params, rng, schedule: NoiseSchedule, y_cond,
         key, sub = jax.random.split(key)
         t = jnp.full((b,), i, dtype=jnp.int32)
         y0_hat = _denoise(apply_fn, params, schedule, y, y_cond, t, cls, mask,
-                          guidance_scale)
+                          guidance_scale, ref=ref)
         mean, logvar = q_posterior(schedule, y0_hat, y, t)
         noise = jax.random.normal(sub, y.shape, dtype=y.dtype)
         y = mean + jnp.where(i > 0, 1.0, 0.0) * noise * jnp.exp(0.5 * logvar)
@@ -248,8 +274,8 @@ def ddpm_sample(apply_fn, params, rng, schedule: NoiseSchedule, y_cond,
 
 
 def ddim_sample(apply_fn, params, rng, schedule: NoiseSchedule, y_cond,
-                y_t=None, y_0=None, mask=None, cls=None, guidance_scale=0.0,
-                num_steps=10, eta=0.5, out_channel=None):
+                y_t=None, y_0=None, mask=None, cls=None, ref=None,
+                guidance_scale=0.0, num_steps=10, eta=0.5, out_channel=None):
     """DDIM sampling as one lax.scan (reference restoration_ddim,
     diffusion_generator.py:286-455). Note the reference predicts y0 directly
     from the net output in its ddim path (no eps->x0 conversion) — matched."""
@@ -272,9 +298,10 @@ def ddim_sample(apply_fn, params, rng, schedule: NoiseSchedule, y_cond,
         t = jnp.full((b,), ti, dtype=jnp.int32)
         gammas = jnp.take(jnp.asarray(schedule.gammas), t)
         x_in = jnp.concatenate([y_cond, y], axis=-1)
-        y0_hat = apply_fn(params, x_in, gammas, cls=cls, mask=mask)
+        y0_hat = apply_fn(params, x_in, gammas, cls=cls, mask=mask, ref=ref)
         if guidance_scale > 0.0:
-            y0_unc = apply_fn(params, x_in, gammas, cls=None, mask=None)
+            y0_unc = apply_fn(params, x_in, gammas, cls=None, mask=None,
+                              ref=ref)
             y0_hat = (1 + guidance_scale) * y0_hat - guidance_scale * y0_unc
         y0_hat = jnp.clip(y0_hat, -1.0, 1.0)
 

@@ -60,13 +60,17 @@ class PaletteModel(BaseModel):
             ex_mask = jnp.zeros((1, size, size, 1), jnp.int32)
         ex_g = jnp.zeros((1,), jnp.float32)
         ex_cls = jnp.zeros((1,), jnp.int32)
+        self.use_ref = ("ref" in self.conditioning
+                        or opt.G_netG == "unet_mha_ref_attn")
+        ex_ref = (jnp.zeros((1, size, size, opt.model_input_nc), jnp.float32)
+                  if self.use_ref else None)
 
         tx = make_optimizer(opt, getattr(opt, "train_G_lr", 2e-4))
         self.txs["G_A"] = tx
         state = init_net_state(
             self.next_rng(), self.netG, (ex_x, ex_g),
             tx, use_ema=self.use_ema,
-            init_kwargs={"cls": ex_cls, "mask": ex_mask})
+            init_kwargs={"cls": ex_cls, "mask": ex_mask, "ref": ex_ref})
         # shard params/opt-state over the fsdp axis, replicate over data
         pshard = param_sharding(self.mesh, state.params)
         state = state.replace(
@@ -106,16 +110,19 @@ class PaletteModel(BaseModel):
             out["mask"] = mask
         if cls is not None:
             out["cls"] = cls.astype(np.int32)
+        if self.use_ref and "ref_A" in batch:
+            out["ref"] = batch["ref_A"]
         return out
 
     # ------------------------------------------------------------------
-    def _loss_fn(self, params, rng, y_cond, gt, mask, cls):
+    def _loss_fn(self, params, rng, y_cond, gt, mask, cls, ref=None):
         # wire-compressed inputs decode on device (mesh.quantize_batch)
         y_cond = dequantize_on_device(y_cond, "image")
         gt = dequantize_on_device(gt, "image")
         mask = dequantize_on_device(mask, "label")
+        ref = dequantize_on_device(ref, "image")
         apply_fn = lambda p, x, g, cls=None, mask=None: self.netG.apply(
-            p, x, g, cls=cls, mask=mask)
+            p, x, g, cls=cls, mask=mask, ref=ref)
         noise, noise_hat, weight = palette_training_outputs(
             apply_fn, params, rng, self.sched_train, gt, y_cond,
             mask=mask, cls=cls, dropout_prob=self.dropout_prob,
@@ -137,9 +144,9 @@ class PaletteModel(BaseModel):
         tx = self.txs["G_A"]
         bsh = batch_sharding(self.mesh)
 
-        def step(state, rng, y_cond, gt, mask, cls):
+        def step(state, rng, y_cond, gt, mask, cls, ref):
             loss, grads = jax.value_and_grad(self._loss_fn)(
-                state.params, rng, y_cond, gt, mask, cls)
+                state.params, rng, y_cond, gt, mask, cls, ref)
             new_state = apply_updates(state, grads, tx, self.ema_beta)
             return new_state, {"G_tot": loss}
 
@@ -148,14 +155,15 @@ class PaletteModel(BaseModel):
 
     def optimize_parameters(self, batch):
         inp = self.set_input(batch)
-        inp = quantize_batch(inp, float_keys=("y_cond", "gt"),
+        inp = quantize_batch(inp, float_keys=("y_cond", "gt", "ref"),
                              int_keys=("mask",))
         dev = self.put_batch(inp)
         if self._jit_train_step is None:
             self._jit_train_step = self._make_train_step()
         self.states["G_A"], losses = self._jit_train_step(
             self.states["G_A"], self.next_rng(),
-            dev["y_cond"], dev["gt"], dev.get("mask"), dev.get("cls"))
+            dev["y_cond"], dev["gt"], dev.get("mask"), dev.get("cls"),
+            dev.get("ref"))
         # device scalars: the host sync happens only when a value is read
         # (print freq), not every step
         self.loss_log = losses
@@ -176,10 +184,11 @@ class PaletteModel(BaseModel):
         params = state.ema_params if (use_ema and state.ema_params is not None) \
             else state.params
 
-        key = (method, steps, eta, guidance_scale, dev["y_cond"].shape)
+        key = (method, steps, eta, guidance_scale, dev["y_cond"].shape,
+               "ref" in dev)
         if key not in self._jit_sample:
-            apply_fn = lambda p, x, g, cls=None, mask=None: self.netG.apply(
-                p, x, g, cls=cls, mask=mask)
+            apply_fn = lambda p, x, g, cls=None, mask=None, ref=None: \
+                self.netG.apply(p, x, g, cls=cls, mask=mask, ref=ref)
             if method == "ddpm":
                 fn = partial(ddpm_sample, apply_fn,
                              guidance_scale=guidance_scale,
@@ -189,11 +198,10 @@ class PaletteModel(BaseModel):
                              guidance_scale=guidance_scale,
                              out_channel=self.opt.model_output_nc)
             self._jit_sample[key] = jax.jit(
-                lambda p, rng, y_cond, y_0, mask, cls: fn(
+                lambda p, rng, y_cond, y_0, mask, cls, ref: fn(
                     p, rng, self.sched_test, y_cond, y_0=y_0, mask=mask,
-                    cls=cls))
-        y_t = None
+                    cls=cls, ref=ref))
         fake = self._jit_sample[key](
             params, self.next_rng(), dev["y_cond"], dev["gt"],
-            dev.get("mask"), dev.get("cls"))
+            dev.get("mask"), dev.get("cls"), dev.get("ref"))
         return np.asarray(jax.device_get(fake))
