@@ -211,12 +211,28 @@ class _OnlineMixin:
     """bbox-file-driven online crops (reference
     data/unaligned_labeled_mask_online_dataset.py:81-247)."""
 
+    def _sanitize(self, img_paths, mask_paths):
+        """Drop unreadable samples upfront (reference
+        data_sanitize_paths, online_creation.py:1405-1488)."""
+        if not getattr(self.opt, "data_sanitize_paths", False):
+            return img_paths, mask_paths
+        from .online_creation import sanitize_paths
+        root = self.root if getattr(self.opt, "data_relative_paths",
+                                    False) else None
+        return sanitize_paths(img_paths, mask_paths, root=root, verbose=True)
+
     def online_crop(self, img_path, bbox_path, domain="A"):
         opt = self.opt
+        # ratio deltas override pixel deltas when set (reference
+        # temporal_labeled_mask_online_dataset.py:141-145)
+        ratio = getattr(opt,
+                        f"data_online_creation_mask_delta_{domain}_ratio",
+                        [[]])
         crop, mask, ref_bbox, cat = crop_image(
             self._resolve(img_path),
             self._resolve(bbox_path),
             mask_delta=getattr(opt, f"data_online_creation_mask_delta_{domain}", [[]]),
+            mask_delta_ratio=ratio,
             mask_random_offset=getattr(
                 opt, f"data_online_creation_mask_random_offset_{domain}", [0.0]),
             crop_delta=getattr(opt, f"data_online_creation_crop_delta_{domain}", 50),
@@ -234,6 +250,16 @@ class _OnlineMixin:
 
 
 class UnalignedLabeledMaskOnlineDataset(UnalignedLabeledMaskDataset, _OnlineMixin):
+    def __init__(self, opt, phase, name=""):
+        super().__init__(opt, phase, name)
+        self.A_img_paths, self.A_mask_paths = self._sanitize(
+            self.A_img_paths, self.A_mask_paths)
+        self.A_size = len(self.A_img_paths)
+        if self.B_size:
+            self.B_img_paths, self.B_mask_paths = self._sanitize(
+                self.B_img_paths, self.B_mask_paths)
+            self.B_size = len(self.B_img_paths)
+
     def get_img(self, A_path, A_mask_path, A_cls, B_path=None, B_mask_path=None,
                 B_cls=None):
         try:

@@ -41,6 +41,16 @@ class PairedTransform:
         self.rotate = phase == "train" and not getattr(opt, "dataaug_no_rotate", True)
         self.train = phase == "train"
         self.grayscale = grayscale
+        self.affine_p = float(getattr(opt, "dataaug_affine", 0.0) or 0.0)
+        self.affine_scale_min = float(getattr(opt, "dataaug_affine_scale_min",
+                                              0.8) or 0.8)
+        self.affine_scale_max = float(getattr(opt, "dataaug_affine_scale_max",
+                                              1.2) or 1.2)
+        self.affine_shear = float(getattr(opt, "dataaug_affine_shear", 0)
+                                  or 0.0)
+        self.affine_translate = float(getattr(opt, "dataaug_affine_translate",
+                                              0.1) or 0.1)
+        self.imgaug = bool(getattr(opt, "dataaug_imgaug", False))
 
     def sample_params(self, rng=None):
         rng = rng or random
@@ -55,6 +65,31 @@ class PairedTransform:
             p["off_y"] = rng.randint(0, max_off) if max_off else 0
         else:
             p["off_x"] = p["off_y"] = max_off // 2
+        # affine params (reference dataaug_affine, RandomAffine in
+        # base_dataset.py; mask-synchronized since both use the same p)
+        if self.train and getattr(self, "affine_p", 0.0) > 0 \
+                and rng.random() < self.affine_p:
+            p["affine"] = {
+                "angle": rng.uniform(-10, 10),
+                "scale": rng.uniform(self.affine_scale_min,
+                                     self.affine_scale_max),
+                "shear": rng.uniform(-self.affine_shear, self.affine_shear),
+                "tx": rng.uniform(-self.affine_translate,
+                                  self.affine_translate),
+                "ty": rng.uniform(-self.affine_translate,
+                                  self.affine_translate),
+            }
+        # photometric weather/color aug (reference RandomImgAug, imgaug
+        # weather stack, base_dataset.py:1056-1133 — cv2 approximations;
+        # IMAGE ONLY, never the mask)
+        if self.train and getattr(self, "imgaug", False) \
+                and rng.random() < 0.5:
+            p["photo"] = {
+                "brightness": rng.uniform(-0.15, 0.15),
+                "contrast": rng.uniform(0.85, 1.15),
+                "blur": rng.random() < 0.2,
+                "noise": rng.uniform(0.0, 0.03),
+            }
         return p
 
     def _geo(self, img: Image.Image, params, resample):
@@ -77,12 +112,33 @@ class PairedTransform:
             img = img.transpose(Image.FLIP_TOP_BOTTOM)
         if params["rot90"]:
             img = img.transpose(Image.ROTATE_90)
+        aff = params.get("affine")
+        if aff:
+            w, h = img.size
+            img = img.transform(
+                (w, h), Image.AFFINE,
+                _affine_coeffs(w, h, aff["angle"], aff["scale"], aff["shear"],
+                               aff["tx"] * w, aff["ty"] * h),
+                resample=resample)
         return img
 
     def image(self, img: Image.Image, params):
         img = self._geo(img, params, Image.BICUBIC)
+        u8 = np.asarray(img, dtype=np.uint8)
+        photo = params.get("photo")
+        if photo:
+            import cv2
+            f = u8.astype(np.float32)
+            f = (f - 127.5) * photo["contrast"] + 127.5 \
+                + photo["brightness"] * 255.0
+            if photo["blur"]:
+                f = cv2.GaussianBlur(f, (3, 3), 0)
+            if photo["noise"] > 0:
+                f = f + np.random.randn(*f.shape).astype(np.float32) \
+                    * photo["noise"] * 255.0
+            u8 = f.clip(0, 255).astype(np.uint8)
         from .native import normalize_u8  # C kernel, numpy fallback
-        arr = normalize_u8(np.asarray(img, dtype=np.uint8))
+        arr = normalize_u8(u8)
         if arr.ndim == 2:
             arr = arr[:, :, None]
         return arr  # (H, W, C) in [-1, 1]
@@ -93,6 +149,28 @@ class PairedTransform:
         if arr.ndim == 3:
             arr = arr[:, :, 0]
         return arr[:, :, None]  # (H, W, 1) int32
+
+
+def _affine_coeffs(w, h, angle, scale, shear, tx, ty):
+    """PIL inverse-affine coefficients around the image center."""
+    import math as _m
+    a = _m.radians(angle)
+    sh = _m.radians(shear)
+    cx, cy = w / 2.0, h / 2.0
+    # forward matrix: rotate*scale*shear then translate
+    m00 = _m.cos(a) * scale
+    m01 = (-_m.sin(a + sh)) * scale
+    m10 = _m.sin(a) * scale
+    m11 = _m.cos(a + sh) * scale
+    det = m00 * m11 - m01 * m10 or 1e-8
+    i00, i01 = m11 / det, -m01 / det
+    i10, i11 = -m10 / det, m00 / det
+    # inverse maps output pixel -> input pixel, pivoting on the center
+    ox = cx + tx
+    oy = cy + ty
+    c0 = cx - i00 * ox - i01 * oy
+    c1 = cy - i10 * ox - i11 * oy
+    return (i00, i01, c0, i10, i11, c1)
 
 
 def fill_mask_with_random(img, mask, cls=-1):

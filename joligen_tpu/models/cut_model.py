@@ -173,6 +173,39 @@ class CUTModel(BaseModel):
         n = len(fq)
         return total / n, total_src / n
 
+    def _compose_context(self, fake, real_src):
+        """With online context pixels, the generator owns only the inner
+        crop; the context margin is copied from the source image before the
+        discriminator sees it (reference compute_fake_with_context,
+        base_model.py:609-637)."""
+        c = int(getattr(self.opt, "data_online_context_pixels", 0) or 0)
+        if c <= 0:
+            return fake
+        inner = fake[:, c:-c, c:-c, :]
+        return real_src.at[:, c:-c, c:-c, :].set(inner.astype(real_src.dtype))
+
+    def compute_D_accuracy(self, batch):
+        """Precision/recall/accuracy of each D on a batch (reference
+        compute_D_accuracy_pred, base_gan_model.py:222-246)."""
+        inp = self.set_input(batch)
+        dev = self.put_batch(inp)
+        fake = self.netG.apply(self.states["G_A"].params, dev["real_A"])
+        out = {}
+        for name, netD in self.netDs.items():
+            pr = np.asarray(jax.device_get(
+                netD.apply(self.states[name].params, dev["real_B"]))).ravel()
+            pf = np.asarray(jax.device_get(
+                netD.apply(self.states[name].params, fake))).ravel()
+            tp = float((pr > 0.5).sum())
+            fn = float((pr <= 0.5).sum())
+            tn = float((pf <= 0.5).sum())
+            fp = float((pf > 0.5).sum())
+            eps = 1e-8
+            out[f"{name}_prec_real"] = tp / (tp + fp + eps)
+            out[f"{name}_rec_real"] = tp / (tp + fn + eps)
+            out[f"{name}_acc"] = (tp + tn) / (tp + tn + fp + fn + eps)
+        return out
+
     def _augment(self, rng, img):
         """diff-aug policy applied to D inputs in both G and D loss paths
         (reference base_gan_model.py:437-439)."""
@@ -186,7 +219,8 @@ class CUTModel(BaseModel):
         fake_B = self.netG.apply(paramsG, real_A)
         losses = {}
         rng, rng_aug = jax.random.split(rng)
-        fake_for_D = self._augment(rng_aug, fake_B)
+        fake_for_D = self._augment(rng_aug,
+                                   self._compose_context(fake_B, real_A))
         # GAN term over all discriminators (base_gan_model.py:463-503)
         g_gan = 0.0
         for name, netD in self.netDs.items():
@@ -260,7 +294,8 @@ class CUTModel(BaseModel):
             losses["G_tot"] = gtot
 
             # --- fake pool
-            fake_sg = jax.lax.stop_gradient(fake_B)
+            fake_sg = jax.lax.stop_gradient(
+                self._compose_context(fake_B, inp["real_A"]))
             pool, pooled_fake = pool.query(rngs[1], fake_sg)
 
             # --- discriminators (compute_D_loss, base_gan_model.py:382-419)

@@ -157,6 +157,16 @@ def launch_training(opt):
                 except Exception as e:  # visuals must never kill training
                     print(f"visuals failed: {e}")
 
+            if (getattr(opt, "train_compute_D_accuracy", False)
+                    and hasattr(model, "compute_D_accuracy")
+                    and total_iters % max(
+                        batch, (getattr(opt, "train_D_accuracy_every", 1000)
+                                // batch) * batch) == 0):
+                acc = model.compute_D_accuracy(data)
+                print("D accuracy: " + " ".join(
+                    f"{k}: {v:.3f}" for k, v in acc.items()), flush=True)
+                visualizer.log_metrics(epoch, total_iters, acc)
+
             if compute_metrics and metric_loaders and total_iters % max(
                     batch, (metrics_every // batch) * batch) == 0:
                 for name, ml in metric_loaders:
