@@ -86,6 +86,35 @@ class BaseModel:
             pickle.dump({n: jax.device_get(s.opt_state)
                          for n, s in self.states.items()}, f)
 
+    @staticmethod
+    def _adapt_loaded(target, loaded):
+        """Shape-tolerant restore (reference base_model.py:957-1188 remaps
+        keys and interpolates positional embeddings on resolution change):
+        matching leaves load as-is; (1,T,D) token tables with differing T
+        are linearly resized; anything else keeps the fresh init."""
+        from flax import traverse_util
+        tf = traverse_util.flatten_dict(target)
+        lf = traverse_util.flatten_dict(loaded)
+        out = {}
+        for k, tv in tf.items():
+            lv = lf.get(k)
+            if lv is None:
+                out[k] = tv
+            elif tuple(lv.shape) == tuple(tv.shape):
+                out[k] = lv
+            elif (getattr(lv, "ndim", 0) == 3 and lv.shape[0] == 1
+                  and lv.shape[-1] == tv.shape[-1]):
+                import jax.image
+                out[k] = np.asarray(jax.image.resize(
+                    jnp.asarray(lv), tv.shape, "linear"))
+                print(f"resized token table {'/'.join(map(str, k))}: "
+                      f"{lv.shape} -> {tv.shape}")
+            else:
+                print(f"shape mismatch for {'/'.join(map(str, k))} "
+                      f"({lv.shape} vs {tv.shape}); keeping fresh init")
+                out[k] = tv
+        return traverse_util.unflatten_dict(out)
+
     def load_networks(self, prefix, load_optim=True, strict=True):
         for name, state in self.states.items():
             path = self._net_path(prefix, name)
@@ -94,8 +123,14 @@ class BaseModel:
                     raise FileNotFoundError(path)
                 continue
             with open(path, "rb") as f:
-                params = serialization.from_bytes(jax.device_get(state.params),
-                                                  f.read())
+                blob = f.read()
+            target = jax.device_get(state.params)
+            try:
+                params = serialization.from_bytes(target, blob)
+            except ValueError:
+                # resolution / config drift: tolerant leaf-wise restore
+                loaded = serialization.msgpack_restore(blob)
+                params = self._adapt_loaded(target, loaded)
             new = state.replace(params=jax.device_put(params))
             epath = self._net_path(prefix, name, ema=True)
             if state.ema_params is not None and os.path.exists(epath):
