@@ -42,14 +42,25 @@ class MATModel(BaseModel):
         base = max(16, int(getattr(opt, "G_ngf", 64)))
         size = opt.data_crop_size
         cout = opt.model_output_nc
+        self.motion = bool(getattr(opt, "alg_mat_motion", False))
+        self.num_frames = int(getattr(opt, "data_temporal_number_frames", 1)
+                              or 1)
 
         self.netG = MATGenerator(base=base, out_channels=cout,
-                         w_dim=self.w_dim, z_dim=self.z_dim)
+                                 w_dim=self.w_dim, z_dim=self.z_dim,
+                                 frames=(self.num_frames if self.motion
+                                         else 1))
         self.netD = MATDiscriminator(base=max(16, int(getattr(opt, "D_ndf",
                                                               64))))
 
-        ex_img = jnp.zeros((1, size, size, cout), jnp.float32)
-        ex_mask = jnp.ones((1, size, size, 1), jnp.float32)
+        if self.motion:
+            ex_img = jnp.zeros((1, self.num_frames, size, size, cout),
+                               jnp.float32)
+            ex_mask = jnp.ones((1, self.num_frames, size, size, 1),
+                               jnp.float32)
+        else:
+            ex_img = jnp.zeros((1, size, size, cout), jnp.float32)
+            ex_mask = jnp.ones((1, size, size, 1), jnp.float32)
         ex_z = jnp.zeros((1, self.z_dim), jnp.float32)
 
         txG = make_optimizer(opt, getattr(opt, "train_G_lr", 2e-3))
@@ -59,8 +70,12 @@ class MATModel(BaseModel):
             self.next_rng(), self.netG, (ex_img, ex_mask, ex_z), txG,
             use_ema=True,
             init_kwargs={"rng": jax.random.PRNGKey(0)})
+        ex_d = (jnp.zeros((1, size, size, cout), jnp.float32)
+                if self.motion else ex_img)
+        ex_dm = (jnp.ones((1, size, size, 1), jnp.float32)
+                 if self.motion else ex_mask)
         self.states["D"] = init_net_state(
-            self.next_rng(), self.netD, (ex_img, ex_mask, ex_img), txD)
+            self.next_rng(), self.netD, (ex_d, ex_dm, ex_d), txD)
         # perceptual net (fixed random VGG features; weight-gated parity)
         from ..utils.metrics import _VGGish
         self._vgg = _VGGish()
@@ -112,17 +127,20 @@ class MATModel(BaseModel):
             z = jax.random.normal(rngs[0], (real.shape[0], self.z_dim))
 
             # ---- G update
+            def fold(a):
+                return (a.reshape((-1,) + a.shape[2:]) if a.ndim == 5 else a)
+
             def g_loss(pG):
                 fake, stg1, w = self.netG.apply(pG, real, mask, z,
                                                 rng=rngs[1],
                                                 return_stg1=True,
                                                 return_w=True)
                 lg, lg1 = self.netD.apply(
-                    jax.lax.stop_gradient(states["D"].params), fake, mask,
-                    stg1)
+                    jax.lax.stop_gradient(states["D"].params), fold(fake),
+                    fold(mask), fold(stg1))
                 adv = jnp.mean(softplus(-lg))
                 adv1 = jnp.mean(softplus(-lg1))
-                pcp = self._pcp(fake, real) * self.pcp_ratio
+                pcp = self._pcp(fold(fake), fold(real)) * self.pcp_ratio
                 l1 = jnp.mean(jnp.abs(fake - real))
                 tot = adv + adv1 + pcp
                 return tot, {"G_adv": adv, "G_adv_stg1": adv1, "G_pcp": pcp,
@@ -143,17 +161,22 @@ class MATModel(BaseModel):
             w_avg = w_avg * 0.995 + jnp.mean(w, axis=0) * 0.005
 
             # ---- D update (+ lazy R1)
+            real_d = fold(real)
+            mask_d = fold(mask)
+            fake_d = fold(fake)
+            stg1_d = fold(stg1)
+
             def d_loss(pD):
-                lf, lf1 = self.netD.apply(pD, fake, mask, stg1)
-                lr_, lr1 = self.netD.apply(pD, real, mask, real)
+                lf, lf1 = self.netD.apply(pD, fake_d, mask_d, stg1_d)
+                lr_, lr1 = self.netD.apply(pD, real_d, mask_d, real_d)
                 main = (jnp.mean(softplus(lf)) + jnp.mean(softplus(-lr_))
                         + jnp.mean(softplus(lf1)) + jnp.mean(softplus(-lr1)))
 
                 def r1():
                     def d_real(img):
-                        a, b = self.netD.apply(pD, img, mask, img)
+                        a, b = self.netD.apply(pD, img, mask_d, img)
                         return jnp.sum(a) + jnp.sum(b)
-                    g = jax.grad(d_real)(real)
+                    g = jax.grad(d_real)(real_d)
                     pen = jnp.mean(jnp.sum(g ** 2, axis=(1, 2, 3)))
                     return pen * (self.r1_gamma / 2) * self.r1_every
 

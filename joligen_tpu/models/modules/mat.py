@@ -288,10 +288,15 @@ class Encoder(nn.Module):
 
 class Decoder(nn.Module):
     """StyleGAN2 decoder with skips and RGB accumulation
-    (reference Decoder + DecBlock, mat.py:815-905)."""
+    (reference Decoder + DecBlock, mat.py:815-905). With ``frames > 1`` a
+    temporal MotionModule follows each level (reference MAT motion
+    finetuning, mat_model.py:404-520 — zero-init so image checkpoints
+    finetune into video)."""
     base: int = 64
     levels: int = 4
     out_channels: int = 3
+    frames: int = 1
+    motion_heads: int = 4
 
     @nn.compact
     def __call__(self, h, feats, ws, rng=None):
@@ -306,6 +311,14 @@ class Decoder(nn.Module):
                 h = h + EqualConv(ch, kernel=1, act=False,
                                   name=f"skip{i}")(skip)
             h = StyleConv(ch, name=f"up{i}b")(h, ws, rngs[2 * i + 1])
+            if self.frames > 1:
+                from .motion import MotionModule
+                bf, hh, ww, c = h.shape
+                h5 = h.reshape(bf // self.frames, self.frames, hh, ww, c)
+                h5 = MotionModule(num_heads=self.motion_heads,
+                                  num_transformer_blocks=1,
+                                  name=f"motion{i}")(h5)
+                h = h5.reshape(bf, hh, ww, c)
             img = ToRGB(self.out_channels, name=f"rgb{i}")(h, ws, img)
         return img
 
@@ -318,10 +331,17 @@ class MATGenerator(nn.Module):
     z_dim: int = 512
     c_dim: int = 0
     out_channels: int = 3
+    frames: int = 1   # >1 = video finetuning (motion modules in the decoder)
 
     @nn.compact
     def __call__(self, img, mask, z, c=None, rng=None, return_stg1=False,
                  return_w=False):
+        video = img.ndim == 5
+        if video:
+            b, f = img.shape[:2]
+            img = img.reshape((b * f,) + img.shape[2:])
+            mask = mask.reshape((b * f,) + mask.shape[2:])
+            z = jnp.repeat(z, f, axis=0)   # one latent per sequence
         mask = jnp.clip(mask.astype(img.dtype), 0.0, 1.0)
         w = MappingNet(w_dim=self.w_dim, c_dim=self.c_dim,
                        name="mapping")(z, c)
@@ -333,8 +353,13 @@ class MATGenerator(nn.Module):
         h, feats = Encoder(base=self.base, name="encoder")(x)
         out = Decoder(base=self.base, levels=4,
                       out_channels=self.out_channels,
+                      frames=(self.frames if video else 1),
                       name="decoder")(h, feats, w, r2)
         out = out * (1 - mask) + img * mask
+        if video:
+            out = out.reshape((b, f) + out.shape[1:])
+            stg1 = stg1.reshape((b, f) + stg1.shape[1:])
+            w = w.reshape(b, f, -1)[:, 0]
         extra = ()
         if return_stg1:
             extra += (stg1,)

@@ -105,6 +105,65 @@ class PaletteModel(BaseModel):
                 mask = mask.reshape((b * f,) + mask.shape[2:])
             if cls is not None:
                 cls = np.repeat(np.asarray(cls), f)
+        # conditioning-image creation modes (reference palette_model.py:
+        # 375-556): y_t = dataset A (masked-noise copy); computed_sketch
+        # fills the masked region with an edge map; low_res downsamples the
+        # target for super-resolution; previous_frame shifts video frames.
+        creation = getattr(self.opt, "alg_diffusion_cond_image_creation",
+                           "y_t") or "y_t"
+        EDGE_MODES = ("computed_sketch", "sketch", "canny", "depth", "hed",
+                      "hough", "sam")
+        if creation in EDGE_MODES and mask is not None:
+            from ..utils.mask_generation import random_edge_mask
+            if creation == "computed_sketch":   # randomized per-sample list
+                fns = (getattr(self.opt,
+                               "alg_diffusion_cond_computed_sketch_list",
+                               None) or ["canny"])
+            else:
+                fns = [creation]
+            rng_canny = getattr(self.opt,
+                                "alg_diffusion_cond_sketch_canny_range",
+                                [0, 765]) or [0, 765]
+            flat_c = cond.reshape((-1,) + cond.shape[-3:])
+            flat_m = mask.reshape((-1,) + mask.shape[-3:])
+            flat_g = gt.reshape((-1,) + gt.shape[-3:])
+            canny_drop = getattr(self.opt, "alg_diffusion_vid_canny_dropout",
+                                 [[]]) or [[]]
+            drop_lo = (float(canny_drop[0][0])
+                       if canny_drop and canny_drop[0] else 0.0)
+            import random as _rnd
+            sketches = []
+            for g_i, m_i in zip(flat_g, flat_m):
+                if drop_lo > 0.0 and _rnd.random() < drop_lo:
+                    sketches.append(np.zeros_like(g_i))  # per-frame dropout
+                    continue
+                sketches.append(random_edge_mask(
+                    fns, g_i, m_i,
+                    low_threshold_random=int(min(rng_canny)),
+                    high_threshold_random=int(max(rng_canny))))
+            cond = np.stack(sketches).reshape(cond.shape)
+        elif creation == "low_res":
+            import cv2
+            factor = max(2, int(getattr(self.opt,
+                                        "alg_diffusion_super_resolution_scale",
+                                        2) or 2))
+            flat_g = gt.reshape((-1,) + gt.shape[-3:])
+            lows = []
+            for g_i in flat_g:
+                small = cv2.resize(g_i, (g_i.shape[1] // factor,
+                                         g_i.shape[0] // factor),
+                                   interpolation=cv2.INTER_AREA)
+                lows.append(cv2.resize(small, (g_i.shape[1], g_i.shape[0]),
+                                       interpolation=cv2.INTER_CUBIC))
+            cond = np.stack(lows).reshape(gt.shape).astype(np.float32)
+            mask = None
+        elif creation == "previous_frame" and gt.ndim >= 4 \
+                and batch["B"].ndim == 5:
+            # cond frame k = gt frame k-1 (first frame conditions on itself)
+            prev = np.concatenate([batch["B"][:, :1], batch["B"][:, :-1]],
+                                  axis=1)
+            cond = (prev.reshape(cond.shape) if not self.is_video
+                    else prev)
         out = {"y_cond": cond, "gt": gt}
         if mask is not None:
             out["mask"] = mask

@@ -94,11 +94,31 @@ def _compose(img, cond, mask, select_mask):
     return (img * (1.0 - m) + cond * m).astype(np.float32)
 
 
+def fill_img_with_hough(img, mask, select_mask=True, **kw):
+    """MLSD line-segment conditioning (reference mbv2_mlsd nets need
+    downloaded weights): cv2 HoughLinesP drawn white-on-black instead."""
+    import cv2
+    u8 = cv2.cvtColor(_to_uint8(img), cv2.COLOR_RGB2GRAY) \
+        if img.shape[-1] == 3 else _to_uint8(img)[..., 0]
+    edges = cv2.Canny(u8, 50, 150)
+    lines = cv2.HoughLinesP(edges, 1, np.pi / 180, threshold=20,
+                            minLineLength=5, maxLineGap=3)
+    canvas = np.zeros_like(u8)
+    if lines is not None:
+        for x1, y1, x2, y2 in lines[:, 0]:
+            cv2.line(canvas, (x1, y1), (x2, y2), 255, 1)
+    c3 = np.repeat(canvas[:, :, None], img.shape[-1], axis=2)
+    return _compose(img, _from_uint8(c3), mask, select_mask)
+
+
 EDGE_FILLERS = {
     "canny": fill_img_with_canny,
     "sketch": fill_img_with_sketch,
     "hed": fill_img_with_hed,
     "depth": fill_img_with_depth,
+    "hough": fill_img_with_hough,
+    # SAM sketch needs SAM weights (zero-egress); sobel sketch stands in
+    "sam": fill_img_with_sketch,
 }
 
 

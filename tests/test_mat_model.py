@@ -57,6 +57,32 @@ def test_mat_discriminator():
     assert l.shape == (2, 1) and l1.shape == (2, 1)
 
 
+def test_mat_motion_video(tmp_path):
+    """MAT motion finetuning: 5D clips through G (motion modules in the
+    decoder), per-frame D, finite losses, video-shaped inference."""
+    from joligen_tpu.models import create_model
+    rng = np.random.RandomState(0)
+    opt = TrainOptions().parse_cli([
+        "--dataroot", "/tmp/none", "--model_type", "mat",
+        "--data_dataset_mode", "self_supervised_vid_mask_online",
+        "--data_crop_size", "32", "--data_load_size", "32",
+        "--G_ngf", "16", "--D_ndf", "16",
+        "--alg_mat_z_dim", "64", "--alg_mat_w_dim", "64", "--alg_mat_motion",
+        "--data_temporal_number_frames", "2",
+        "--train_batch_size", "1",
+        "--checkpoints_dir", str(tmp_path), "--name", "mv"])
+    opt.steps_per_epoch = 2
+    m = create_model(opt)
+    imgs = rng.uniform(-1, 1, (2, 2, 32, 32, 3)).astype(np.float32)
+    batch = {"B": imgs,
+             "B_label_mask": rng.randint(0, 2, (2, 2, 32, 32, 1)).astype(
+                 np.int32)}
+    losses = m.optimize_parameters(batch)
+    assert np.isfinite(losses["G_tot"]) and np.isfinite(losses["D_tot"])
+    fake = m.inference(batch)
+    assert fake.shape == imgs.shape and np.isfinite(fake).all()
+
+
 def test_mat_train_and_infer(fakeds, tmp_path):
     from joligen_tpu.data import create_dataloader, create_dataset
     from joligen_tpu.models import create_model
