@@ -1,0 +1,67 @@
+"""Shipped example configs parse cleanly; palette conditioning-creation
+modes (canny/hough/low_res/previous_frame) train end-to-end."""
+
+import glob
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from tools.make_fake_dataset import make as make_fake  # noqa: E402
+
+from joligen_tpu.options import TrainOptions  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_examples_parse():
+    paths = sorted(glob.glob(os.path.join(REPO, "examples", "*.json")))
+    assert len(paths) >= 6
+    import io
+    import contextlib
+    for p in paths:
+        err = io.StringIO()
+        with contextlib.redirect_stderr(err):
+            opt = TrainOptions().parse_json(json.load(open(p)))
+        assert "unknown keys" not in err.getvalue(), (p, err.getvalue())
+        assert opt.model_type
+
+
+@pytest.fixture(scope="module")
+def fakeds(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("ds"))
+    make_fake(root, n=6, size=32)
+    return root
+
+
+@pytest.mark.parametrize("mode,task", [
+    ("canny", "inpainting"),
+    ("hough", "inpainting"),
+    ("low_res", "super_resolution"),
+])
+def test_palette_cond_creation(fakeds, tmp_path, mode, task):
+    from joligen_tpu.data import create_dataloader, create_dataset
+    from joligen_tpu.models import create_model
+    opt = TrainOptions().parse_cli([
+        "--dataroot", fakeds, "--model_type", "palette",
+        "--data_dataset_mode", "self_supervised_labeled_mask",
+        "--data_relative_paths",
+        "--data_crop_size", "16", "--data_load_size", "16",
+        "--G_netG", "unet_mha", "--G_ngf", "8",
+        "--G_unet_mha_channel_mults", "1", "2",
+        "--G_unet_mha_res_blocks", "1", "1", "--G_unet_mha_attn_res", "4",
+        "--G_diff_n_timestep_train", "20", "--G_diff_n_timestep_test", "5",
+        "--alg_diffusion_cond_image_creation", mode,
+        "--alg_diffusion_task", task,
+        "--train_batch_size", "2",
+        "--checkpoints_dir", str(tmp_path), "--name", "c",
+        "--data_num_threads", "2"])
+    opt.steps_per_epoch = 2
+    ds = create_dataset(opt, "train")
+    batch = next(iter(create_dataloader(opt, ds)))
+    m = create_model(opt)
+    loss = m.optimize_parameters(batch)["G_tot"]
+    assert np.isfinite(loss)
