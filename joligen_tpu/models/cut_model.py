@@ -95,10 +95,14 @@ class CUTModel(BaseModel):
         self.txs["F"] = txF
         self.states["F"] = init_net_state(rngs[1], self.netF, (feats, ex_ids), txF)
 
+        nf = int(getattr(opt, "data_temporal_number_frames", 2) or 2)
+        ex_clip = jnp.zeros((1, nf, size, size, opt.model_input_nc),
+                            jnp.float32)
         for i, (name, netD) in enumerate(self.netDs.items()):
             tx = make_optimizer(opt, getattr(opt, "train_D_lr", 2e-4))
             self.txs[name] = tx
-            self.states[name] = init_net_state(rngs[2 + i], netD, (ex_img,), tx)
+            ex_d = ex_clip if "temporal" in name else ex_img
+            self.states[name] = init_net_state(rngs[2 + i], netD, (ex_d,), tx)
 
         if self.semantic_cls:
             self.netCLS = define_C(opt)
@@ -141,6 +145,24 @@ class CUTModel(BaseModel):
         if "A_label_mask" in batch:
             out["mask_A"] = batch["A_label_mask"]
         return out
+
+    @property
+    def _video(self):
+        """GAN video mode: temporal datasets feed (B,F,H,W,C); the G runs
+        per-frame and the temporal projected D judges whole clips
+        (reference base_gan_model temporal fakes + temporal D)."""
+        return "temporal" in self.netDs or any(
+            "temporal" in n for n in self.netDs)
+
+    @staticmethod
+    def _fold(a):
+        return a.reshape((-1,) + a.shape[2:]) if a is not None and \
+            getattr(a, "ndim", 0) == 5 else a
+
+    def _temporal_criterion(self, fake_clip):
+        """MSE between consecutive generated frames (reference
+        compute_temporal_criterion_loss, base_gan_model.py)."""
+        return jnp.mean((fake_clip[:, 1:] - fake_clip[:, :-1]) ** 2)
 
     # ------------------------------------------------------------------
     def _nce(self, fq, fk, batch):
@@ -215,8 +237,12 @@ class CUTModel(BaseModel):
         return diff_augment(rng, img, self.diff_policy, self.diff_prob)
 
     def _g_loss(self, paramsG, paramsF, d_params, rng, inp):
-        real_A, real_B = inp["real_A"], inp["real_B"]
+        real_A5, real_B5 = inp["real_A"], inp["real_B"]
+        video = getattr(real_A5, "ndim", 4) == 5
+        real_A, real_B = self._fold(real_A5), self._fold(real_B5)
         fake_B = self.netG.apply(paramsG, real_A)
+        fake_clip = (fake_B.reshape(real_A5.shape[:2] + fake_B.shape[1:])
+                     if video else None)
         losses = {}
         rng, rng_aug = jax.random.split(rng)
         fake_for_D = self._augment(rng_aug,
@@ -224,7 +250,9 @@ class CUTModel(BaseModel):
         # GAN term over all discriminators (base_gan_model.py:463-503)
         g_gan = 0.0
         for name, netD in self.netDs.items():
-            pred = netD.apply(d_params[name], fake_for_D)
+            d_in = (fake_clip if ("temporal" in name and fake_clip
+                                  is not None) else fake_for_D)
+            pred = netD.apply(d_params[name], d_in)
             if self.gan_mode == "projected":
                 g_gan += -jnp.mean(pred)
             elif self.gan_mode == "wgangp":
@@ -232,6 +260,14 @@ class CUTModel(BaseModel):
             else:
                 g_gan += gan_loss(pred, True, self.gan_mode)
         losses["G_GAN"] = g_gan * self.lambda_gan
+
+        if fake_clip is not None and (getattr(self.opt,
+                                              "train_temporal_criterion",
+                                              False) or self._video):
+            lam_t = float(getattr(self.opt,
+                                  "train_temporal_criterion_lambda", 1.0)
+                          or 1.0)
+            losses["G_temporal"] = lam_t * self._temporal_criterion(fake_clip)
 
         rng_nce, rng_idt = jax.random.split(rng)
         nce, src = self._nce_total(paramsG, paramsF, real_A, fake_B, rng_nce)
@@ -255,12 +291,13 @@ class CUTModel(BaseModel):
             losses["G_sem_mask"] = self.mask_lambda * jnp.mean(
                 _softmax_ce(logits, inp["mask_A"][..., 0]))
             if self.out_mask:
-                m = jnp.clip(inp["mask_A"].astype(fake_B.dtype), 0, 1)
+                m = jnp.clip(self._fold(inp["mask_A"]).astype(fake_B.dtype),
+                             0, 1)
                 losses["G_out_mask"] = self.lambda_out_mask * jnp.mean(
                     jnp.abs(fake_B * (1 - m) - real_A * (1 - m)))
 
         total = sum(losses.values())
-        return total, (losses, fake_B, idt_B)
+        return total, (losses, fake_B, idt_B, fake_clip)
 
     def _make_step(self):
         txG, txF = self.txs["G_A"], self.txs["F"]
@@ -283,23 +320,29 @@ class CUTModel(BaseModel):
                 inp["_fs_params"] = jax.lax.stop_gradient(states["f_s"].params)
 
             # --- G + F group
-            (gtot, (losses, fake_B, idt_B)), grads = jax.value_and_grad(
-                lambda pG, pF: self._g_loss(pG, pF, d_params, rngs[0], inp),
-                argnums=(0, 1), has_aux=True)(
-                    states["G_A"].params, states["F"].params)
+            (gtot, (losses, fake_B, idt_B, fake_clip)), grads = \
+                jax.value_and_grad(
+                    lambda pG, pF: self._g_loss(pG, pF, d_params, rngs[0],
+                                                inp),
+                    argnums=(0, 1), has_aux=True)(
+                        states["G_A"].params, states["F"].params)
             states = dict(states)
             states["G_A"] = apply_updates(states["G_A"], grads[0], txG,
                                           self.ema_beta)
             states["F"] = apply_updates(states["F"], grads[1], txF)
             losses["G_tot"] = gtot
 
-            # --- fake pool
+            # --- fake pool (frame-level; video frames fold into it)
             fake_sg = jax.lax.stop_gradient(
-                self._compose_context(fake_B, inp["real_A"]))
+                self._compose_context(fake_B, self._fold(inp["real_A"])))
             pool, pooled_fake = pool.query(rngs[1], fake_sg)
 
             # --- discriminators (compute_D_loss, base_gan_model.py:382-419)
-            real_B = inp["real_B"]
+            real_B5 = inp["real_B"]
+            video = getattr(real_B5, "ndim", 4) == 5
+            real_B = self._fold(real_B5)
+            fake_clip_sg = (jax.lax.stop_gradient(fake_clip)
+                            if fake_clip is not None else None)
             fake_in = pooled_fake
             real_in = real_B
             if self.d_noise > 0:  # dataaug_D_noise
@@ -319,11 +362,14 @@ class CUTModel(BaseModel):
             apa_logits_real = None
             for n in d_names:
                 netD = self.netDs[n]
+                temporal = "temporal" in n and fake_clip_sg is not None
+                d_real = real_B5 if temporal else real_in
+                d_fake = fake_clip_sg if temporal else fake_in
 
-                def d_loss(p):
-                    logits_real = netD.apply(p, real_in)
+                def d_loss(p, d_real=d_real, d_fake=d_fake):
+                    logits_real = netD.apply(p, d_real)
                     lr = gan_loss(logits_real, True, self.gan_mode)
-                    lf = gan_loss(netD.apply(p, fake_in), False,
+                    lf = gan_loss(netD.apply(p, d_fake), False,
                                   self.gan_mode)
                     return 0.5 * (lr + lf), logits_real
 

@@ -264,3 +264,23 @@ class PaletteModel(BaseModel):
             params, self.next_rng(), dev["y_cond"], dev["gt"],
             dev.get("mask"), dev.get("cls"), dev.get("ref"))
         return np.asarray(jax.device_get(fake))
+
+    def inference_per_class(self, batch, nb_classes=None, **kwargs):
+        """One sampled output per semantic class: the mask/class labels are
+        overridden with each class id in turn (reference palette_model.py:
+        650-690, alg_diffusion_generate_per_class). Returns
+        {class_id: (B,H,W,C)}."""
+        nb_classes = nb_classes or max(
+            getattr(self.opt, "f_s_semantic_nclasses", 2),
+            getattr(self.opt, "cls_semantic_nclasses", 2)) - 1
+        outs = {}
+        for i in range(1, nb_classes + 1):
+            b2 = dict(batch)
+            if "class" in self.conditioning and "B_label_cls" in batch:
+                b2["B_label_cls"] = np.full_like(
+                    np.asarray(batch["B_label_cls"]), i)
+            if "mask" in self.conditioning and "B_label_mask" in batch:
+                m = np.clip(np.asarray(batch["B_label_mask"]), 0, 1) * i
+                b2["B_label_mask"] = m.astype(np.int32)
+            outs[i] = self.inference(b2, **kwargs)
+        return outs

@@ -132,6 +132,27 @@ def test_b2b_vit_vid_autoregressive_train_sample(vidds, tmp_path):
     assert np.isfinite(fake).all()
 
 
+def test_gan_video_temporal_d(vidds, tmp_path):
+    """CUT on a temporal dataset: per-frame G, temporal projected D on
+    clips, temporal MSE criterion."""
+    from joligen_tpu.data import create_dataloader, create_dataset
+    from joligen_tpu.models import create_model
+
+    opt = _opt(
+        vidds, tmp_path,
+        model_type="cut", G_netG="resnet", G_ngf=8, G_nblocks=2,
+        D_netDs=["temporal", "basic"], D_ndf=8, D_n_layers=2,
+        D_proj_interp=32, train_temporal_criterion=True,
+        data_temporal_number_frames=2)
+    ds = create_dataset(opt, "train")
+    batch = next(iter(create_dataloader(opt, ds)))
+    assert batch["A"].ndim == 5
+    m = create_model(opt)
+    losses = m.optimize_parameters(batch)
+    for k in ("G_GAN", "G_temporal", "D_D_B_temporal", "D_D_B_basic"):
+        assert k in losses and np.isfinite(losses[k]), (k, losses)
+
+
 def test_motion_module_identity_at_init():
     """Zero-init proj_out makes a fresh MotionModule the identity — the
     property that lets image checkpoints finetune into video models."""
