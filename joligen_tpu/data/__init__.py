@@ -74,6 +74,7 @@ def create_dataloader(opt, dataset, shuffle=None, batch_size=None,
     global_batch = max(1, min(batch_size * dp, len(dataset)))
     return DataLoader(dataset, batch_size=global_batch, shuffle=shuffle,
                       drop_last=drop_last,
+                      prefetch=max(1, getattr(opt, "tpu_prefetch", 2) or 2),
                       num_workers=getattr(opt, "data_num_threads", 4))
 
 

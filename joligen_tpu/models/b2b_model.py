@@ -13,7 +13,6 @@ ref-copy loss; reference b2b_model.py:906-931, 1087-1130).
 
 from __future__ import annotations
 
-import math
 
 import jax
 import jax.numpy as jnp

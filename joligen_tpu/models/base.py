@@ -11,10 +11,8 @@ msgpack payloads.
 
 from __future__ import annotations
 
-import json
 import os
 import pickle
-import time
 from typing import Any, Dict
 
 import jax

@@ -11,13 +11,11 @@ a single jitted step; the fake pool is device-resident
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..parallel.mesh import param_sharding
 from .base import BaseModel
 from .gan_networks import define_D, define_F, define_G
 from .train_state import apply_updates, init_net_state, make_optimizer

@@ -13,7 +13,6 @@ convention is 1 = keep. set_input inverts accordingly.
 
 from __future__ import annotations
 
-import math
 
 import jax
 import jax.numpy as jnp

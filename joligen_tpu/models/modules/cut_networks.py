@@ -12,8 +12,6 @@ Parity targets:
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

@@ -5,12 +5,10 @@ default (StyleGAN3-ish downsampling)."""
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import linen as nn
 
-from .resnet_generator import InstanceNorm, make_norm
+from .resnet_generator import make_norm
 from ...ops.upfirdn2d import setup_filter, upfirdn2d
 
 

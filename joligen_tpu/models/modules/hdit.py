@@ -11,10 +11,8 @@ Conditioning is AdaLN on the timestep (+class) embedding.
 
 from __future__ import annotations
 
-import math
 from typing import Sequence
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn

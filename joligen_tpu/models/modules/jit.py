@@ -11,7 +11,6 @@ dot-product attention, bf16 compute with fp32 norms.
 
 from __future__ import annotations
 
-import math
 from typing import Optional
 
 import jax

@@ -17,8 +17,6 @@ Masks follow MAT convention: 1 = known pixel, 0 = hole.
 from __future__ import annotations
 
 import math
-from typing import Sequence
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

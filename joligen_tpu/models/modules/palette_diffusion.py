@@ -13,8 +13,6 @@ palette_denoise_fn.py, redesigned for XLA:
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -15,8 +15,6 @@ indices into the torch Sequential encoder (cut_model.py:226).
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

@@ -16,7 +16,6 @@ fp32; stages configurable via widths/depths (B0 default).
 
 from __future__ import annotations
 
-import math
 from typing import Sequence
 
 import jax

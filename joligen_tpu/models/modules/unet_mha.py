@@ -12,7 +12,6 @@ fp32 params, and optional rematerialization instead of torch checkpointing.
 
 from __future__ import annotations
 
-import math
 from typing import Sequence
 
 import jax

@@ -14,18 +14,10 @@ from __future__ import annotations
 
 from typing import Sequence
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .unet_mha import (
-    AttentionBlock,
-    Downsample,
-    ResBlock,
-    Upsample,
-    _norm,
-    zeros_init,
-)
+from .unet_mha import ResBlock, _norm, zeros_init
 
 
 class JointRefAttention(nn.Module):

@@ -24,7 +24,6 @@ from .motion import MotionModule
 from .unet_mha import (
     AttentionBlock,
     Downsample,
-    GroupNorm32,
     ResBlock,
     Upsample,
     _norm,

@@ -19,9 +19,7 @@ from __future__ import annotations
 
 from typing import Optional
 
-import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import linen as nn
 
 from ...ops.schedules import timestep_embedding

@@ -15,7 +15,6 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..ops.schedules import NoiseSchedule
 from ..parallel.mesh import (batch_sharding, dequantize_on_device,

@@ -14,7 +14,6 @@ Haar wavelet transform (reference models/modules/freq_utils.py:33-57).
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax

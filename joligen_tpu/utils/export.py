@@ -18,7 +18,6 @@ import os
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def export_stablehlo(apply_fn, params, example_input, out_path):

@@ -20,7 +20,6 @@ from __future__ import annotations
 
 import hashlib
 import os
-from functools import partial
 
 import jax
 import jax.numpy as jnp
