@@ -48,20 +48,34 @@ def batch_sharding(mesh):
 
 def param_sharding(mesh, params):
     """ZeRO-3-style policy: shard each array's largest divisible dimension
-    over the fsdp axis; replicate over data. Tiny arrays stay replicated."""
+    over the fsdp axis and (when the tensor axis is >1) the next-largest
+    divisible dimension over tensor — GSPMD then partitions the matmuls/
+    convs consuming them (Megatron-style within each layer). Tiny arrays
+    stay replicated."""
     fsdp = mesh.shape["fsdp"]
+    tensor = mesh.shape["tensor"]
 
     def policy(x):
-        if fsdp == 1 or not hasattr(x, "shape") or x.size < 2 ** 16:
+        if not hasattr(x, "shape") or x.size < 2 ** 16 \
+                or (fsdp == 1 and tensor == 1):
             return NamedSharding(mesh, P())
         dims = list(x.shape)
+        spec = [None] * len(dims)
         order = sorted(range(len(dims)), key=lambda i: -dims[i])
-        for i in order:
-            if dims[i] % fsdp == 0:
-                spec = [None] * len(dims)
-                spec[i] = "fsdp"
-                return NamedSharding(mesh, P(*spec))
-        return NamedSharding(mesh, P())
+        if fsdp > 1:
+            for i in order:
+                if dims[i] % fsdp == 0 and spec[i] is None:
+                    spec[i] = "fsdp"
+                    break
+        if tensor > 1:
+            for i in order:
+                if spec[i] is None and dims[i] % tensor == 0 \
+                        and dims[i] >= 2 * tensor:
+                    spec[i] = "tensor"
+                    break
+        if all(s is None for s in spec):
+            return NamedSharding(mesh, P())
+        return NamedSharding(mesh, P(*spec))
 
     return jax.tree.map(policy, params)
 
