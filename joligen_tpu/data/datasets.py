@@ -41,7 +41,9 @@ class BaseDataset:
         dir_B = "A" if btoa else "B"
         self.dir_A = os.path.join(self.root, phase + dir_A + suffix)
         self.dir_B = os.path.join(self.root, phase + dir_B + suffix)
-        self.transform = PairedTransform(opt, phase)
+        self.transform = PairedTransform(
+            opt, phase,
+            grayscale=(getattr(opt, "model_input_nc", 3) == 1))
         self.use_domain_B = True
 
     def _resolve(self, p):
@@ -682,6 +684,11 @@ class TemporalLabeledMaskOnlineDataset(BaseDataset, _OnlineMixin,
                             f"data_online_creation_crop_delta_{domain}", 0)
             crop_dim = random.randint(base - delta, base + delta) \
                 if delta > 0 else base
+        gc_mode = getattr(self.opt, "alg_b2b_global_context_mode", "none") \
+            or "none"
+        gc_size = int(getattr(self.opt, "alg_b2b_global_context_size", 128)
+                      or 128)
+        contexts = []
         for i, gi in enumerate(indices):
             try:
                 if i == 0:
@@ -693,6 +700,10 @@ class TemporalLabeledMaskOnlineDataset(BaseDataset, _OnlineMixin,
                     img_paths[gi], mask_paths[gi], domain,
                     crop_dim_override=crop_dim,
                     crop_coordinates=crop_coords)
+                if gc_mode != "none":
+                    contexts.append(self._global_context_image(
+                        img_paths[gi], crop_coords, crop_dim, domain,
+                        gc_size))
             except Exception as e:
                 print(f"temporal crop failure frame {i} {img_paths[gi]}: {e}")
                 return None
@@ -701,7 +712,26 @@ class TemporalLabeledMaskOnlineDataset(BaseDataset, _OnlineMixin,
                 ref_bbox, cat = bbox, c
             frames.append(img)
             masks.append(mask)
-        return (np.stack(frames), np.stack(masks), ref_bbox, cat, step)
+        gc = np.stack(contexts) if contexts else None
+        return (np.stack(frames), np.stack(masks), ref_bbox, cat, step, gc)
+
+    def _global_context_image(self, img_path, crop_coords, crop_dim, domain,
+                              gc_size):
+        """Full image with the crop window blacked out, resized to the
+        global-context size (reference build_masked_global_context_image,
+        data/base_dataset.py:1199)."""
+        from PIL import Image
+        from .transforms import load_image
+        img = load_image(self._resolve(img_path))
+        arr = np.asarray(img, np.uint8).copy()
+        cd = crop_dim or getattr(
+            self.opt, f"data_online_creation_crop_size_{domain}", 512)
+        cx0, cy0 = crop_coords
+        cd = min(cd, arr.shape[0], arr.shape[1])
+        arr[cy0:cy0 + cd, cx0:cx0 + cd] = 0
+        small = np.asarray(Image.fromarray(arr).resize(
+            (gc_size, gc_size), Image.BICUBIC), np.uint8)
+        return small.astype(np.float32) / 127.5 - 1.0
 
     def _online_crop_kwargs(self, img_path, bbox_path, domain,
                             crop_dim_override=None, **extra):
@@ -734,7 +764,7 @@ class TemporalLabeledMaskOnlineDataset(BaseDataset, _OnlineMixin,
         a = self._load_clip(self.A_img_paths, self.A_mask_paths, "A")
         if a is None:
             return None
-        A, A_masks, A_ref_bbox, A_cat, step = a
+        A, A_masks, A_ref_bbox, A_cat, step, A_gc = a
         out = {
             "A": A, "A_label_mask": A_masks,
             "A_ref": A[0], "A_ref_label_mask": A_masks[0],
@@ -742,16 +772,20 @@ class TemporalLabeledMaskOnlineDataset(BaseDataset, _OnlineMixin,
             "A_img_paths": self.A_img_paths[0],
             "temporal_frame_step": np.int32(step),
         }
+        if A_gc is not None:
+            out["A_global_context"] = A_gc
         if self.B_size:
             b = self._load_clip(self.B_img_paths, self.B_mask_paths, "B")
             if b is None:
                 return None
-            B, B_masks, B_ref_bbox, B_cat, _ = b
+            B, B_masks, B_ref_bbox, B_cat, _, B_gc = b
             out.update({"B": B, "B_label_mask": B_masks,
                         "B_ref": B[0], "B_ref_label_mask": B_masks[0],
                         "B_ref_bbox": B_ref_bbox,
                         "B_label_cls": np.int32(B_cat),
                         "B_img_paths": self.B_img_paths[0]})
+            if B_gc is not None:
+                out["B_global_context"] = B_gc
         return out
 
 
@@ -773,7 +807,7 @@ class SelfSupervisedVidMaskOnlineDataset(TemporalLabeledMaskOnlineDataset):
         a = self._load_clip(self.A_img_paths, self.A_mask_paths, "A")
         if a is None:
             return None
-        frames, masks, ref_bbox, cat, step = a
+        frames, masks, ref_bbox, cat, step, gc = a
         if getattr(self.opt, "data_online_creation_rand_mask_A", True):
             noised = np.stack([fill_mask_with_random(f, m, -1)
                                for f, m in zip(frames, masks)])
@@ -781,7 +815,7 @@ class SelfSupervisedVidMaskOnlineDataset(TemporalLabeledMaskOnlineDataset):
             noised = np.stack([fill_mask_with_color(f, m)
                                for f, m in zip(frames, masks)])
         cls = np.int32(cat if self.with_cls else 0)
-        return {
+        out = {
             "A": noised, "A_label_mask": masks,
             "A_ref": noised[0], "A_ref_label_mask": masks[0],
             "A_ref_bbox": ref_bbox, "A_label_cls": cls,
@@ -792,6 +826,10 @@ class SelfSupervisedVidMaskOnlineDataset(TemporalLabeledMaskOnlineDataset):
             "B_img_paths": self.A_img_paths[0],
             "temporal_frame_step": np.int32(step),
         }
+        if gc is not None:
+            out["A_global_context"] = gc
+            out["B_global_context"] = gc
+        return out
 
 
 class SelfSupervisedVidLabeledMaskClsOnlineDataset(

@@ -123,6 +123,8 @@ class PairedTransform:
         return img
 
     def image(self, img: Image.Image, params):
+        if self.grayscale and img.mode != "L":
+            img = img.convert("L")   # 1-channel configs (model_input_nc=1)
         img = self._geo(img, params, Image.BICUBIC)
         u8 = np.asarray(img, dtype=np.uint8)
         photo = params.get("photo")

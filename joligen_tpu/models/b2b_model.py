@@ -88,11 +88,36 @@ class B2BModel(BaseModel):
             ex_x = jnp.zeros((1, size, size, cin), jnp.float32)
         ex_t = jnp.zeros((1,), jnp.float32)
         ex_y = jnp.zeros((1,), jnp.int32)
+        init_kwargs = {}
+        self.gc_mode = getattr(opt, "alg_b2b_global_context_mode", "none") \
+            or "none"
+        if self.is_video and self.gc_mode != "none":
+            gs = int(getattr(opt, "alg_b2b_global_context_size", 128) or 128)
+            init_kwargs["global_context"] = jnp.zeros(
+                (1, self.num_frames, gs, gs, 3), jnp.float32)
+        n_oref = len(getattr(opt, "alg_b2b_object_ref_paths", []) or [])
+        if self.is_video and n_oref > 0:
+            osz = int(getattr(opt, "alg_b2b_object_ref_size", 64) or 64)
+            init_kwargs["object_ref"] = jnp.zeros((1, n_oref, osz, osz, 3),
+                                                  jnp.float32)
         tx = make_optimizer(opt, getattr(opt, "train_G_lr", 2e-4))
         self.txs["G_A"] = tx
         self.states["G_A"] = init_net_state(
             self.next_rng(), self.netG, (ex_x, ex_t, ex_y), tx,
-            use_ema=self.use_ema)
+            use_ema=self.use_ema, init_kwargs=init_kwargs)
+
+        # fixed object-reference images (reference alg_b2b_object_ref_paths:
+        # loaded once, tokenized as conditioning prefix by JiTViD)
+        self.object_refs = None
+        if self.is_video and n_oref > 0:
+            from PIL import Image
+            osz = int(getattr(opt, "alg_b2b_object_ref_size", 64) or 64)
+            refs = []
+            for pth in opt.alg_b2b_object_ref_paths:
+                im = Image.open(pth).convert("RGB").resize((osz, osz),
+                                                           Image.BICUBIC)
+                refs.append(np.asarray(im, np.float32) / 127.5 - 1.0)
+            self.object_refs = np.stack(refs)[None]     # (1, N, s, s, 3)
 
         # LoRA finetuning: base params frozen, adapter pytree optimized
         # (reference b2b_model.py:455-783; see models/lora.py)
@@ -163,6 +188,11 @@ class B2BModel(BaseModel):
                     kwargs["temporal_frame_step"] = frame_step
                 if global_context is not None:
                     kwargs["global_context"] = global_context
+                if self.object_refs is not None:
+                    b = z_in.shape[0]
+                    kwargs["object_ref"] = jnp.broadcast_to(
+                        jnp.asarray(self.object_refs),
+                        (b,) + self.object_refs.shape[1:])
                 return self.netG.apply(params, z_in, t, y=labels,
                                        mask_size=mask_size, **kwargs)
             return self.netG.apply(params, z_in, t, y=labels,

@@ -132,6 +132,36 @@ def test_b2b_vit_vid_autoregressive_train_sample(vidds, tmp_path):
     assert np.isfinite(fake).all()
 
 
+def test_b2b_global_context_and_object_ref(vidds, tmp_path):
+    """Masked global-context conditioning (adaln) + fixed object-ref token
+    conditioning through JiTViD (reference b2b global context / object refs)."""
+    from joligen_tpu.data import create_dataloader, create_dataset
+    from joligen_tpu.models import create_model
+
+    ref_img = os.path.join(vidds, "trainA", "vid0", "frame_000.png")
+    opt = _opt(
+        vidds, tmp_path,
+        model_type="b2b", G_netG="vit_vid",
+        alg_b2b_global_context_mode="adaln",
+        alg_b2b_global_context_size=32,
+        alg_b2b_object_ref_paths=[ref_img],
+        alg_b2b_object_ref_size=16,
+        alg_b2b_denoise_timesteps=2)
+    opt.G_vit_depth = 2
+    opt.G_vit_hidden_size = 32
+    opt.G_vit_num_heads = 2
+    opt.G_vit_patch_size = 4
+    opt.G_vit_bottleneck_dim = 8
+    ds = create_dataset(opt, "train")
+    batch = next(iter(create_dataloader(opt, ds)))
+    assert "B_global_context" in batch
+    assert batch["B_global_context"].shape[-3:] == (32, 32, 3)
+    m = create_model(opt)
+    assert m.object_refs is not None
+    loss = m.optimize_parameters(batch)["G_tot"]
+    assert np.isfinite(loss)
+
+
 def test_gan_video_temporal_d(vidds, tmp_path):
     """CUT on a temporal dataset: per-frame G, temporal projected D on
     clips, temporal MSE criterion."""
