@@ -40,6 +40,15 @@ def define_inner_G(opt):
             remat=getattr(opt, "tpu_remat", False),
             dtype=dtype,
         )
+    if netG in ("resnet_attn", "mobile_resnet_attn"):
+        from .modules.resnet_generator import ResnetGeneratorAttnDiff
+        return ResnetGeneratorAttnDiff(
+            out_channels=opt.model_output_nc,
+            nb_mask_attn=opt.G_attn_nb_mask_attn,
+            nb_mask_input=opt.G_attn_nb_mask_input,
+            ngf=opt.G_ngf, n_blocks=opt.G_nblocks,
+            cond_embed_dim=opt.alg_diffusion_cond_embed_dim,
+            norm=opt.G_norm, padding_type=opt.G_padding_type, dtype=dtype)
     if netG == "unet_vid":
         from .modules.unet_vid import UNetVid
         return UNetVid(

@@ -234,3 +234,60 @@ class ResnetGeneratorAttn(nn.Module):
         for i in range(n_content, self.nb_mask_attn):
             out = out + inp * att[..., i:i + 1]
         return out.astype(jnp.float32)
+
+
+class ResnetGeneratorAttnDiff(nn.Module):
+    """Diffusion-conditioned resnet_attn (reference
+    models/modules/resnet_architecture/resnet_generator_diff.py,
+    ResnetGenerator_attn_diff used at diffusion_networks.py:219): the
+    attention generator with a timestep/gamma embedding FiLM-injected at the
+    bottleneck. Output is the blended content (no tanh clamp — the denoiser
+    predicts noise)."""
+    out_channels: int = 3
+    nb_mask_attn: int = 10
+    nb_mask_input: int = 1
+    ngf: int = 64
+    n_blocks: int = 9
+    cond_embed_dim: int = 256
+    norm: str = "instance"
+    padding_type: str = "reflect"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, emb=None, deterministic=True,
+                 extract_layer_ids=None):
+        enc = ResnetEncoder(self.ngf, self.n_blocks, 2, self.norm,
+                            self.padding_type, 0.0, False, self.dtype,
+                            name="encoder")
+        if extract_layer_ids is not None:
+            _, feats = enc(x, extract_layer_ids, deterministic)
+            return feats
+        h, _ = enc(x, None, deterministic)
+        if emb is None:
+            emb = jnp.ones((x.shape[0], self.cond_embed_dim),
+                           dtype=self.dtype)
+        # FiLM at the bottleneck (scale-shift from the gamma embedding)
+        c = h.shape[-1]
+        film = nn.Dense(2 * c, dtype=self.dtype,
+                        kernel_init=nn.initializers.zeros,
+                        name="film")(nn.silu(emb.astype(self.dtype)))
+        scale, shift = jnp.split(film[:, None, None, :], 2, axis=-1)
+        h = h * (1 + scale) + shift
+
+        n_content = self.nb_mask_attn - self.nb_mask_input
+        contents = ResnetDecoder(
+            self.out_channels * n_content, self.ngf, 2, self.norm,
+            self.padding_type, False, self.dtype, name="content_decoder")(h)
+        att = jax.nn.softmax(
+            ResnetDecoder(self.nb_mask_attn, self.ngf, 2, self.norm,
+                          self.padding_type, False, self.dtype,
+                          name="attn_decoder")(h).astype(jnp.float32),
+            axis=-1).astype(x.dtype)
+        inp = x[..., : self.out_channels]
+        out = 0.0
+        for i in range(n_content):
+            ci = contents[..., i * self.out_channels:(i + 1) * self.out_channels]
+            out = out + ci * att[..., i:i + 1]
+        for i in range(n_content, self.nb_mask_attn):
+            out = out + inp * att[..., i:i + 1]
+        return out.astype(jnp.float32)
