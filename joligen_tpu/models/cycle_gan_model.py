@@ -26,6 +26,10 @@ class CycleGANModel(BaseModel):
         self.rec_noise = float(getattr(opt, "alg_cyclegan_rec_noise", 0.0))
         self.use_ema = bool(getattr(opt, "train_G_ema", False))
         self.ema_beta = float(getattr(opt, "train_G_ema_beta", 0.999))
+        # device-resident DiffAugment on D inputs (parity with CUT)
+        self.diff_policy = getattr(opt, "dataaug_diff_aug_policy", "") or ""
+        self.diff_prob = float(getattr(opt, "dataaug_diff_aug_proba", 0.5))
+        self.d_noise = float(getattr(opt, "dataaug_D_noise", 0.0) or 0.0)
 
         size = opt.data_crop_size
         self.netG_A = define_G(opt)
@@ -61,6 +65,12 @@ class CycleGANModel(BaseModel):
 
     def set_input(self, batch):
         return {"real_A": batch["A"], "real_B": batch["B"]}
+
+    def _augment(self, rng, img):
+        if not self.diff_policy:
+            return img
+        from ..ops.diff_aug import diff_augment
+        return diff_augment(rng, img, self.diff_policy, self.diff_prob)
 
     def _g_loss(self, pA, pB, d_params, rng, inp):
         real_A, real_B = inp["real_A"], inp["real_B"]
@@ -98,8 +108,11 @@ class CycleGANModel(BaseModel):
 
     def _make_step(self):
         def step(states, pools, rng, inp):
+            from ..parallel.mesh import dequantize_on_device
+            inp = {k: dequantize_on_device(v, "image")
+                   for k, v in inp.items()}
             pool_A, pool_B = pools
-            rngs = jax.random.split(rng, 4)
+            rngs = jax.random.split(rng, 8)
             d_params = {s: jax.lax.stop_gradient(states[s].params)
                         for s, _, _ in self.d_names}
 
@@ -117,12 +130,19 @@ class CycleGANModel(BaseModel):
             pool_A, pooled_A = pool_A.query(rngs[1], jax.lax.stop_gradient(fake_A))
             pool_B, pooled_B = pool_B.query(rngs[2], jax.lax.stop_gradient(fake_B))
 
-            for sname, dom, dname in self.d_names:
+            for di, (sname, dom, dname) in enumerate(self.d_names):
                 netD = (self.netDs_B if dom == "B" else self.netDs_A)[dname]
                 real = inp["real_B"] if dom == "B" else inp["real_A"]
                 pooled = pooled_B if dom == "B" else pooled_A
+                if self.d_noise > 0:
+                    nr = jax.random.fold_in(rngs[3], di)
+                    real = real + self.d_noise * jax.random.normal(
+                        nr, real.shape, real.dtype)
+                real = self._augment(jax.random.fold_in(rngs[4], di), real)
+                pooled_aug = self._augment(jax.random.fold_in(rngs[5], di),
+                                           pooled)
 
-                def d_loss(p):
+                def d_loss(p, real=real, pooled=pooled_aug):
                     lr = gan_loss(netD.apply(p, real), True, self.gan_mode)
                     lf = gan_loss(netD.apply(p, pooled), False, self.gan_mode)
                     return 0.5 * (lr + lf)
@@ -137,7 +157,9 @@ class CycleGANModel(BaseModel):
         return jax.jit(step, donate_argnums=donate)
 
     def optimize_parameters(self, batch):
+        from ..parallel.mesh import quantize_batch
         inp = self.set_input(batch)
+        inp = quantize_batch(inp, float_keys=("real_A", "real_B"))
         dev = self.put_batch(inp)
         if self._jit_step is None:
             self._jit_step = self._make_step()
