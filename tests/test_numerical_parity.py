@@ -37,11 +37,16 @@ def test_gamma_buffers_consistency():
         "joligen_tpu.ops.schedules", fromlist=["make_beta_schedule"]
     ).make_beta_schedule("linear", 50))
     alphas = 1.0 - betas
-    np.testing.assert_allclose(g, np.cumprod(alphas), rtol=1e-5)
-    np.testing.assert_allclose(np.asarray(sched.sqrt_recip_gammas),
-                               np.sqrt(1.0 / g), rtol=1e-5)
-    np.testing.assert_allclose(np.asarray(sched.sqrt_recipm1_gammas),
-                               np.sqrt(1.0 / g - 1.0), rtol=1e-5)
+    g64_chk = np.cumprod(1.0 - betas.astype(np.float64))
+    np.testing.assert_allclose(g, g64_chk.astype(np.float32), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(sched.sqrt_recip_gammas),
+        np.sqrt(1.0 / g64_chk).astype(np.float32), rtol=1e-6)
+    # 1/g - 1 cancels catastrophically near g=1; compare the float64
+    # computation cast to fp32 (how the buffers are built)
+    np.testing.assert_allclose(
+        np.asarray(sched.sqrt_recipm1_gammas),
+        np.sqrt(1.0 / g64_chk - 1.0).astype(np.float32), rtol=1e-5)
     # posterior coefficients: compute in float64 like the schedule does,
     # then cast — at early t the (1-gamma)~1e-6 denominators cancel
     # catastrophically in fp32, so compare the float64->fp32 castings
