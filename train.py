@@ -49,7 +49,16 @@ def _maybe_continue_from(opt):
 
 
 def launch_training(opt):
+    import random
+
+    import numpy as np
+
     import jax
+
+    seed = getattr(opt, "seed", None)
+    if seed:
+        random.seed(seed)
+        np.random.seed(seed)
 
     from joligen_tpu.data import (create_dataloader, create_dataset,
                                   list_test_sets)
