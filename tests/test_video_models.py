@@ -132,6 +132,33 @@ def test_b2b_vit_vid_autoregressive_train_sample(vidds, tmp_path):
     assert np.isfinite(fake).all()
 
 
+def test_temporal_unpaired_and_selfsup_temporal(tmp_path_factory, tmp_path):
+    """temporal_labeled_mask_online (unpaired A/B clips, same crop window
+    per clip) and self_supervised_temporal (A=[f0, masked(f1)], B=frames)."""
+    from joligen_tpu.data import create_dataset
+    root = str(tmp_path_factory.mktemp("v2"))
+    make_video(root, n_series=2, frames=8, size=48, domains=("A", "B"))
+
+    opt = _opt(root, tmp_path,
+               data_dataset_mode="temporal_labeled_mask_online",
+               data_temporal_number_frames=2)
+    ds = create_dataset(opt, "train")
+    s = ds[0]
+    assert s["A"].shape == (2, 16, 16, 3) and s["B"].shape == (2, 16, 16, 3)
+    assert s["A_label_mask"].shape == (2, 16, 16, 1)
+
+    opt2 = _opt(root, tmp_path, data_dataset_mode="self_supervised_temporal",
+                data_temporal_number_frames=2)
+    ds2 = create_dataset(opt2, "train")
+    s2 = ds2[0]
+    assert s2["A"].shape == (2, 16, 16, 3)
+    # frame 0 of A is the clean frame; frame 1 is mask-randomized
+    np.testing.assert_allclose(s2["A"][0], s2["B"][0], atol=1e-6)
+    m1 = s2["B_label_mask"][1][..., 0] > 0
+    if m1.any():
+        assert np.abs(s2["A"][1][m1] - s2["B"][1][m1]).max() > 0.01
+
+
 def test_b2b_global_context_and_object_ref(vidds, tmp_path):
     """Masked global-context conditioning (adaln) + fixed object-ref token
     conditioning through JiTViD (reference b2b global context / object refs)."""
