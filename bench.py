@@ -71,6 +71,9 @@ def main():
     ap.add_argument("--ngf", type=int, default=64)
     ap.add_argument("--batch", type=int, default=16, help="per-chip batch")
     ap.add_argument("--steps", type=int, default=12)
+    ap.add_argument("--mode", choices=["train", "sample"], default="train",
+                    help="train throughput (default) or DDIM sampling rate")
+    ap.add_argument("--ddim_steps", type=int, default=10)
     a = ap.parse_args()
 
     import jax
@@ -79,6 +82,25 @@ def main():
         a.size, a.steps = 32, 3
 
     model, batch_np, global_batch = build(a.size, a.ngf, a.batch, smoke=a.smoke)
+
+    if a.mode == "sample":
+        # DDIM sampling throughput (BASELINE.json: DDIM samples/sec)
+        kw = dict(sampling_method="ddim", num_steps=a.ddim_steps)
+        model.inference(batch_np, **kw)          # compile
+        best_dt = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(max(3, a.steps // 3)):
+                model.inference(batch_np, **kw)
+            best_dt = min(best_dt, (time.perf_counter() - t0)
+                          / max(3, a.steps // 3))
+        rate = global_batch / best_dt / jax.device_count()
+        print(json.dumps({
+            "metric": f"palette_ddim{a.ddim_steps}_samples_per_sec_per_chip_{a.size}px",
+            "value": round(rate, 2), "unit": "samples/s/chip",
+            "vs_baseline": 0.0,
+        }))
+        return
 
     # warmup/compile (3 steps so the first measured step hits steady state)
     for _ in range(3):

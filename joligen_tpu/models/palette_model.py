@@ -232,6 +232,8 @@ class PaletteModel(BaseModel):
                   num_steps=None, eta=None, guidance_scale=0.0):
         """Sample fakes for a batch. Returns NHWC float32 in [-1,1]."""
         inp = self.set_input(batch)
+        inp = quantize_batch(inp, float_keys=("y_cond", "gt", "ref"),
+                             int_keys=("mask",))
         dev = self.put_batch(inp)
         method = sampling_method or self.sampling_method
         steps = num_steps or getattr(self.opt, "alg_palette_ddim_num_steps", 10)
@@ -255,10 +257,16 @@ class PaletteModel(BaseModel):
                 fn = partial(ddim_sample, apply_fn, num_steps=steps, eta=eta,
                              guidance_scale=guidance_scale,
                              out_channel=self.opt.model_output_nc)
-            self._jit_sample[key] = jax.jit(
-                lambda p, rng, y_cond, y_0, mask, cls, ref: fn(
-                    p, rng, self.sched_test, y_cond, y_0=y_0, mask=mask,
-                    cls=cls, ref=ref))
+            def run(p, rng, y_cond, y_0, mask, cls, ref, fn=fn):
+                # wire-compressed inputs decode on device
+                y_cond = dequantize_on_device(y_cond, "image")
+                y_0 = dequantize_on_device(y_0, "image")
+                mask = dequantize_on_device(mask, "label")
+                ref = dequantize_on_device(ref, "image")
+                return fn(p, rng, self.sched_test, y_cond, y_0=y_0,
+                          mask=mask, cls=cls, ref=ref)
+
+            self._jit_sample[key] = jax.jit(run)
         fake = self._jit_sample[key](
             params, self.next_rng(), dev["y_cond"], dev["gt"],
             dev.get("mask"), dev.get("cls"), dev.get("ref"))
