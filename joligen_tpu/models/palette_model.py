@@ -229,8 +229,11 @@ class PaletteModel(BaseModel):
 
     # ------------------------------------------------------------------
     def inference(self, batch, use_ema=None, sampling_method=None,
-                  num_steps=None, eta=None, guidance_scale=0.0):
-        """Sample fakes for a batch. Returns NHWC float32 in [-1,1]."""
+                  num_steps=None, eta=None, guidance_scale=0.0,
+                  output_uint8=False):
+        """Sample fakes for a batch. Returns NHWC float32 in [-1,1], or
+        uint8 when ``output_uint8`` (device-side encode — 4x less
+        device->host traffic for serving paths that write PNGs anyway)."""
         inp = self.set_input(batch)
         inp = quantize_batch(inp, float_keys=("y_cond", "gt", "ref"),
                              int_keys=("mask",))
@@ -245,7 +248,7 @@ class PaletteModel(BaseModel):
             else state.params
 
         key = (method, steps, eta, guidance_scale, dev["y_cond"].shape,
-               "ref" in dev)
+               "ref" in dev, output_uint8)
         if key not in self._jit_sample:
             apply_fn = lambda p, x, g, cls=None, mask=None, ref=None: \
                 self.netG.apply(p, x, g, cls=cls, mask=mask, ref=ref)
@@ -263,8 +266,12 @@ class PaletteModel(BaseModel):
                 y_0 = dequantize_on_device(y_0, "image")
                 mask = dequantize_on_device(mask, "label")
                 ref = dequantize_on_device(ref, "image")
-                return fn(p, rng, self.sched_test, y_cond, y_0=y_0,
-                          mask=mask, cls=cls, ref=ref)
+                out = fn(p, rng, self.sched_test, y_cond, y_0=y_0,
+                         mask=mask, cls=cls, ref=ref)
+                if output_uint8:
+                    out = jnp.round((out + 1.0) * 127.5).clip(
+                        0, 255).astype(jnp.uint8)
+                return out
 
             self._jit_sample[key] = jax.jit(run)
         fake = self._jit_sample[key](

@@ -46,6 +46,14 @@ def launch_testing(opt, main_opt):
     elif opt.model_type in ("sc", "b2b") and main_opt.sampling_steps:
         infer_kwargs["denoise_timesteps"] = main_opt.sampling_steps
 
+    # per-stepcount evaluation grids (reference SC/B2B evaluate metrics at
+    # every alg_sc_denoise_timesteps / requested step count)
+    step_grid = []
+    if opt.model_type == "sc":
+        step_grid = list(getattr(opt, "alg_sc_denoise_timesteps", []) or [])
+    if main_opt.sampling_steps:
+        step_grid = [main_opt.sampling_steps]
+
     results = {}
     names = list_test_sets(opt.dataroot) or [""]
     for name in names:
@@ -57,10 +65,19 @@ def launch_testing(opt, main_opt):
         dl = create_dataloader(opt, ds, shuffle=False,
                                batch_size=opt.test_batch_size)
         model.init_metrics(dl)
-        metrics = model.compute_metrics_test(dl, **infer_kwargs)
         key = f"test{name}" if name else "test"
-        results[key] = metrics
-        print(key, json.dumps(metrics))
+        if len(step_grid) > 1 and opt.model_type in ("sc", "b2b"):
+            results[key] = {}
+            for n_steps in step_grid:
+                kw = dict(infer_kwargs)
+                kw["denoise_timesteps"] = int(n_steps)
+                m = model.compute_metrics_test(dl, **kw)
+                results[key][f"steps{n_steps}"] = m
+                print(f"{key}[steps={n_steps}]", json.dumps(m))
+        else:
+            metrics = model.compute_metrics_test(dl, **infer_kwargs)
+            results[key] = metrics
+            print(key, json.dumps(metrics))
 
     out_dir = os.path.join(main_opt.test_model_dir, "metrics")
     os.makedirs(out_dir, exist_ok=True)
