@@ -103,6 +103,12 @@ def define_D(opt, names=None):
                 "(CLIP/MiDaS/SAM) whose weights cannot be downloaded in this "
                 "environment; drop ported weights into JOLIGEN_TPU_WEIGHTS_DIR "
                 "and file an issue to enable")
+        elif name == "mask":
+            raise NotImplementedError(
+                "the gumbel-softmax mask discriminator judges resnet_attn "
+                "attention maps (reference base_gan_model gumbel mask D); "
+                "planned alongside attention-map extraction from "
+                "ResnetGeneratorAttn")
         else:
             raise NotImplementedError(f"discriminator {name}")
     return ds

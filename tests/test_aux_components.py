@@ -132,6 +132,22 @@ def test_export_stablehlo(fakeds, tmp_path):
     assert "stablehlo" in written, written
     assert os.path.getsize(written["stablehlo"]) > 1000
 
+    # the artifact round-trips: deserialize + execute == live forward
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexport
+    with open(written["stablehlo"], "rb") as f:
+        exported = jexport.deserialize(bytearray(f.read()))
+    x = jax.random.uniform(jax.random.PRNGKey(0), (1, 16, 16, 3),
+                           minval=-1, maxval=1)
+    out = np.asarray(exported.call(x))
+    live = np.asarray(m.netG.apply(m.states["G_A"].params, x))
+    # AOT and JIT pipelines fuse bf16 convs differently; agreement is at
+    # bf16 accumulation noise, not fp32 exactness
+    assert np.abs(out - live).max() < 0.15
+    corr = np.corrcoef(out.ravel(), live.ravel())[0, 1]
+    assert corr > 0.999, corr
+
 
 def test_train_metrics_and_continue_from(fakeds, tmp_path):
     env = dict(os.environ)
