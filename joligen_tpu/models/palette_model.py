@@ -42,6 +42,8 @@ class PaletteModel(BaseModel):
         self.ema_beta = float(getattr(opt, "train_G_ema_beta", 0.999))
         self.use_ema = bool(getattr(opt, "train_G_ema", False))
         self.conditioning = getattr(opt, "alg_diffusion_cond_embed", "") or ""
+        self.autoregressive = bool(getattr(opt, "alg_palette_autoregressive",
+                                           False))
 
         self.sched_train = NoiseSchedule.for_phase(opt, "train")
         self.sched_test = NoiseSchedule.for_phase(opt, "test")
@@ -179,6 +181,27 @@ class PaletteModel(BaseModel):
         gt = dequantize_on_device(gt, "image")
         mask = dequantize_on_device(mask, "label")
         ref = dequantize_on_device(ref, "image")
+        rng, rng_ar = jax.random.split(rng)
+
+        # autoregressive video training: with p=0.9 the first T//2 frames of
+        # the conditioning become noisy GT context — one of 10 sigma buckets
+        # up to 0.7 per sequence, noise only inside the mask
+        # (reference palette_model.py:377-411)
+        if self.autoregressive and self.is_video and y_cond.ndim == 5:
+            B, T = y_cond.shape[:2]
+            k = T // 2
+            if k > 0:
+                r1, r2, r3 = jax.random.split(rng_ar, 3)
+                bucket = jax.random.randint(r1, (B,), 0, 10)
+                sigma = (bucket.astype(jnp.float32) / 9.0 * 0.7).reshape(
+                    B, 1, 1, 1, 1)
+                eps = jax.random.normal(
+                    r2, (B, 1) + y_cond.shape[2:], y_cond.dtype)
+                m_ctx = (mask[:, :k] > 0.5).astype(y_cond.dtype)                     if mask is not None else 1.0
+                noisy_ctx = gt[:, :k] + sigma * eps * m_ctx
+                use = jax.random.uniform(r3, ()) < 0.9
+                mixed = y_cond.at[:, :k].set(noisy_ctx)
+                y_cond = jnp.where(use, mixed, y_cond)
         apply_fn = lambda p, x, g, cls=None, mask=None: self.netG.apply(
             p, x, g, cls=cls, mask=mask, ref=ref)
         noise, noise_hat, weight = palette_training_outputs(
