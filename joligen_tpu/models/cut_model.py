@@ -96,10 +96,16 @@ class CUTModel(BaseModel):
         nf = int(getattr(opt, "data_temporal_number_frames", 2) or 2)
         ex_clip = jnp.zeros((1, nf, size, size, opt.model_input_nc),
                             jnp.float32)
+        self.nclasses_fs = int(getattr(opt, "f_s_semantic_nclasses", 2) or 2)
+        ex_onehot = jnp.zeros((1, size, size, self.nclasses_fs), jnp.float32)
+        if any("mask" in n for n in self.netDs) and not self.semantic_mask:
+            raise ValueError("D_netDs 'mask' requires --train_semantic_mask "
+                             "(the gumbel mask D judges f_s predictions)")
         for i, (name, netD) in enumerate(self.netDs.items()):
             tx = make_optimizer(opt, getattr(opt, "train_D_lr", 2e-4))
             self.txs[name] = tx
-            ex_d = ex_clip if "temporal" in name else ex_img
+            ex_d = (ex_clip if "temporal" in name
+                    else ex_onehot if "mask" in name else ex_img)
             self.states[name] = init_net_state(rngs[2 + i], netD, (ex_d,), tx)
 
         if self.semantic_cls:
@@ -248,6 +254,8 @@ class CUTModel(BaseModel):
         # GAN term over all discriminators (base_gan_model.py:463-503)
         g_gan = 0.0
         for name, netD in self.netDs.items():
+            if "mask" in name:   # mask D trains D-side only
+                continue         # (reference base_gan_model.py:467)
             d_in = (fake_clip if ("temporal" in name and fake_clip
                                   is not None) else fake_for_D)
             pred = netD.apply(d_params[name], d_in)
@@ -361,8 +369,22 @@ class CUTModel(BaseModel):
             for n in d_names:
                 netD = self.netDs[n]
                 temporal = "temporal" in n and fake_clip_sg is not None
-                d_real = real_B5 if temporal else real_in
-                d_fake = fake_clip_sg if temporal else fake_in
+                if "mask" in n and self.semantic_mask and "mask_A" in inp:
+                    # gumbel mask D: real = one-hot label mask, fake =
+                    # gumbel-softmax of f_s(fake) (reference gumbel mask D)
+                    fs_params = jax.lax.stop_gradient(states["f_s"].params)
+                    logits = self.netf_s.apply(fs_params, fake_sg)
+                    g_noise = -jnp.log(-jnp.log(jax.random.uniform(
+                        jax.random.fold_in(rngs[6], hash(n) % 1000),
+                        logits.shape, minval=1e-6, maxval=1.0 - 1e-6)))
+                    d_fake = jax.nn.softmax((logits + g_noise) / 1.0, -1)
+                    d_real = jax.nn.one_hot(
+                        jnp.clip(self._fold(inp["mask_A"])[..., 0], 0,
+                                 self.nclasses_fs - 1),
+                        self.nclasses_fs, dtype=fake_sg.dtype)
+                else:
+                    d_real = real_B5 if temporal else real_in
+                    d_fake = fake_clip_sg if temporal else fake_in
 
                 def d_loss(p, d_real=d_real, d_fake=d_fake):
                     logits_real = netD.apply(p, d_real)

@@ -104,11 +104,13 @@ def define_D(opt, names=None):
                 "environment; drop ported weights into JOLIGEN_TPU_WEIGHTS_DIR "
                 "and file an issue to enable")
         elif name == "mask":
-            raise NotImplementedError(
-                "the gumbel-softmax mask discriminator judges resnet_attn "
-                "attention maps (reference base_gan_model gumbel mask D); "
-                "planned alongside attention-map extraction from "
-                "ResnetGeneratorAttn")
+            # judges one-hot semantic masks: real = one-hot label mask,
+            # fake = gumbel-softmax of f_s(fake) (reference
+            # gan_networks.py:465-474); channels infer lazily in flax
+            ds["D_B_" + name] = NLayerDiscriminator(
+                ndf=opt.D_ndf, n_layers=opt.D_n_layers, norm=opt.D_norm,
+                antialias=not getattr(opt, "D_no_antialias", False),
+                dtype=dtype)
         else:
             raise NotImplementedError(f"discriminator {name}")
     return ds
