@@ -24,7 +24,7 @@ from .transforms import (
     load_image,
     load_mask,
 )
-from .online_creation import crop_image
+from .online_creation import crop_image, sample_rotation_state
 from .temporal_sampling import TemporalFrameStepMixin
 
 
@@ -49,6 +49,13 @@ class BaseDataset:
     def _resolve(self, p):
         if getattr(self.opt, "data_relative_paths", False):
             return os.path.join(self.root, p)
+        # paths.txt entries are absolute by default (reference contract), but
+        # fall back to dataroot-relative instead of failing every sample when
+        # the user forgot --data_relative_paths
+        if not os.path.isabs(p) and not os.path.exists(p):
+            cand = os.path.join(self.root, p)
+            if os.path.exists(cand):
+                return cand
         return p
 
     def __len__(self):
@@ -223,7 +230,7 @@ class _OnlineMixin:
                                     False) else None
         return sanitize_paths(img_paths, mask_paths, root=root, verbose=True)
 
-    def online_crop(self, img_path, bbox_path, domain="A"):
+    def online_crop(self, img_path, bbox_path, domain="A", rotation_state=None):
         opt = self.opt
         # ratio deltas override pixel deltas when set (reference
         # temporal_labeled_mask_online_dataset.py:141-145)
@@ -247,6 +254,7 @@ class _OnlineMixin:
             fixed_mask_size=getattr(opt, "data_online_fixed_mask_size", -1),
             inverted_mask=getattr(opt, "data_inverted_mask", False),
             single_bbox=getattr(opt, "data_online_single_bbox", False),
+            rotation_state=rotation_state,
         )
         return crop, mask, ref_bbox, cat
 
@@ -265,7 +273,9 @@ class UnalignedLabeledMaskOnlineDataset(UnalignedLabeledMaskDataset, _OnlineMixi
     def get_img(self, A_path, A_mask_path, A_cls, B_path=None, B_mask_path=None,
                 B_cls=None):
         try:
-            A, A_mask, A_ref_bbox, A_cat = self.online_crop(A_path, A_mask_path, "A")
+            A, A_mask, A_ref_bbox, A_cat = self.online_crop(
+                A_path, A_mask_path, "A",
+                rotation_state=sample_rotation_state(self.opt))
         except Exception as e:  # unreadable sample -> skip (collate filters None)
             print(f"online crop failure {A_path}: {e}")
             return None
@@ -274,7 +284,9 @@ class UnalignedLabeledMaskOnlineDataset(UnalignedLabeledMaskDataset, _OnlineMixi
                "A_label_cls": np.int32(A_cat if self.with_cls else (A_cls or 0))}
         if B_path is not None and B_mask_path:
             try:
-                B, B_mask, B_ref_bbox, B_cat = self.online_crop(B_path, B_mask_path, "B")
+                B, B_mask, B_ref_bbox, B_cat = self.online_crop(
+                    B_path, B_mask_path, "B",
+                    rotation_state=sample_rotation_state(self.opt))
             except Exception as e:
                 print(f"online crop failure {B_path}: {e}")
                 return None
@@ -505,8 +517,15 @@ class NupletUnalignedLabeledMaskDataset(UnalignedLabeledMaskDataset):
 class MultiDataset:
     """Weighted mixture of child datasets, each with its own option
     overrides, from a JSON config (reference data/multi_dataset_dataset.py:
-    52-305). Config: {"datasets": {name: {"dataroot":..., "weight":...,
-    <flat option overrides>}}}."""
+    52-305). Two accepted schemas:
+
+    - reference list schema: {"datasets": [{"name", "dataset_mode",
+      "dataroot", "weight", "overrides": {flat options}}], "test_sets":
+      [{"id", "dataset", "test_name"}]} (test phase picks the test_sets
+      entry whose id == the dataset name argument);
+    - flat dict schema: {"datasets": {name: {"dataroot", "weight",
+      <flat option overrides>}}}.
+    """
 
     def __init__(self, opt, phase, name=""):
         import copy as _copy
@@ -517,23 +536,56 @@ class MultiDataset:
                              "--data_multi_dataset_config")
         with open(cfg_path) as f:
             cfg = _json.load(f)
+        entries = cfg["datasets"]
+        if isinstance(entries, dict):  # flat dict schema
+            entries = [{"name": cname,
+                        "dataset_mode": c.get("data_dataset_mode",
+                                              opt.data_dataset_mode),
+                        "overrides": {k: v for k, v in c.items()
+                                      if k not in ("weight",
+                                                   "data_dataset_mode")},
+                        "weight": c.get("weight", 1.0)}
+                       for cname, c in entries.items()]
+        child_test_names = {}
+        if phase == "test" and cfg.get("test_sets"):
+            ts = next((t for t in cfg["test_sets"] if t.get("id") == name),
+                      None)
+            if ts is None:
+                raise ValueError(
+                    f"test set id '{name}' not in config test_sets: "
+                    f"{[t.get('id') for t in cfg['test_sets']]}")
+            entries = [e for e in entries
+                       if e.get("name") == ts.get("dataset")]
+            child_test_names = {ts.get("dataset"): ts.get("test_name", "")}
         from . import find_dataset_class
+        delta_scale = float(getattr(
+            opt, "data_multi_dataset_crop_delta_scale", 1.0) or 1.0)
         self.children, self.weights = [], []
-        for cname, c in cfg["datasets"].items():
+        for i, c in enumerate(entries):
+            cname = c.get("name", f"dataset_{i}")
             child_opt = _copy.deepcopy(opt)
-            for k, v in c.items():
-                if k in ("weight",):
-                    continue
-                setattr(child_opt, k if k.startswith("data") or "_" in k
-                        else k, v)
-            child_opt.dataroot = c.get("dataroot", opt.dataroot)
-            mode = c.get("data_dataset_mode", opt.data_dataset_mode)
+            overrides = dict(c.get("overrides", {}))
+            if "dataroot" in c:
+                overrides["dataroot"] = c["dataroot"]
+            if "data_online_creation_crop_delta_A" in overrides:
+                overrides["data_online_creation_crop_delta_A"] = int(
+                    overrides["data_online_creation_crop_delta_A"]
+                    * delta_scale)
+            for k, v in overrides.items():
+                setattr(child_opt, k, v)
+            mode = c.get("dataset_mode", opt.data_dataset_mode)
             if mode == "multi_dataset":
                 raise ValueError("multi_dataset cannot nest")
+            child_opt.data_dataset_mode = mode
             cls = find_dataset_class(mode)
-            self.children.append(cls(child_opt, phase, name=name))
+            child_name = child_test_names.get(cname, name) \
+                if phase == "test" else name
+            self.children.append(cls(child_opt, phase, name=child_name))
             self.weights.append(float(c.get("weight", 1.0)))
         total = sum(self.weights)
+        if total <= 0:
+            raise ValueError("at least one multi_dataset child weight "
+                             "must be > 0")
         self.weights = [w / total for w in self.weights]
 
     def __len__(self):
@@ -689,17 +741,22 @@ class TemporalLabeledMaskOnlineDataset(BaseDataset, _OnlineMixin,
         gc_size = int(getattr(self.opt, "alg_b2b_global_context_size", 128)
                       or 128)
         contexts = []
+        # one rotation draw shared by every frame of the clip (reference
+        # temporal_labeled_mask_online_dataset.py:112,176,205)
+        rotation_state = sample_rotation_state(self.opt)
         for i, gi in enumerate(indices):
             try:
                 if i == 0:
                     crop_coords = self._online_crop_kwargs(
                         img_paths[gi], mask_paths[gi], domain,
                         crop_dim_override=crop_dim,
-                        get_crop_coordinates=True)
+                        get_crop_coordinates=True,
+                        rotation_state=rotation_state)
                 out = self._online_crop_kwargs(
                     img_paths[gi], mask_paths[gi], domain,
                     crop_dim_override=crop_dim,
-                    crop_coordinates=crop_coords)
+                    crop_coordinates=crop_coords,
+                    rotation_state=rotation_state)
                 if gc_mode != "none":
                     contexts.append(self._global_context_image(
                         img_paths[gi], crop_coords, crop_dim, domain,

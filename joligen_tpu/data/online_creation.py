@@ -13,12 +13,64 @@ fixed (output_dim, output_dim) result.
 
 from __future__ import annotations
 
+import math
 import random
 
 import numpy as np
 from PIL import Image
 
 from .transforms import load_image
+
+
+def rotation_enabled(opt):
+    """Pre-crop rotation gate (reference online_creation.py:128-134)."""
+    return (
+        not getattr(opt, "dataaug_no_rotate", False)
+        and bool(getattr(opt, "data_online_creation_rotate_before_crop", False))
+        and float(getattr(opt, "data_online_creation_rotate_max_angle", 0.0)) > 0.0
+        and "online" in getattr(opt, "data_dataset_mode", "")
+    )
+
+
+def sample_rotation_state(opt, rng=None):
+    """One rotation draw per sample (shared across all frames of a clip);
+    reference online_creation.py:137-146."""
+    if not rotation_enabled(opt):
+        return None
+    rng = rng or random
+    max_angle = float(getattr(opt, "data_online_creation_rotate_max_angle", 0.0))
+    return {
+        "angle": rng.uniform(-max_angle, max_angle),
+        "rebox_mask_after_rotation": bool(
+            getattr(opt, "data_online_creation_rotate_rebox_mask_after_rotation",
+                    False)
+        ),
+    }
+
+
+def _rotate_bboxes_expand(bboxes, width, height, angle):
+    """Axis-aligned bounds of each bbox's four corners after rotating the
+    image by ``angle`` (PIL CCW) with expand=True. Matches the reference's
+    corner math (online_creation.py:149-195): the point transform uses
+    -angle because image y points down."""
+    a = math.radians(-angle)
+    cos_a, sin_a = math.cos(a), math.sin(a)
+    cx, cy = width / 2.0, height / 2.0
+    # bounds of the rotated image frame (for the expand offset)
+    corners = np.array([(0, 0), (width, 0), (width, height), (0, height)],
+                       dtype=np.float64) - (cx, cy)
+    rot = corners @ np.array([[cos_a, sin_a], [-sin_a, cos_a]])
+    min_x, min_y = rot[:, 0].min(), rot[:, 1].min()
+    out = np.empty_like(bboxes)
+    for i, (x1, y1, x2, y2) in enumerate(bboxes):
+        pts = np.array([(x1, y1), (x2, y1), (x2, y2), (x1, y2)],
+                       dtype=np.float64) - (cx, cy)
+        r = pts @ np.array([[cos_a, sin_a], [-sin_a, cos_a]])
+        out[i] = [math.floor(r[:, 0].min() - min_x),
+                  math.floor(r[:, 1].min() - min_y),
+                  math.ceil(r[:, 0].max() - min_x),
+                  math.ceil(r[:, 1].max() - min_y)]
+    return out
 
 
 def read_bbox_file(bbox_path):
@@ -70,6 +122,7 @@ def crop_image(
     crop_center=False,
     mask_delta_ratio=((),),
     rng=None,
+    rotation_state=None,
 ):
     """Returns (crop float32 (D,D,C) in [-1,1], mask int32 (D,D,1),
     ref_bbox [x1,y1,x2,y2] in crop coords, category int)."""
@@ -83,6 +136,28 @@ def crop_image(
         sx, sy = tw / img.size[0], th / img.size[1]
         img = img.resize((tw, th), Image.BICUBIC)
         bboxes = bboxes * np.array([sx, sy, sx, sy])
+
+    # ---- optional pre-crop rotation with bbox reboxing (reference
+    # online_creation.py:616-723): rotate the full frame with expand=True,
+    # rebox every bbox to the axis-aligned bounds of its rotated corners,
+    # and reject crop windows that would include expand-fill pixels.
+    valid_arr = None
+    angle = float(rotation_state.get("angle", 0.0)) if rotation_state else 0.0
+    if abs(angle) > 1e-6:
+        src_w, src_h = img.size
+        fill = 0 if img.mode == "L" else tuple([0] * len(img.getbands()))
+        img = img.rotate(angle, Image.BICUBIC, expand=True, fillcolor=fill)
+        valid = Image.new("L", (src_w, src_h), 255).rotate(
+            angle, Image.NEAREST, expand=True, fillcolor=0)
+        valid_arr = np.asarray(valid, dtype=np.uint8) > 0
+        bboxes = _rotate_bboxes_expand(bboxes, src_w, src_h, angle)
+        if not rotation_state.get("rebox_mask_after_rotation", False):
+            bboxes = bboxes + np.array([-2.0, -2.0, 2.0, 2.0])  # bbox_pad
+        bboxes = np.clip(
+            bboxes,
+            0,
+            np.array([img.size[0], img.size[1], img.size[0], img.size[1]],
+                     dtype=np.float64))
 
     W, H = img.size
 
@@ -136,23 +211,50 @@ def crop_image(
     eff_crop = int(max(eff_crop, bw + 2 * context_pixels, bh + 2 * context_pixels))
     eff_crop = min(eff_crop, min(W, H))
 
+    def _window_valid(wx0, wy0):
+        """No expand-fill pixels inside the crop+context window (reference
+        online_creation.py:730-746 validate_crop_has_valid_source)."""
+        if valid_arr is None:
+            return True
+        vx0, vy0 = wx0 - context_pixels, wy0 - context_pixels
+        vx1, vy1 = wx0 + eff_crop + context_pixels, wy0 + eff_crop + context_pixels
+        if vx0 < 0 or vy0 < 0 or vx1 > W or vy1 > H:
+            return False
+        region = valid_arr[vy0:vy1, vx0:vx1]
+        return region.size > 0 and bool(np.all(region))
+
+    def _sample_window(jitter):
+        cx_center = (x1 + x2) / 2
+        cy_center = (y1 + y2) / 2
+        wx0 = cx_center - eff_crop / 2
+        wy0 = cy_center - eff_crop / 2
+        if jitter and not crop_center and crop_delta > 0:
+            wx0 += rng.randint(-crop_delta, crop_delta)
+            wy0 += rng.randint(-crop_delta, crop_delta)
+        wx0 = int(np.clip(wx0, 0, W - eff_crop))
+        wy0 = int(np.clip(wy0, 0, H - eff_crop))
+        # keep bbox inside the crop
+        wx0 = int(np.clip(wx0, x2 + context_pixels - eff_crop, x1 - context_pixels))
+        wy0 = int(np.clip(wy0, y2 + context_pixels - eff_crop, y1 - context_pixels))
+        wx0 = int(np.clip(wx0, 0, W - eff_crop))
+        wy0 = int(np.clip(wy0, 0, H - eff_crop))
+        return wx0, wy0
+
     if crop_coordinates is not None:
         cx0, cy0 = crop_coordinates
     else:
-        cx_center = (x1 + x2) / 2
-        cy_center = (y1 + y2) / 2
-        cx0 = cx_center - eff_crop / 2
-        cy0 = cy_center - eff_crop / 2
-        if not crop_center and crop_delta > 0:
-            cx0 += rng.randint(-crop_delta, crop_delta)
-            cy0 += rng.randint(-crop_delta, crop_delta)
-        cx0 = int(np.clip(cx0, 0, W - eff_crop))
-        cy0 = int(np.clip(cy0, 0, H - eff_crop))
-        # keep bbox inside the crop
-        cx0 = int(np.clip(cx0, x2 + context_pixels - eff_crop, x1 - context_pixels))
-        cy0 = int(np.clip(cy0, y2 + context_pixels - eff_crop, y1 - context_pixels))
-        cx0 = int(np.clip(cx0, 0, W - eff_crop))
-        cy0 = int(np.clip(cy0, 0, H - eff_crop))
+        cx0, cy0 = _sample_window(jitter=True)
+        if not _window_valid(cx0, cy0):
+            for _ in range(9):  # re-jitter, then fall back to centered
+                cx0, cy0 = _sample_window(jitter=True)
+                if _window_valid(cx0, cy0):
+                    break
+            else:
+                cx0, cy0 = _sample_window(jitter=False)
+                if not _window_valid(cx0, cy0):
+                    # reference raises here too; dataset catches -> sample skipped
+                    raise ValueError(
+                        f"rotated crop contains fill pixels for {img_path}")
 
     if get_crop_coordinates:
         return (cx0, cy0)

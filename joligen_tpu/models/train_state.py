@@ -63,6 +63,43 @@ def make_lr_schedule(opt, base_lr):
     return lambda step: base_lr
 
 
+def madgrad(learning_rate, momentum=0.9, weight_decay=0.0, eps=1e-6):
+    """MADGRAD (Defazio & Jelassi 2021) as an optax transformation
+    (reference util/madgrad.py — dense path, momentum form).
+
+    State: s = sum of lamb*g, v = sum of lamb*g^2, x0 = initial params.
+    lamb_k = lr_k * sqrt(k+1);  z = x0 - s / (v^(1/3) + eps);
+    p <- (1-c) p + c z with c = 1 - momentum.
+    """
+
+    def init(params):
+        zeros = jax.tree.map(jnp.zeros_like, params)
+        return {"s": zeros, "v": jax.tree.map(jnp.zeros_like, params),
+                "x0": jax.tree.map(jnp.copy, params),
+                "k": jnp.zeros((), jnp.int32)}
+
+    def update(grads, state, params):
+        lr = learning_rate(state["k"]) if callable(learning_rate) \
+            else learning_rate
+        # reference adds eps to lr (util/madgrad.py:96 "lr = lr + eps")
+        lamb = (lr + eps) * jnp.sqrt(state["k"].astype(jnp.float32) + 1.0)
+        if weight_decay:
+            grads = jax.tree.map(lambda g, p: g + weight_decay * p,
+                                 grads, params)
+        new_v = jax.tree.map(lambda v, g: v + lamb * g * g,
+                             state["v"], grads)
+        new_s = jax.tree.map(lambda s, g: s + lamb * g, state["s"], grads)
+        ck = 1.0 - momentum
+        def upd(p, s, v, x0):
+            z = x0 - s / (jnp.cbrt(v) + eps)
+            return (1.0 - ck) * p + ck * z - p
+        updates = jax.tree.map(upd, params, new_s, new_v, state["x0"])
+        return updates, {"s": new_s, "v": new_v, "x0": state["x0"],
+                         "k": state["k"] + 1}
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(opt, lr, iter_size=None):
     """adam/radam/adamw/lion factory (reference train.py:51-62).
     adam8bit maps to adamw (quantized optimizer states are not a win on TPU:
@@ -81,6 +118,8 @@ def make_optimizer(opt, lr, iter_size=None):
         tx = optax.adamw(sched, b1=b1, b2=b2, eps=eps, weight_decay=wd)
     elif name == "lion":
         tx = optax.lion(sched, b1=b1, b2=b2, weight_decay=wd)
+    elif name == "madgrad":
+        tx = madgrad(sched, momentum=b1, weight_decay=wd)
     else:
         raise NotImplementedError(f"optimizer {name}")
     if iter_size is None:

@@ -147,19 +147,71 @@ class InceptionV3Features:
     def __call__(self, imgs):
         if self._fn is None:
             self._build()
-        outs = []
-        n = imgs.shape[0]
-        bs = self.batch
-        # pad to a full batch so only one program is compiled
-        for i in range(0, n, bs):
-            chunk = np.asarray(imgs[i:i + bs], np.float32)
-            pad = bs - chunk.shape[0]
-            if pad:
-                chunk = np.concatenate(
-                    [chunk, np.zeros((pad,) + chunk.shape[1:], np.float32)])
-            out = np.asarray(self._fn(jnp.asarray(chunk)))
-            outs.append(out[: bs - pad] if pad else out)
-        return np.concatenate(outs) if outs else np.zeros((0, 2048))
+        return batched_extract(self._fn, imgs, self.batch, 2048)
+
+
+def batched_extract(fn, imgs, bs, out_dim):
+    """Run a jitted per-batch feature fn over imgs, padding the tail to a
+    full batch so only one program is compiled."""
+    outs = []
+    for i in range(0, imgs.shape[0], bs):
+        chunk = np.asarray(imgs[i:i + bs], np.float32)
+        pad = bs - chunk.shape[0]
+        if pad:
+            chunk = np.concatenate(
+                [chunk, np.zeros((pad,) + chunk.shape[1:], np.float32)])
+        out = np.asarray(fn(jnp.asarray(chunk)))
+        outs.append(out[: bs - pad] if pad else out)
+    return np.concatenate(outs) if outs else np.zeros((0, out_dim))
+
+
+class DINOv2Features:
+    """Normalized DINOv2 CLS embeddings when ``dinov2_vitb14.npz`` exists in
+    the weights dir (reference util/dino_metric.py loads torch.hub
+    dinov2_vitb14); otherwise fixed-seed RandomConvFeatures embeddings,
+    L2-normalized so the cosine-distance metric stays well-defined."""
+
+    def __init__(self, batch=16):
+        self.batch = batch
+        self._fn = None
+
+    def _build(self):
+        from .dinov2 import DINOv2ViT, load_dinov2_params, preprocess
+        path = os.path.join(WEIGHTS_DIR, "dinov2_vitb14.npz")
+        if os.path.exists(path):
+            net = DINOv2ViT()
+            params = load_dinov2_params(path)
+
+            def run(x):
+                return net.apply(params, preprocess(x))
+        else:
+            net = RandomConvFeatures()
+            params = net.init(jax.random.PRNGKey(1),
+                              jnp.zeros((1, 64, 64, 3), jnp.float32))
+
+            def run(x):
+                x = jax.image.resize(
+                    x, (x.shape[0], 128, 128, x.shape[-1]), "bilinear")
+                if x.shape[-1] == 1:
+                    x = jnp.tile(x, (1, 1, 1, 3))
+                f = net.apply(params, x)
+                return f / jnp.linalg.norm(f, axis=-1, keepdims=True)
+
+        self._fn = jax.jit(run)
+
+    def __call__(self, imgs):
+        if self._fn is None:
+            self._build()
+        return batched_extract(self._fn, imgs, self.batch, 768)
+
+
+def dinov2_distance(fakes, reals, extractor=None):
+    """Paired mean (1 - cosine similarity) of DINOv2 embeddings (reference
+    util/dino_metric.py:82-96)."""
+    extractor = extractor or DINOv2Features()
+    f = extractor(fakes)
+    r = extractor(reals)
+    return float(np.mean(1.0 - np.sum(f * r, axis=1)))
 
 
 # --------------------------------------------------------------------------
@@ -407,4 +459,6 @@ def compute_metrics(fakes, reals, metrics_list, extractor=None,
         out["SSIM"] = ssim(fakes, reals)
     if "LPIPS" in metrics_list:
         out["LPIPS"] = LPIPS()(fakes, reals)
+    if "DINOv2" in metrics_list:
+        out["DINOv2"] = dinov2_distance(fakes, reals)
     return out

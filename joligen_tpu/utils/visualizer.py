@@ -22,6 +22,59 @@ def tensor2im(arr):
     return a
 
 
+class _VisdomClient:
+    """Minimal stdlib visdom HTTP client (reference util/visualizer.py:86
+    uses the visdom package; the wire protocol is plain JSON POSTs to
+    /events, so no dependency is needed). Best-effort: disables itself on
+    the first connection failure."""
+
+    def __init__(self, server, port, env):
+        server = server or "http://localhost"
+        if "://" not in server:
+            server = "http://" + server
+        self.url = f"{server}:{port}/events"
+        self.env = env or "main"
+        self.dead = False
+
+    def _post(self, payload):
+        if self.dead:
+            return
+        import urllib.request
+        try:
+            req = urllib.request.Request(
+                self.url, json.dumps(payload).encode(),
+                {"Content-Type": "application/json"})
+            urllib.request.urlopen(req, timeout=2).read()
+        except Exception as e:
+            print(f"visdom unreachable at {self.url} ({e}); "
+                  "display disabled for this run")
+            self.dead = True
+
+    def line(self, win, title, xs, series):
+        """series: name -> list of y values aligned with xs."""
+        data = [{"x": list(map(float, xs)), "y": list(map(float, ys)),
+                 "type": "scatter", "mode": "lines", "name": k}
+                for k, ys in series.items()]
+        self._post({"data": data, "win": win, "eid": self.env,
+                    "layout": {"title": title, "showlegend": True},
+                    "opts": {"title": title}})
+
+    def image(self, win, img_hwc_uint8, caption):
+        import base64
+        import io
+        from PIL import Image
+        buf = io.BytesIO()
+        Image.fromarray(img_hwc_uint8).save(buf, format="PNG")
+        src = "data:image/png;base64," + base64.b64encode(
+            buf.getvalue()).decode()
+        h, w = img_hwc_uint8.shape[:2]
+        self._post({
+            "data": [{"content": {"src": src, "caption": caption,
+                                  "size": [w, h]}, "type": "image"}],
+            "win": win, "eid": self.env,
+            "opts": {"title": caption, "width": w, "height": h}})
+
+
 class Visualizer:
     def __init__(self, opt):
         self.opt = opt
@@ -35,6 +88,13 @@ class Visualizer:
             os.makedirs(self.img_dir, exist_ok=True)
         self.loss_history = self._load(self.losses_json)
         self.metric_history = self._load(self.metrics_json)
+        self.visdom = None
+        if "visdom" in (getattr(opt, "output_display_type", None) or []):
+            self.visdom = _VisdomClient(
+                getattr(opt, "output_display_visdom_server",
+                        "http://localhost"),
+                getattr(opt, "output_display_visdom_port", 8097),
+                getattr(opt, "output_display_env", ""))
         with open(self.log_path, "a") as f:
             f.write(f"================ Training Loss ({time.strftime('%c')}) ================\n")
 
@@ -57,25 +117,40 @@ class Visualizer:
         self.loss_history.append({"epoch": epoch, "iters": iters, **losses})
         with open(self.losses_json, "w") as f:
             json.dump(self.loss_history, f)
+        self._plot(self.loss_history, "loss", self.opt.name + " losses")
 
     def log_metrics(self, epoch, iters, metrics):
         metrics = {k: float(v) for k, v in metrics.items()}
         self.metric_history.append({"epoch": epoch, "iters": iters, **metrics})
         with open(self.metrics_json, "w") as f:
             json.dump(self.metric_history, f)
+        self._plot(self.metric_history, "metrics", self.opt.name + " metrics")
+
+    def _plot(self, history, win, title):
+        if self.visdom is None or self.visdom.dead or not history:
+            return
+        keys = [k for k in history[-1] if k not in ("epoch", "iters")]
+        xs = [h["epoch"] + h["iters"] * 1e-9 for h in history]
+        self.visdom.line(
+            win, title, xs,
+            {k: [h.get(k, float("nan")) for h in history] for k in keys})
 
     def save_images(self, visuals, epoch):
-        """visuals: dict name -> NHWC array. Writes PNGs + refreshes index.html."""
-        if getattr(self.opt, "output_no_html", False):
-            return
-        from PIL import Image
-        names = []
+        """visuals: dict name -> NHWC array. Writes PNGs + refreshes
+        index.html, and mirrors each image to visdom when enabled."""
+        html = not getattr(self.opt, "output_no_html", False)
+        if html:
+            from PIL import Image
         for name, arr in visuals.items():
             img = tensor2im(arr)
-            fn = f"epoch{epoch:03d}_{name}.png"
-            Image.fromarray(img).save(os.path.join(self.img_dir, fn))
-            names.append(fn)
-        self._write_html()
+            if html:
+                fn = f"epoch{epoch:03d}_{name}.png"
+                Image.fromarray(img).save(os.path.join(self.img_dir, fn))
+            if self.visdom is not None and not self.visdom.dead:
+                self.visdom.image(f"img_{name}", img,
+                                  f"{self.opt.name} {name} (epoch {epoch})")
+        if html:
+            self._write_html()
 
     def _write_html(self):
         files = sorted(os.listdir(self.img_dir), reverse=True)

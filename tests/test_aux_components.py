@@ -148,6 +148,23 @@ def test_export_stablehlo(fakeds, tmp_path):
     corr = np.corrcoef(out.ravel(), live.ravel())[0, 1]
     assert corr > 0.999, corr
 
+    # artifact-only inference script (gen_jit_single_image analog)
+    from PIL import Image
+    img_in = str(tmp_path / "in.png")
+    img_out = str(tmp_path / "out.png")
+    Image.fromarray((np.random.RandomState(0).rand(24, 24, 3) * 255)
+                    .astype(np.uint8)).save(img_in)
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts",
+                                      "gen_stablehlo_single_image.py"),
+         "--model_in_file", written["stablehlo"],
+         "--img_in", img_in, "--img_out", img_out],
+        env=env, capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert Image.open(img_out).size == (24, 24)
+
 
 def test_train_metrics_and_continue_from(fakeds, tmp_path):
     env = dict(os.environ)
@@ -185,3 +202,138 @@ def test_train_metrics_and_continue_from(fakeds, tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     prov = json.load(open(os.path.join(ckpt, "b", "finetune_source.json")))
     assert prov["files"], prov
+
+
+def test_online_pre_crop_rotation(tmp_path):
+    """Pre-crop rotation with bbox reboxing (reference
+    online_creation.py:128-199,616-723): the object's pixels must stay
+    covered by the reboxed mask after rotating the frame."""
+    from PIL import Image
+    from joligen_tpu.data.online_creation import crop_image
+
+    size = 200
+    img = np.zeros((size, size, 3), dtype=np.uint8)
+    x1, y1, x2, y2 = 80, 90, 124, 112
+    img[y1:y2, x1:x2] = 255
+    ipath = str(tmp_path / "img.png")
+    Image.fromarray(img).save(ipath)
+    bpath = str(tmp_path / "bbox.txt")
+    with open(bpath, "w") as f:
+        f.write(f"1 {x1} {y1} {x2} {y2}\n")
+
+    for rebox in (True, False):
+        crop, mask, ref_bbox, cat = crop_image(
+            ipath, bpath, crop_dim=128, output_dim=128, crop_delta=0,
+            rotation_state={"angle": 27.0,
+                            "rebox_mask_after_rotation": rebox})
+        assert crop.shape == (128, 128, 3) and mask.shape == (128, 128, 1)
+        bright = crop[:, :, 0] > 0.5  # object pixels (white on black)
+        assert bright.sum() > 0, "object lost by rotation/crop"
+        covered = (mask[:, :, 0] > 0)[bright]
+        assert covered.mean() > 0.98, f"rebox={rebox}: mask misses object"
+
+    # dataset-level: rotation flags flow through the online dataset
+    from joligen_tpu.data import create_dataset
+    root = str(tmp_path / "ds")
+    make_fake(root, n=4, size=64, online=True)
+    opt = _opt(root, tmp_path,
+               data_dataset_mode="unaligned_labeled_mask_online",
+               data_online_creation_crop_size_A=32,
+               data_online_creation_crop_size_B=32,
+               data_online_creation_rotate_before_crop=True,
+               data_online_creation_rotate_max_angle=10.0,
+               data_online_creation_rotate_rebox_mask_after_rotation=True)
+    ds = create_dataset(opt, "train")
+    got = [s for s in (ds[i] for i in range(4)) if s is not None]
+    assert got, "every rotated sample was rejected"
+    for s in got:
+        assert s["A"].shape == (16, 16, 3)
+        assert s["A_label_mask"].max() >= 1
+
+
+def test_visdom_adapter(fakeds, tmp_path):
+    """The stdlib visdom client posts well-formed /events payloads
+    (reference util/visualizer.py:86,478,547 via the visdom package)."""
+    import http.server
+    import threading
+
+    received = []
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = self.rfile.read(int(self.headers["Content-Length"]))
+            received.append((self.path, json.loads(body)))
+            self.send_response(200)
+            self.end_headers()
+            self.wfile.write(b"win")
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), H)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        from joligen_tpu.utils.visualizer import Visualizer
+        opt = _opt(fakeds, tmp_path,
+                   output_display_type=["visdom"],
+                   output_display_visdom_server="http://127.0.0.1",
+                   output_display_visdom_port=srv.server_address[1])
+        vis = Visualizer(opt)
+        vis.log_losses(1, 10, {"G_tot": 0.5, "D_tot": 0.2})
+        vis.save_images({"fake_B": np.zeros((1, 8, 8, 3), np.float32)}, 1)
+        assert len(received) >= 2
+        paths = {p for p, _ in received}
+        assert paths == {"/events"}
+        line = next(b for _, b in received if b["data"][0]["type"] == "scatter")
+        assert {t["name"] for t in line["data"]} == {"G_tot", "D_tot"}
+        img = next(b for _, b in received if b["data"][0]["type"] == "image")
+        assert img["data"][0]["content"]["src"].startswith(
+            "data:image/png;base64,")
+    finally:
+        srv.shutdown()
+
+
+def test_gen_multi_dataset_b2b_config(tmp_path):
+    """Config generator (reference scripts/gen_multi_dataset_b2b_config.py):
+    bbox-derived crop sizes, holdout test sets, and a config consumable by
+    the multi_dataset mode in both phases."""
+    roots = []
+    for nm in ("dsa", "dsb"):
+        root = str(tmp_path / nm)
+        make_fake(root, n=6, size=64, online=True)
+        roots.append(root)
+    out = str(tmp_path / "out")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run(
+        [sys.executable,
+         os.path.join(REPO, "scripts", "gen_multi_dataset_b2b_config.py"),
+         "--dataset-dirs", *roots, "--output-dir", out,
+         "--child-dataset-mode", "self_supervised_labeled_mask_online",
+         "--holdout-samples", "2", "--data-crop-size", "16",
+         "--data-load-size", "16"],
+        env=env, capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    multi = json.load(open(os.path.join(out, "multi_dataset.json")))
+    assert len(multi["datasets"]) == 2
+    for e in multi["datasets"]:
+        crop = e["overrides"]["data_online_creation_crop_size_A"]
+        assert crop % 16 == 0 and crop > 0
+    assert {t["id"] for t in multi["test_sets"]} == {"dsa_auto", "dsb_auto"}
+    assert os.path.exists(os.path.join(roots[0], "testA_auto", "paths.txt"))
+    cfg = json.load(open(os.path.join(out, "train_config.json")))
+    assert cfg["data_dataset_mode"] == "multi_dataset"
+
+    # the generated config drives the dataset in both phases
+    from joligen_tpu.data import create_dataset
+    opt = _opt(roots[0], tmp_path, model_type="b2b",
+               data_dataset_mode="multi_dataset",
+               data_multi_dataset_config=os.path.join(
+                   out, "multi_dataset.json"))
+    opt.data_relative_paths = False
+    ds = create_dataset(opt, "train")
+    s = ds[0]
+    assert s is not None and s["A"].shape[-1] == 3
+    test_ds = create_dataset(opt, "test", name="dsb_auto")
+    assert len(test_ds) > 0 and test_ds[0] is not None

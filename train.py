@@ -193,6 +193,11 @@ def launch_training(opt):
                 model.save_networks("latest")
                 return model
 
+        if total_iters == 0:
+            raise RuntimeError(
+                "epoch produced 0 training steps — every sample failed to "
+                "load (check dataroot/paths.txt; use --data_relative_paths "
+                "for dataroot-relative paths)")
         model.save_networks("latest")
         if epoch % max(1, opt.train_save_epoch_freq) == 0:
             model.save_networks(str(epoch))
