@@ -107,6 +107,19 @@ class CUTModel(BaseModel):
             ex_d = (ex_clip if "temporal" in name
                     else ex_onehot if "mask" in name else ex_img)
             self.states[name] = init_net_state(rngs[2 + i], netD, (ex_d,), tx)
+            if "projected" in name or "temporal" in name:
+                from .modules.projected_d import load_efficientnet_trunk
+                self.states[name] = self.states[name].replace(
+                    params=load_efficientnet_trunk(self.states[name].params))
+            if "vision_aided" in name:
+                from ..utils.clip_vit import load_clip_ref_encoder
+                self.states[name] = self.states[name].replace(
+                    params=load_clip_ref_encoder(self.states[name].params))
+            if "depth" in name:
+                from ..utils.midas import load_midas_encoder_into_projected
+                self.states[name] = self.states[name].replace(
+                    params=load_midas_encoder_into_projected(
+                        self.states[name].params))
 
         if self.semantic_cls:
             self.netCLS = define_C(opt)

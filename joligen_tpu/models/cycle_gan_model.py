@@ -53,6 +53,21 @@ class CycleGANModel(BaseModel):
                 tx = make_optimizer(opt, getattr(opt, "train_D_lr", 2e-4))
                 self.txs[sname] = tx
                 self.states[sname] = init_net_state(rngs[k], netD, (ex,), tx)
+                if "projected" in name or "temporal" in name:
+                    from .modules.projected_d import load_efficientnet_trunk
+                    self.states[sname] = self.states[sname].replace(
+                        params=load_efficientnet_trunk(
+                            self.states[sname].params))
+                if "vision_aided" in name:
+                    from ..utils.clip_vit import load_clip_ref_encoder
+                    self.states[sname] = self.states[sname].replace(
+                        params=load_clip_ref_encoder(
+                            self.states[sname].params))
+                if "depth" in name:
+                    from ..utils.midas import load_midas_encoder_into_projected
+                    self.states[sname] = self.states[sname].replace(
+                        params=load_midas_encoder_into_projected(
+                            self.states[sname].params))
                 self.d_names.append((sname, dom, name))
                 k += 1
 

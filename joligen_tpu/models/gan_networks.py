@@ -97,12 +97,31 @@ def define_D(opt, names=None):
             from .modules.projected_d import TemporalProjectedDiscriminator
             ds["D_B_" + name] = TemporalProjectedDiscriminator(
                 interp=getattr(opt, "D_proj_interp", -1), dtype=dtype)
-        elif name in ("vision_aided", "depth", "sam"):
+        elif name == "vision_aided":
+            # frozen CLIP backbone + trainable heads; ported weights swap in
+            # from clip_vitb16.npz post-init (see cut_model)
+            from .modules.vision_aided_d import VisionAidedDiscriminator
+            from ..utils.clip_vit import clip_weights_path
+            if clip_weights_path() is None:
+                print("vision_aided D: clip_vitb16.npz not found in "
+                      "JOLIGEN_TPU_WEIGHTS_DIR — using frozen random CLIP "
+                      "features (port with tools/port_clip_weights.py)")
+            ds["D_B_" + name] = VisionAidedDiscriminator(dtype=dtype)
+        elif name == "depth":
+            # projected D over the frozen MiDaS (lite3) encoder (reference
+            # projected_d projector type depth); midas_small.npz swaps in
+            # post-init, else frozen random features
+            from .modules.projected_d import (ProjectedDiscriminator,
+                                              _LITE3_STAGES)
+            ds["D_B_" + name] = ProjectedDiscriminator(
+                interp=getattr(opt, "D_proj_interp", -1),
+                trunk_stages=_LITE3_STAGES, dtype=dtype)
+        elif name == "sam":
             raise NotImplementedError(
-                f"discriminator {name} requires frozen pretrained backbones "
-                "(CLIP/MiDaS/SAM) whose weights cannot be downloaded in this "
-                "environment; drop ported weights into JOLIGEN_TPU_WEIGHTS_DIR "
-                "and file an issue to enable")
+                "discriminator sam requires the Segment-Anything backbone "
+                "whose weights cannot be downloaded in this environment; "
+                "drop ported weights into JOLIGEN_TPU_WEIGHTS_DIR and file "
+                "an issue to enable")
         elif name == "mask":
             # judges one-hot semantic masks: real = one-hot label mask,
             # fake = gumbel-softmax of f_s(fake) (reference

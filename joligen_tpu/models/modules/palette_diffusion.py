@@ -48,6 +48,7 @@ class PaletteDenoiser(nn.Module):
     conditioning: str = ""
     nclasses: int = 2
     raw_t: bool = False   # inner takes raw t in [0,1] (JiT/HDiT style)
+    ref_embed_net: str = ""   # "" (conv encoder) | "clip" (frozen ViT-B/16)
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -94,6 +95,17 @@ class PaletteDenoiser(nn.Module):
             if ref is None:
                 ref_embed = jnp.zeros(
                     (x.shape[0], self.cond_embed_dim - g), emb.dtype)
+            elif self.ref_embed_net == "clip":
+                # frozen CLIP ViT-B/16 image embedding -> SiLU -> Dense
+                # (reference palette_denoise_fn.py:77-92,144-155); ported
+                # weights swap in post-init via load_clip_ref_encoder
+                from ...utils.clip_vit import CLIPVisualViT, preprocess
+                feats = CLIPVisualViT(name="freezenet_clip")(
+                    preprocess(ref.astype(jnp.float32)))
+                feats = jax.lax.stop_gradient(feats)
+                ref_embed = nn.Dense(self.cond_embed_dim - g,
+                                     dtype=self.dtype, name="ref_proj")(
+                    nn.silu(feats).astype(self.dtype))
             else:
                 h = ref.astype(self.dtype)
                 for i, chn in enumerate((64, 128, 256)):

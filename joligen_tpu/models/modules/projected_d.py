@@ -32,8 +32,12 @@ sg = jax.lax.stop_gradient
 
 
 class MBConv(nn.Module):
-    """Mobile inverted bottleneck (EfficientNet-lite: no SE, relu6)."""
+    """Mobile inverted bottleneck, EfficientNet-lite flavor: no SE, relu6,
+    TF SAME padding. BatchNorm is folded into each conv's bias (the trunk is
+    frozen/inference-only), so params are plain conv kernel+bias — exactly
+    what tools/port_efficientnet_lite_weights.py produces."""
     out_ch: int
+    kernel: int = 3
     stride: int = 1
     expand: int = 6
     dtype: jnp.dtype = jnp.float32
@@ -43,51 +47,85 @@ class MBConv(nn.Module):
         c = x.shape[-1]
         h = x
         if self.expand != 1:
-            h = nn.Conv(c * self.expand, (1, 1), use_bias=False,
-                        dtype=self.dtype, name="expand")(h)
-            h = nn.GroupNorm(num_groups=min(8, c * self.expand),
-                             dtype=jnp.float32)(h.astype(jnp.float32)).astype(h.dtype)
+            h = nn.Conv(c * self.expand, (1, 1), dtype=self.dtype,
+                        name="expand")(h)
             h = nn.relu(jnp.minimum(h, 6.0))  # relu6
-        h = nn.Conv(h.shape[-1], (3, 3), strides=self.stride, padding=1,
-                    feature_group_count=h.shape[-1], use_bias=False,
-                    dtype=self.dtype, name="dw")(h)
-        h = nn.GroupNorm(num_groups=min(8, h.shape[-1]),
-                         dtype=jnp.float32)(h.astype(jnp.float32)).astype(h.dtype)
+        h = nn.Conv(h.shape[-1], (self.kernel, self.kernel),
+                    strides=self.stride, padding="SAME",
+                    feature_group_count=h.shape[-1], dtype=self.dtype,
+                    name="dw")(h)
         h = nn.relu(jnp.minimum(h, 6.0))
-        h = nn.Conv(self.out_ch, (1, 1), use_bias=False, dtype=self.dtype,
-                    name="project")(h)
+        h = nn.Conv(self.out_ch, (1, 1), dtype=self.dtype, name="project")(h)
         if self.stride == 1 and c == self.out_ch:
             h = h + x
         return h
 
 
+# tf_efficientnet_lite stages: (out_ch, kernel, stride, repeats, expand)
+_LITE0_STAGES = ((16, 3, 1, 1, 1), (24, 3, 2, 2, 6), (40, 5, 2, 2, 6),
+                 (80, 3, 2, 3, 6), (112, 5, 1, 3, 6), (192, 5, 2, 4, 6),
+                 (320, 3, 1, 1, 6))
+# lite3 = width x1.2 / depth x1.4 with first/last stage repeats unscaled
+# (the MiDaS v2.1 small encoder)
+_LITE3_STAGES = ((24, 3, 1, 1, 1), (32, 3, 2, 3, 6), (48, 5, 2, 3, 6),
+                 (96, 3, 2, 5, 6), (136, 5, 1, 5, 6), (232, 5, 2, 6, 6),
+                 (384, 3, 1, 1, 6))
+# feature taps after these stages -> strides 4, 8, 16, 32
+_LITE_TAPS = (1, 2, 4, 6)
+
+
 class EfficientNetLiteTrunk(nn.Module):
-    """Returns features at strides 4, 8, 16, 32."""
-    widths: Sequence[int] = (24, 40, 112, 320)
+    """Exact tf_efficientnet_lite topology (timm), BN folded into conv
+    biases. Returns features at strides 4, 8, 16, 32 (lite0:
+    (24, 40, 112, 320); lite3: (32, 48, 136, 384)). Ported ImageNet weights
+    drop in via load_efficientnet_trunk (else fixed-seed random features)."""
+    stages: tuple = _LITE0_STAGES
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        h = nn.Conv(32, (3, 3), strides=2, padding=1, use_bias=False,
-                    dtype=self.dtype, name="stem")(x)
+        h = nn.Conv(32, (3, 3), strides=2, padding="SAME", dtype=self.dtype,
+                    name="stem")(x)
         h = nn.relu(jnp.minimum(h, 6.0))
-        h = MBConv(16, 1, expand=1, dtype=self.dtype, name="b0")(h)
         feats = []
-        h = MBConv(self.widths[0], 2, dtype=self.dtype, name="b1a")(h)
-        h = MBConv(self.widths[0], 1, dtype=self.dtype, name="b1b")(h)
-        feats.append(h)                                    # 1/4
-        h = MBConv(self.widths[1], 2, dtype=self.dtype, name="b2a")(h)
-        h = MBConv(self.widths[1], 1, dtype=self.dtype, name="b2b")(h)
-        feats.append(h)                                    # 1/8
-        h = MBConv(80, 2, dtype=self.dtype, name="b3a")(h)
-        h = MBConv(80, 1, dtype=self.dtype, name="b3b")(h)
-        h = MBConv(self.widths[2], 1, dtype=self.dtype, name="b4a")(h)
-        feats.append(h)                                    # 1/16
-        h = MBConv(192, 2, dtype=self.dtype, name="b5a")(h)
-        h = MBConv(192, 1, dtype=self.dtype, name="b5b")(h)
-        h = MBConv(self.widths[3], 1, dtype=self.dtype, name="b6")(h)
-        feats.append(h)                                    # 1/32
+        for si, (out_ch, k, s, reps, e) in enumerate(self.stages):
+            for ri in range(reps):
+                h = MBConv(out_ch, kernel=k, stride=(s if ri == 0 else 1),
+                           expand=e, dtype=self.dtype,
+                           name=f"b{si}_{ri}")(h)
+            if si in _LITE_TAPS:
+                feats.append(h)
         return feats
+
+
+def load_efficientnet_trunk(params, net_name="feature_network"):
+    """Swap the frozen trunk's params for ported tf_efficientnet_lite0
+    weights when ``$JOLIGEN_TPU_WEIGHTS_DIR/efficientnet_lite0.npz`` exists
+    (produced by tools/port_efficientnet_lite_weights.py). Returns the
+    (possibly updated) params pytree."""
+    import os
+
+    import numpy as np
+
+    path = os.path.join(os.environ.get("JOLIGEN_TPU_WEIGHTS_DIR", ""),
+                        "efficientnet_lite0.npz")
+    if not os.environ.get("JOLIGEN_TPU_WEIGHTS_DIR") \
+            or not os.path.exists(path):
+        return params
+    if net_name not in params.get("params", {}):
+        return params
+    z = np.load(path)
+    tree = {}
+    for key in z.files:  # "stem.kernel", "b1_0.expand.bias", ...
+        parts = key.split(".")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(z[key])
+    new_params = dict(params)
+    new_params["params"] = dict(params["params"])
+    new_params["params"][net_name] = tree
+    return new_params
 
 
 class FRandomProj(nn.Module):
@@ -142,9 +180,15 @@ class DownBlockPatch(nn.Module):
 
 class ProjectedDiscriminator(nn.Module):
     """Frozen trunk + frozen projections + trainable MultiScaleD.
-    call(x (B,H,W,C) in [-1,1]) -> (B, total_patches) logits."""
+    call(x (B,H,W,C) in [-1,1]) -> (B, total_patches) logits.
+
+    trunk_stages selects the frozen backbone: lite0 (default projector) or
+    lite3 (the MiDaS depth encoder — reference projected_d projector type
+    ``depth``; ported depth weights load via
+    utils/midas.load_midas_encoder_into_projected)."""
     interp: int = -1        # resize input to this size first (224 typical)
     proj_ch: int = 64
+    trunk_stages: tuple = _LITE0_STAGES
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -155,7 +199,9 @@ class ProjectedDiscriminator(nn.Module):
             x = jax.image.resize(
                 x, (x.shape[0], self.interp, self.interp, x.shape[-1]),
                 "bilinear")
-        feats = EfficientNetLiteTrunk(dtype=self.dtype, name="feature_network")(x)
+        feats = EfficientNetLiteTrunk(stages=self.trunk_stages,
+                                      dtype=self.dtype,
+                                      name="feature_network")(x)
         feats = [sg(f) for f in feats]      # frozen trunk
         projs = FRandomProj(self.proj_ch, dtype=self.dtype, name="proj")(feats)
         logits = []

@@ -72,6 +72,12 @@ class PaletteModel(BaseModel):
             self.next_rng(), self.netG, (ex_x, ex_g),
             tx, use_ema=self.use_ema,
             init_kwargs={"cls": ex_cls, "mask": ex_mask, "ref": ex_ref})
+        if getattr(self.netG, "ref_embed_net", "") == "clip":
+            from ..utils.clip_vit import load_clip_ref_encoder
+            state = state.replace(
+                params=load_clip_ref_encoder(state.params),
+                ema_params=(load_clip_ref_encoder(state.ema_params)
+                            if state.ema_params is not None else None))
         # shard params/opt-state over the fsdp axis, replicate over data
         pshard = param_sharding(self.mesh, state.params)
         state = state.replace(

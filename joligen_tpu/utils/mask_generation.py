@@ -68,18 +68,36 @@ def fill_img_with_sketch(img, mask, select_mask=True, **kw):
 
 
 def fill_img_with_hed(img, mask, select_mask=True, **kw):
-    """HED soft-edge conditioning. The HED net needs downloaded weights;
-    without them this degrades to canny (reference behaviour approximated)."""
-    return fill_img_with_canny(img, mask, select_mask=select_mask)
+    """HED soft-edge conditioning (reference util/mask_generation.py via
+    sketch_generation/hed.py). Runs the flax HED net when
+    ``$JOLIGEN_TPU_WEIGHTS_DIR/hed_bsds500.npz`` exists; degrades to canny
+    otherwise."""
+    from .hed import hed_edges
+    u8 = _to_uint8(img)
+    if u8.shape[-1] == 1:
+        u8 = np.repeat(u8, 3, axis=2)
+    edge = hed_edges(u8)
+    if edge is None:
+        return fill_img_with_canny(img, mask, select_mask=select_mask)
+    e3 = np.repeat(edge[:, :, None], img.shape[-1], axis=2)
+    return _compose(img, _from_uint8(e3), mask, select_mask)
 
 
 def fill_img_with_depth(img, mask, select_mask=True, **kw):
-    """MiDaS depth conditioning — weights unavailable: fallback = blurred
-    luminance as a crude monocular-depth proxy."""
+    """MiDaS depth conditioning (reference util/mask_generation.py via the
+    midas_v21_small net). Runs the flax MidasSmall when
+    ``$JOLIGEN_TPU_WEIGHTS_DIR/midas_small.npz`` exists; otherwise falls
+    back to blurred luminance as a crude monocular-depth proxy."""
     import cv2
-    u8 = cv2.cvtColor(_to_uint8(img), cv2.COLOR_RGB2GRAY) \
-        if img.shape[-1] == 3 else _to_uint8(img)[..., 0]
-    d = cv2.GaussianBlur(u8, (21, 21), 0)
+    from .midas import midas_depth
+    rgb = _to_uint8(img)
+    if rgb.shape[-1] == 1:
+        rgb = np.repeat(rgb, 3, axis=2)
+    d = midas_depth(rgb)
+    if d is None:
+        u8 = cv2.cvtColor(_to_uint8(img), cv2.COLOR_RGB2GRAY) \
+            if img.shape[-1] == 3 else _to_uint8(img)[..., 0]
+        d = cv2.GaussianBlur(u8, (21, 21), 0)
     d3 = np.repeat(d[:, :, None], img.shape[-1], axis=2)
     return _compose(img, _from_uint8(d3), mask, select_mask)
 

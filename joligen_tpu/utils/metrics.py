@@ -325,7 +325,8 @@ class LPIPS:
     def _build(self, shape):
         net = _VGGish()
         path = os.path.join(WEIGHTS_DIR, "vgg16_lpips.npz")
-        if os.path.exists(path):
+        ported = os.path.exists(path)
+        if ported:
             raw = np.load(path)
             params = jax.tree.map(jnp.asarray,
                                   {"params": {k: {"kernel": raw[f"{k}/kernel"],
@@ -336,7 +337,18 @@ class LPIPS:
             params = net.init(jax.random.PRNGKey(0),
                               jnp.zeros((1,) + shape, jnp.float32))
 
+        def prep(x):
+            if not ported:
+                return x
+            # real VGG16 expects ImageNet-normalized input (reference
+            # models/vgg_perceptual_loss.py preprocessing)
+            x = (x + 1.0) / 2.0
+            mean = jnp.array([0.485, 0.456, 0.406])
+            std = jnp.array([0.229, 0.224, 0.225])
+            return (x - mean) / std
+
         def run(a, b):
+            a, b = prep(a), prep(b)
             fa = net.apply(params, a)
             fb = net.apply(params, b)
             d = 0.0
@@ -395,6 +407,25 @@ class VideoFeatures:
         self._fn = None
 
     def _build(self):
+        path = os.path.join(WEIGHTS_DIR, "i3d_fvd.npz")
+        if os.path.exists(path):
+            from .i3d import I3D, load_i3d_params
+            net = I3D()
+            params = load_i3d_params(path)
+
+            def run(x):
+                # the reference detector resizes to 224 and consumes [-1,1]
+                # (util/fvd.py:133 resize=True, rescale=False)
+                n, f = x.shape[:2]
+                x = jax.image.resize(
+                    x, (n, f, 224, 224, x.shape[-1]), "bilinear")
+                if x.shape[-1] == 1:
+                    x = jnp.tile(x, (1, 1, 1, 1, 3))
+                return net.apply(params, x)
+
+            self._fn = jax.jit(run)
+            return
+
         class RandomConv3D(nn.Module):
             @nn.compact
             def __call__(self, x):  # (N,F,H,W,C)

@@ -152,3 +152,61 @@ def test_cut_with_ittr(fakeds, tmp_path):
     assert np.isfinite(losses["G_tot"])
     fake = m.inference(batch)
     assert fake.shape[1:] == (32, 32, 3)
+
+
+def test_vision_aided_d(fakeds, tmp_path):
+    """Vision-aided D (reference modules/vision_aided_d.py): frozen CLIP
+    backbone gets zero gradient, trainable heads learn, and a CUT step
+    runs end to end."""
+    import jax
+    import jax.numpy as jnp
+    from joligen_tpu.models.modules.vision_aided_d import (
+        VisionAidedDiscriminator)
+
+    d = VisionAidedDiscriminator(head_ch=16)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 32, 32, 3))
+    params = d.init(jax.random.PRNGKey(1), x)
+    out = d.apply(params, x)
+    assert out.ndim == 2 and np.isfinite(out).all()
+    grads = jax.grad(lambda p: jnp.mean(d.apply(p, x) ** 2))(params)
+    gp = grads["params"]
+    clip_leaves = jax.tree.leaves(gp["freezenet_clip"])
+    head_leaves = [leaf for k in gp if k != "freezenet_clip"
+                   for leaf in jax.tree.leaves(gp[k])]
+    assert all(float(jnp.abs(leaf).max()) == 0.0 for leaf in clip_leaves)
+    assert any(float(jnp.abs(leaf).max()) > 0.0 for leaf in head_leaves)
+
+    from joligen_tpu.data import create_dataloader, create_dataset
+    from joligen_tpu.models import create_model
+    opt = _opt(fakeds, tmp_path, D_netDs=["vision_aided"],
+               data_crop_size=16, data_load_size=16)
+    m = create_model(opt)
+    batch = next(iter(create_dataloader(opt, create_dataset(opt, "train"))))
+    losses = m.optimize_parameters(batch)
+    d_keys = [k for k in losses if k.startswith("D_")]
+    assert d_keys and np.isfinite(losses["G_tot"])
+    assert all(np.isfinite(losses[k]) for k in d_keys)
+
+
+def test_depth_projected_d():
+    """Depth projected D: frozen lite3 (MiDaS-encoder) trunk variant
+    (reference projected_d projector type depth)."""
+    import jax
+    from joligen_tpu.models.modules.projected_d import (
+        ProjectedDiscriminator, _LITE3_STAGES)
+
+    d = ProjectedDiscriminator(interp=32, trunk_stages=_LITE3_STAGES)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+    params = d.init(jax.random.PRNGKey(1), x)
+    out = d.apply(params, x)
+    assert out.ndim == 2 and out.shape[0] == 2 and np.isfinite(out).all()
+
+    # the MiDaS-encoder loader swaps the trunk subtree when weights exist
+    import tempfile
+    from joligen_tpu.utils.midas import load_midas_encoder_into_projected
+    import importlib.util as ilu
+    spec = ilu.spec_from_file_location(
+        "port_midas", os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools/port_midas_weights.py"))
+    assert spec is not None  # porter exists for the depth trunk

@@ -2,8 +2,12 @@
 (recomputed independently in numpy from the published equations — the
 pieces FID parity with pretrained reference weights depends on)."""
 
+import os
+
 import numpy as np
 import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def test_linear_and_quad_beta_schedules():
@@ -252,3 +256,602 @@ def test_dinov2_metric_fallback():
     assert abs(dinov2_distance(x, x)) < 1e-5
     y = -x
     assert dinov2_distance(x, y) > 1e-3
+
+
+def test_vgg16_porter_matches_torch_math():
+    """The VGG16 porter mapping + flax trunk reproduce torchvision's
+    features pipeline (conv/relu/maxpool chain) on random weights."""
+    import importlib.util as ilu
+    import jax.numpy as jnp
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    spec = ilu.spec_from_file_location(
+        "port_vgg16", os.path.join(REPO, "tools/port_vgg16_weights.py"))
+    porter = ilu.module_from_spec(spec)
+    spec.loader.exec_module(porter)
+
+    rng = np.random.RandomState(7)
+    widths = (64, 128, 256, 512, 512)
+    sd = {}
+    in_c = 3
+    for bi, convs in enumerate(porter._CONV_IDX):
+        for li in convs:
+            sd[f"features.{li}.weight"] = (
+                rng.randn(widths[bi], in_c, 3, 3) * 0.05).astype(np.float32)
+            sd[f"features.{li}.bias"] = (
+                rng.randn(widths[bi]) * 0.05).astype(np.float32)
+            in_c = widths[bi]
+
+    x = rng.randn(1, 32, 32, 3).astype(np.float32)
+
+    # torch chain: per block (convs + relu), then 2x2 maxpool
+    h = torch.tensor(x).permute(0, 3, 1, 2)
+    ref_feats = []
+    for bi, convs in enumerate(porter._CONV_IDX):
+        for li in convs:
+            h = F.relu(F.conv2d(h, torch.tensor(sd[f"features.{li}.weight"]),
+                                torch.tensor(sd[f"features.{li}.bias"]),
+                                padding=1))
+        ref_feats.append(h.permute(0, 2, 3, 1).numpy())
+        h = F.max_pool2d(h, 2)
+
+    mapped = porter.map_state_dict(sd)
+    from joligen_tpu.utils.metrics import _VGGish
+    params = {"params": {k.split("/")[0]: {} for k in mapped}}
+    for k, v in mapped.items():
+        name, leaf = k.split("/")
+        params["params"][name][leaf] = jnp.asarray(v)
+    got = _VGGish().apply(params, jnp.asarray(x))
+    assert len(got) == 5
+    for g, r in zip(got, ref_feats):
+        np.testing.assert_allclose(np.asarray(g), r, rtol=2e-4, atol=2e-5)
+
+
+def test_hed_porter_matches_torch_math(tmp_path, monkeypatch):
+    """The HED porter mapping + flax net reproduce the reference torch HED
+    forward (sketch_generation/hed.py:115-171) on random weights."""
+    import importlib.util as ilu
+    import jax.numpy as jnp
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    spec = ilu.spec_from_file_location(
+        "port_hed", os.path.join(REPO, "tools/port_hed_weights.py"))
+    porter = ilu.module_from_spec(spec)
+    spec.loader.exec_module(porter)
+
+    rng = np.random.RandomState(11)
+    sd = {}
+    in_c = 3
+    for tname, bi, idxs in porter._VGG_SEQS:
+        width = (64, 128, 256, 512, 512)[bi]
+        for li in idxs:
+            sd[f"{tname}.{li}.weight"] = (
+                rng.randn(width, in_c, 3, 3) * 0.05).astype(np.float32)
+            sd[f"{tname}.{li}.bias"] = (
+                rng.randn(width) * 0.05).astype(np.float32)
+            in_c = width
+        sd[f"{porter._SCORES[bi]}.weight"] = (
+            rng.randn(1, width, 1, 1) * 0.05).astype(np.float32)
+        sd[f"{porter._SCORES[bi]}.bias"] = (
+            rng.randn(1) * 0.05).astype(np.float32)
+    sd["netCombine.0.weight"] = (
+        rng.randn(1, 5, 1, 1) * 0.2).astype(np.float32)
+    sd["netCombine.0.bias"] = (rng.randn(1) * 0.2).astype(np.float32)
+
+    x = (rng.rand(1, 32, 32, 3) * 255 - 117).astype(np.float32)
+
+    # torch forward
+    h = torch.tensor(x).permute(0, 3, 1, 2)
+    scores = []
+    for tname, bi, idxs in porter._VGG_SEQS:
+        if bi:
+            h = F.max_pool2d(h, 2)
+        for li in idxs:
+            h = F.relu(F.conv2d(h, torch.tensor(sd[f"{tname}.{li}.weight"]),
+                                torch.tensor(sd[f"{tname}.{li}.bias"]),
+                                padding=1))
+        s = F.conv2d(h, torch.tensor(sd[f"{porter._SCORES[bi]}.weight"]),
+                     torch.tensor(sd[f"{porter._SCORES[bi]}.bias"]))
+        scores.append(F.interpolate(s, size=(32, 32), mode="bilinear",
+                                    align_corners=False))
+    ref = torch.sigmoid(F.conv2d(torch.cat(scores, 1),
+                                 torch.tensor(sd["netCombine.0.weight"]),
+                                 torch.tensor(sd["netCombine.0.bias"])))
+    ref = ref.permute(0, 2, 3, 1).numpy()
+
+    # flax via the porter npz
+    npz = str(tmp_path / "hed.npz")
+    np.savez(npz, **porter.map_state_dict(sd))
+    from joligen_tpu.utils.hed import HEDNet, load_hed_params
+    got = np.asarray(HEDNet().apply(load_hed_params(npz), jnp.asarray(x)))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5)
+
+    # end-to-end gate: fill_img_with_hed uses the net when weights exist
+    import joligen_tpu.utils.hed as hedmod
+    monkeypatch.setenv("JOLIGEN_TPU_WEIGHTS_DIR", str(tmp_path))
+    os.rename(npz, str(tmp_path / "hed_bsds500.npz"))
+    hedmod._CACHED = None
+    from joligen_tpu.utils.mask_generation import fill_img_with_hed
+    img = (rng.rand(32, 32, 3) * 2 - 1).astype(np.float32)
+    mask = np.ones((32, 32, 1), np.int32)
+    out = fill_img_with_hed(img, mask)
+    assert out.shape == img.shape and np.isfinite(out).all()
+    hedmod._CACHED = None
+
+
+def test_efficientnet_lite_porter_matches_torch_math(tmp_path, monkeypatch):
+    """Porter mapping + flax trunk reproduce timm tf_efficientnet_lite0
+    (BN eval mode, TF SAME padding) on random weights — the projected-D
+    frozen feature network (reference projected_d/projector.py)."""
+    import importlib.util as ilu
+    import jax.numpy as jnp
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    spec = ilu.spec_from_file_location(
+        "port_enet",
+        os.path.join(REPO, "tools/port_efficientnet_lite_weights.py"))
+    porter = ilu.module_from_spec(spec)
+    spec.loader.exec_module(porter)
+
+    rng = np.random.RandomState(5)
+
+    def conv_w(o, i, k):
+        return (rng.randn(o, i, k, k) * 0.08).astype(np.float32)
+
+    def bn(prefix, c, sd):
+        sd[f"{prefix}.weight"] = (1 + rng.randn(c) * 0.05).astype(np.float32)
+        sd[f"{prefix}.bias"] = (rng.randn(c) * 0.05).astype(np.float32)
+        sd[f"{prefix}.running_mean"] = (rng.randn(c) * 0.05).astype(np.float32)
+        sd[f"{prefix}.running_var"] = (1 + rng.rand(c) * 0.1).astype(np.float32)
+
+    sd = {"conv_stem.weight": conv_w(32, 3, 3)}
+    bn("bn1", 32, sd)
+    in_c = 32
+    for si, (out_c, k, s, reps, e) in enumerate(porter.STAGES):
+        for ri in range(reps):
+            p = f"blocks.{si}.{ri}"
+            if e == 1:
+                sd[f"{p}.conv_dw.weight"] = (
+                    rng.randn(in_c, 1, k, k) * 0.08).astype(np.float32)
+                bn(f"{p}.bn1", in_c, sd)
+                sd[f"{p}.conv_pw.weight"] = conv_w(out_c, in_c, 1)
+                bn(f"{p}.bn2", out_c, sd)
+            else:
+                mid = in_c * e
+                sd[f"{p}.conv_pw.weight"] = conv_w(mid, in_c, 1)
+                bn(f"{p}.bn1", mid, sd)
+                sd[f"{p}.conv_dw.weight"] = (
+                    rng.randn(mid, 1, k, k) * 0.08).astype(np.float32)
+                bn(f"{p}.bn2", mid, sd)
+                sd[f"{p}.conv_pwl.weight"] = conv_w(out_c, mid, 1)
+                bn(f"{p}.bn3", out_c, sd)
+            in_c = out_c
+
+    def t_bn(x, prefix):
+        return F.batch_norm(
+            x, torch.tensor(sd[f"{prefix}.running_mean"]),
+            torch.tensor(sd[f"{prefix}.running_var"]),
+            torch.tensor(sd[f"{prefix}.weight"]),
+            torch.tensor(sd[f"{prefix}.bias"]), False, 0.0, 1e-3)
+
+    def tf_pad(x, k, s):
+        if s == 1:
+            return F.pad(x, (k // 2,) * 4)
+        total = k - s  # even inputs: ceil(n/2) out -> total pad k-2
+        lo, hi = total // 2, total - total // 2
+        return F.pad(x, (lo, hi, lo, hi))
+
+    def relu6(x):
+        return torch.clamp(x, max=6.0).relu()
+
+    x_np = rng.randn(1, 64, 64, 3).astype(np.float32)
+    h = torch.tensor(x_np).permute(0, 3, 1, 2)
+    h = relu6(t_bn(F.conv2d(tf_pad(h, 3, 2),
+                            torch.tensor(sd["conv_stem.weight"]),
+                            stride=2), "bn1"))
+    ref_feats = []
+    for si, (out_c, k, s, reps, e) in enumerate(porter.STAGES):
+        for ri in range(reps):
+            p = f"blocks.{si}.{ri}"
+            stride = s if ri == 0 else 1
+            inp = h
+            if e == 1:
+                h = relu6(t_bn(F.conv2d(tf_pad(h, k, stride),
+                                        torch.tensor(sd[f"{p}.conv_dw.weight"]),
+                                        stride=stride, groups=h.shape[1]),
+                               f"{p}.bn1"))
+                h = t_bn(F.conv2d(h, torch.tensor(sd[f"{p}.conv_pw.weight"])),
+                         f"{p}.bn2")
+            else:
+                h = relu6(t_bn(F.conv2d(
+                    h, torch.tensor(sd[f"{p}.conv_pw.weight"])), f"{p}.bn1"))
+                h = relu6(t_bn(F.conv2d(tf_pad(h, k, stride),
+                                        torch.tensor(sd[f"{p}.conv_dw.weight"]),
+                                        stride=stride, groups=h.shape[1]),
+                               f"{p}.bn2"))
+                h = t_bn(F.conv2d(h, torch.tensor(sd[f"{p}.conv_pwl.weight"])),
+                         f"{p}.bn3")
+            if stride == 1 and inp.shape[1] == h.shape[1]:
+                h = h + inp
+        if si in (1, 2, 4, 6):
+            ref_feats.append(h.permute(0, 2, 3, 1).numpy())
+
+    npz = str(tmp_path / "efficientnet_lite0.npz")
+    np.savez(npz, **porter.map_state_dict(sd))
+
+    from joligen_tpu.models.modules.projected_d import (
+        EfficientNetLiteTrunk, load_efficientnet_trunk)
+    trunk = EfficientNetLiteTrunk()
+    import jax
+    params = trunk.init(jax.random.PRNGKey(0), jnp.asarray(x_np))
+    wrapped = {"params": {"feature_network": params["params"]}}
+    monkeypatch.setenv("JOLIGEN_TPU_WEIGHTS_DIR", str(tmp_path))
+    loaded = load_efficientnet_trunk(wrapped)
+    # the loader must have replaced every leaf (same tree structure)
+    import jax.tree_util as jtu
+    assert jtu.tree_structure(loaded) == jtu.tree_structure(wrapped)
+    got = trunk.apply({"params": loaded["params"]["feature_network"]},
+                      jnp.asarray(x_np))
+    assert [g.shape[-1] for g in got] == [24, 40, 112, 320]
+    for g, r in zip(got, ref_feats):
+        np.testing.assert_allclose(np.asarray(g), r, rtol=3e-4, atol=3e-4)
+
+
+def test_clip_visual_porter_matches_torch_math(tmp_path):
+    """The flax CLIP visual tower + porter mapping reproduce the OpenAI CLIP
+    forward (reference palette_denoise_fn.py:77-80 consumes clip ViT-B/16;
+    tiny random config here)."""
+    import importlib.util as ilu
+    import jax.numpy as jnp
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    spec = ilu.spec_from_file_location(
+        "port_clip", os.path.join(REPO, "tools/port_clip_weights.py"))
+    porter = ilu.module_from_spec(spec)
+    spec.loader.exec_module(porter)
+
+    d, heads, depth, patch, out_dim = 64, 4, 2, 16, 32
+    grid = 2
+    rng = np.random.RandomState(13)
+
+    def t(*shape):
+        return (rng.randn(*shape) * 0.05).astype(np.float32)
+
+    sd = {
+        "conv1.weight": t(d, 3, patch, patch),
+        "class_embedding": t(d),
+        "positional_embedding": t(grid * grid + 1, d),
+        "ln_pre.weight": 1 + t(d), "ln_pre.bias": t(d),
+        "ln_post.weight": 1 + t(d), "ln_post.bias": t(d),
+        "proj": t(d, out_dim),
+    }
+    for i in range(depth):
+        p = f"transformer.resblocks.{i}."
+        sd.update({
+            p + "ln_1.weight": 1 + t(d), p + "ln_1.bias": t(d),
+            p + "ln_2.weight": 1 + t(d), p + "ln_2.bias": t(d),
+            p + "attn.in_proj_weight": t(3 * d, d),
+            p + "attn.in_proj_bias": t(3 * d),
+            p + "attn.out_proj.weight": t(d, d),
+            p + "attn.out_proj.bias": t(d),
+            p + "mlp.c_fc.weight": t(4 * d, d), p + "mlp.c_fc.bias": t(4 * d),
+            p + "mlp.c_proj.weight": t(d, 4 * d), p + "mlp.c_proj.bias": t(d),
+        })
+
+    x_np = rng.randn(2, grid * patch, grid * patch, 3).astype(np.float32)
+
+    # torch forward (CLIP VisionTransformer semantics)
+    h = F.conv2d(torch.tensor(x_np).permute(0, 3, 1, 2),
+                 torch.tensor(sd["conv1.weight"]), stride=patch)
+    h = h.flatten(2).transpose(1, 2)
+    cls = torch.tensor(sd["class_embedding"]).expand(2, 1, -1)
+    h = torch.cat([cls, h], dim=1) + torch.tensor(sd["positional_embedding"])
+    h = F.layer_norm(h, (d,), torch.tensor(sd["ln_pre.weight"]),
+                     torch.tensor(sd["ln_pre.bias"]), eps=1e-5)
+    hd = d // heads
+    for i in range(depth):
+        p = f"transformer.resblocks.{i}."
+        y = F.layer_norm(h, (d,), torch.tensor(sd[p + "ln_1.weight"]),
+                         torch.tensor(sd[p + "ln_1.bias"]), eps=1e-5)
+        qkv = y @ torch.tensor(sd[p + "attn.in_proj_weight"]).T + \
+            torch.tensor(sd[p + "attn.in_proj_bias"])
+        q, k, v = qkv.chunk(3, dim=-1)
+        def hs(z):
+            return z.reshape(2, -1, heads, hd).transpose(1, 2)
+        att = torch.softmax(hs(q) @ hs(k).transpose(-1, -2) / hd ** 0.5, -1)
+        o = (att @ hs(v)).transpose(1, 2).reshape(2, -1, d)
+        o = o @ torch.tensor(sd[p + "attn.out_proj.weight"]).T + \
+            torch.tensor(sd[p + "attn.out_proj.bias"])
+        h = h + o
+        y = F.layer_norm(h, (d,), torch.tensor(sd[p + "ln_2.weight"]),
+                         torch.tensor(sd[p + "ln_2.bias"]), eps=1e-5)
+        y = y @ torch.tensor(sd[p + "mlp.c_fc.weight"]).T + \
+            torch.tensor(sd[p + "mlp.c_fc.bias"])
+        y = y * torch.sigmoid(1.702 * y)  # quickGELU
+        y = y @ torch.tensor(sd[p + "mlp.c_proj.weight"]).T + \
+            torch.tensor(sd[p + "mlp.c_proj.bias"])
+        h = h + y
+    h = F.layer_norm(h[:, 0], (d,), torch.tensor(sd["ln_post.weight"]),
+                     torch.tensor(sd["ln_post.bias"]), eps=1e-5)
+    ref = (h @ torch.tensor(sd["proj"])).numpy()
+
+    npz = str(tmp_path / "clip.npz")
+    np.savez(npz, **porter.map_state_dict(sd))
+    from joligen_tpu.utils.clip_vit import CLIPVisualViT, load_clip_params
+    net = CLIPVisualViT(dim=d, depth=depth, heads=heads, patch=patch,
+                        out_dim=out_dim)
+    got = np.asarray(net.apply(load_clip_params(npz, heads=heads),
+                              jnp.asarray(x_np)))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_i3d_porter_matches_torch_math(tmp_path):
+    """Porter mapping + flax I3D reproduce the piergiaj pytorch-i3d forward
+    (BN eval, TF SAME padding) — the FVD detector (reference
+    util/fvd.py:128-156)."""
+    import importlib.util as ilu
+    import jax.numpy as jnp
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    spec = ilu.spec_from_file_location(
+        "port_i3d", os.path.join(REPO, "tools/port_i3d_weights.py"))
+    porter = ilu.module_from_spec(spec)
+    spec.loader.exec_module(porter)
+
+    from joligen_tpu.utils.i3d import _MIXED
+
+    rng = np.random.RandomState(17)
+    sd = {}
+
+    def add_unit(name, in_c, out_c, k):
+        sd[f"{name}.conv3d.weight"] = (
+            rng.randn(out_c, in_c, k, k, k) * 0.03).astype(np.float32)
+        sd[f"{name}.bn.weight"] = (1 + rng.randn(out_c) * 0.05).astype(
+            np.float32)
+        sd[f"{name}.bn.bias"] = (rng.randn(out_c) * 0.05).astype(np.float32)
+        sd[f"{name}.bn.running_mean"] = (
+            rng.randn(out_c) * 0.05).astype(np.float32)
+        sd[f"{name}.bn.running_var"] = (
+            1 + rng.rand(out_c) * 0.1).astype(np.float32)
+
+    add_unit("Conv3d_1a_7x7", 3, 64, 7)
+    add_unit("Conv3d_2b_1x1", 64, 64, 1)
+    add_unit("Conv3d_2c_3x3", 64, 192, 3)
+    in_c = 192
+    for name, (b0, b1a, b1b, b2a, b2b, b3b) in _MIXED.items():
+        add_unit(f"{name}.b0", in_c, b0, 1)
+        add_unit(f"{name}.b1a", in_c, b1a, 1)
+        add_unit(f"{name}.b1b", b1a, b1b, 3)
+        add_unit(f"{name}.b2a", in_c, b2a, 1)
+        add_unit(f"{name}.b2b", b2a, b2b, 3)
+        add_unit(f"{name}.b3b", in_c, b3b, 1)
+        in_c = b0 + b1b + b2b + b3b
+    sd["logits.conv3d.weight"] = (
+        rng.randn(400, in_c, 1, 1, 1) * 0.03).astype(np.float32)
+    sd["logits.conv3d.bias"] = (rng.randn(400) * 0.03).astype(np.float32)
+
+    def t_bn(x, name):
+        return F.batch_norm(
+            x, torch.tensor(sd[f"{name}.bn.running_mean"]),
+            torch.tensor(sd[f"{name}.bn.running_var"]),
+            torch.tensor(sd[f"{name}.bn.weight"]),
+            torch.tensor(sd[f"{name}.bn.bias"]), False, 0.0, 1e-3)
+
+    def same_pads(size, k, s):
+        out = -(-size // s)
+        total = max((out - 1) * s + k - size, 0)
+        return total // 2, total - total // 2
+
+    def tf_conv(x, name, k, s):
+        pads = []
+        for di in (4, 3, 2):  # W,H,T for F.pad ordering
+            lo, hi = same_pads(x.shape[di], k, s)
+            pads += [lo, hi]
+        x = F.pad(x, pads)
+        h = F.conv3d(x, torch.tensor(sd[f"{name}.conv3d.weight"]), stride=s)
+        return F.relu(t_bn(h, name))
+
+    def tf_pool(x, k, s):
+        pads = []
+        for di, kk, ss in ((4, k[2], s[2]), (3, k[1], s[1]), (2, k[0], s[0])):
+            lo, hi = same_pads(x.shape[di], kk, ss)
+            pads += [lo, hi]
+        x = F.pad(x, pads, value=float("-inf"))
+        return F.max_pool3d(x, k, s)
+
+    x_np = rng.randn(1, 8, 64, 64, 3).astype(np.float32)
+    h = torch.tensor(x_np).permute(0, 4, 1, 2, 3)  # NCTHW
+    h = tf_conv(h, "Conv3d_1a_7x7", 7, 2)
+    h = tf_pool(h, (1, 3, 3), (1, 2, 2))
+    h = tf_conv(h, "Conv3d_2b_1x1", 1, 1)
+    h = tf_conv(h, "Conv3d_2c_3x3", 3, 1)
+    h = tf_pool(h, (1, 3, 3), (1, 2, 2))
+    for name in _MIXED:
+        if name == "Mixed_4b":
+            h = tf_pool(h, (3, 3, 3), (2, 2, 2))
+        if name == "Mixed_5b":
+            h = tf_pool(h, (2, 2, 2), (2, 2, 2))
+        br0 = tf_conv(h, f"{name}.b0", 1, 1)
+        br1 = tf_conv(tf_conv(h, f"{name}.b1a", 1, 1), f"{name}.b1b", 3, 1)
+        br2 = tf_conv(tf_conv(h, f"{name}.b2a", 1, 1), f"{name}.b2b", 3, 1)
+        br3 = tf_conv(tf_pool(h, (3, 3, 3), (1, 1, 1)), f"{name}.b3b", 1, 1)
+        h = torch.cat([br0, br1, br2, br3], dim=1)
+    pooled = h.mean(dim=(2, 3, 4))
+    ref = (pooled @ torch.tensor(sd["logits.conv3d.weight"])[:, :, 0, 0, 0].T
+           + torch.tensor(sd["logits.conv3d.bias"])).numpy()
+
+    npz = str(tmp_path / "i3d.npz")
+    np.savez(npz, **porter.map_state_dict(sd))
+    from joligen_tpu.utils.i3d import I3D, load_i3d_params
+    got = np.asarray(I3D().apply(load_i3d_params(npz), jnp.asarray(x_np)))
+    np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-4)
+
+
+def test_midas_small_porter_matches_torch_math(tmp_path, monkeypatch):
+    """Porter mapping + flax MidasSmall reproduce the MidasNet_small torch
+    forward (lite3 encoder with TF SAME pads + RefineNet decoder with
+    align_corners upsampling) on random weights."""
+    import importlib.util as ilu
+    import jax.numpy as jnp
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    spec = ilu.spec_from_file_location(
+        "port_midas", os.path.join(REPO, "tools/port_midas_weights.py"))
+    porter = ilu.module_from_spec(spec)
+    spec.loader.exec_module(porter)
+
+    rng = np.random.RandomState(23)
+
+    def conv_w(o, i, k):
+        return (rng.randn(o, i, k, k) * 0.06).astype(np.float32)
+
+    def bn(prefix, c, sd):
+        sd[f"{prefix}.weight"] = (1 + rng.randn(c) * 0.05).astype(np.float32)
+        sd[f"{prefix}.bias"] = (rng.randn(c) * 0.05).astype(np.float32)
+        sd[f"{prefix}.running_mean"] = (rng.randn(c) * 0.05).astype(np.float32)
+        sd[f"{prefix}.running_var"] = (1 + rng.rand(c) * 0.1).astype(np.float32)
+
+    sd = {"pretrained.layer1.0.weight": conv_w(32, 3, 3)}
+    bn("pretrained.layer1.1", 32, sd)
+    in_c = 32
+    for si, (out_c, k, s, reps, e) in enumerate(porter.STAGES):
+        layer, idx = porter._STAGE_AT[si]
+        for ri in range(reps):
+            p = f"pretrained.{layer}.{idx}.{ri}"
+            if e == 1:
+                sd[f"{p}.conv_dw.weight"] = (
+                    rng.randn(in_c, 1, k, k) * 0.06).astype(np.float32)
+                bn(f"{p}.bn1", in_c, sd)
+                sd[f"{p}.conv_pw.weight"] = conv_w(out_c, in_c, 1)
+                bn(f"{p}.bn2", out_c, sd)
+            else:
+                mid = in_c * e
+                sd[f"{p}.conv_pw.weight"] = conv_w(mid, in_c, 1)
+                bn(f"{p}.bn1", mid, sd)
+                sd[f"{p}.conv_dw.weight"] = (
+                    rng.randn(mid, 1, k, k) * 0.06).astype(np.float32)
+                bn(f"{p}.bn2", mid, sd)
+                sd[f"{p}.conv_pwl.weight"] = conv_w(out_c, mid, 1)
+                bn(f"{p}.bn3", out_c, sd)
+            in_c = out_c
+    taps_ch = (32, 48, 136, 384)
+    f0 = 64
+    for i in range(1, 5):
+        sd[f"scratch.layer{i}_rn.weight"] = conv_w(
+            f0 * 2 ** (i - 1), taps_ch[i - 1], 3)
+    fus_ch = {4: (f0 * 8, f0 * 4), 3: (f0 * 4, f0 * 2),
+              2: (f0 * 2, f0), 1: (f0, f0)}
+    for i in (4, 3, 2, 1):
+        ch, out = fus_ch[i]
+        rn = f"scratch.refinenet{i}."
+        for unit in ("resConfUnit1", "resConfUnit2"):
+            for conv in ("conv1", "conv2"):
+                sd[f"{rn}{unit}.{conv}.weight"] = conv_w(ch, ch, 3)
+                sd[f"{rn}{unit}.{conv}.bias"] = (
+                    rng.randn(ch) * 0.05).astype(np.float32)
+        sd[rn + "out_conv.weight"] = conv_w(out, ch, 1)
+        sd[rn + "out_conv.bias"] = (rng.randn(out) * 0.05).astype(np.float32)
+    sd["scratch.output_conv.0.weight"] = conv_w(32, 64, 3)
+    sd["scratch.output_conv.0.bias"] = (rng.randn(32) * 0.05).astype(np.float32)
+    sd["scratch.output_conv.2.weight"] = conv_w(32, 32, 3)
+    sd["scratch.output_conv.2.bias"] = (rng.randn(32) * 0.05).astype(np.float32)
+    sd["scratch.output_conv.4.weight"] = conv_w(1, 32, 1)
+    sd["scratch.output_conv.4.bias"] = (rng.randn(1) * 0.05).astype(np.float32)
+
+    # ---- torch forward
+    def t_bn(x, prefix):
+        return F.batch_norm(
+            x, torch.tensor(sd[f"{prefix}.running_mean"]),
+            torch.tensor(sd[f"{prefix}.running_var"]),
+            torch.tensor(sd[f"{prefix}.weight"]),
+            torch.tensor(sd[f"{prefix}.bias"]), False, 0.0, 1e-3)
+
+    def tf_pad(x, k, s):
+        if s == 1:
+            return F.pad(x, (k // 2,) * 4)
+        total = k - s
+        lo, hi = total // 2, total - total // 2
+        return F.pad(x, (lo, hi, lo, hi))
+
+    def relu6(x):
+        return torch.clamp(x, max=6.0).relu()
+
+    x_np = rng.randn(1, 64, 64, 3).astype(np.float32)
+    h = torch.tensor(x_np).permute(0, 3, 1, 2)
+    h = relu6(t_bn(F.conv2d(tf_pad(h, 3, 2),
+                            torch.tensor(sd["pretrained.layer1.0.weight"]),
+                            stride=2), "pretrained.layer1.1"))
+    taps = []
+    for si, (out_c, k, s, reps, e) in enumerate(porter.STAGES):
+        layer, idx = porter._STAGE_AT[si]
+        for ri in range(reps):
+            p = f"pretrained.{layer}.{idx}.{ri}"
+            stride = s if ri == 0 else 1
+            inp = h
+            if e == 1:
+                h = relu6(t_bn(F.conv2d(
+                    tf_pad(h, k, stride),
+                    torch.tensor(sd[f"{p}.conv_dw.weight"]),
+                    stride=stride, groups=h.shape[1]), f"{p}.bn1"))
+                h = t_bn(F.conv2d(h, torch.tensor(sd[f"{p}.conv_pw.weight"])),
+                         f"{p}.bn2")
+            else:
+                h = relu6(t_bn(F.conv2d(
+                    h, torch.tensor(sd[f"{p}.conv_pw.weight"])), f"{p}.bn1"))
+                h = relu6(t_bn(F.conv2d(
+                    tf_pad(h, k, stride),
+                    torch.tensor(sd[f"{p}.conv_dw.weight"]),
+                    stride=stride, groups=h.shape[1]), f"{p}.bn2"))
+                h = t_bn(F.conv2d(h, torch.tensor(sd[f"{p}.conv_pwl.weight"])),
+                         f"{p}.bn3")
+            if stride == 1 and inp.shape[1] == h.shape[1]:
+                h = h + inp
+        if si in (1, 2, 4, 6):
+            taps.append(h)
+    rns = [F.conv2d(taps[i - 1],
+                    torch.tensor(sd[f"scratch.layer{i}_rn.weight"]),
+                    padding=1) for i in range(1, 5)]
+
+    def rcu(x, prefix):
+        y = F.conv2d(F.relu(x), torch.tensor(sd[prefix + ".conv1.weight"]),
+                     torch.tensor(sd[prefix + ".conv1.bias"]), padding=1)
+        y = F.conv2d(F.relu(y), torch.tensor(sd[prefix + ".conv2.weight"]),
+                     torch.tensor(sd[prefix + ".conv2.bias"]), padding=1)
+        return x + y
+
+    def fusion(i, x, skip=None):
+        rn = f"scratch.refinenet{i}."
+        if skip is not None:
+            x = x + rcu(skip, rn + "resConfUnit1")
+        x = rcu(x, rn + "resConfUnit2")
+        x = F.interpolate(x, scale_factor=2, mode="bilinear",
+                          align_corners=True)
+        return F.conv2d(x, torch.tensor(sd[rn + "out_conv.weight"]),
+                        torch.tensor(sd[rn + "out_conv.bias"]))
+
+    path = fusion(4, rns[3])
+    path = fusion(3, path, rns[2])
+    path = fusion(2, path, rns[1])
+    path = fusion(1, path, rns[0])
+    o = F.conv2d(path, torch.tensor(sd["scratch.output_conv.0.weight"]),
+                 torch.tensor(sd["scratch.output_conv.0.bias"]), padding=1)
+    o = F.interpolate(o, scale_factor=2, mode="bilinear", align_corners=True)
+    o = F.relu(F.conv2d(o, torch.tensor(sd["scratch.output_conv.2.weight"]),
+                        torch.tensor(sd["scratch.output_conv.2.bias"]),
+                        padding=1))
+    o = F.relu(F.conv2d(o, torch.tensor(sd["scratch.output_conv.4.weight"]),
+                        torch.tensor(sd["scratch.output_conv.4.bias"])))
+    ref = o[:, 0].numpy()
+
+    npz = str(tmp_path / "midas_small.npz")
+    np.savez(npz, **porter.map_state_dict(sd))
+    from joligen_tpu.utils.midas import MidasSmall, load_midas_params
+    got = np.asarray(MidasSmall().apply(load_midas_params(npz),
+                                        jnp.asarray(x_np)))
+    np.testing.assert_allclose(got, ref, rtol=4e-4, atol=4e-4)

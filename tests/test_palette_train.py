@@ -103,3 +103,45 @@ def test_palette_class_mask_conditioning(fakeds, tmp_path):
     m = create_model(opt)
     loss = m.optimize_parameters(batch)["G_tot"]
     assert np.isfinite(loss)
+
+
+def test_palette_clip_ref_conditioning(fakeds, tmp_path, monkeypatch):
+    """ref conditioning through the frozen CLIP encoder path
+    (reference palette_denoise_fn.py:77-80,144-155): a step runs, the CLIP
+    tower takes zero gradient, and ported weights swap in when present."""
+    import functools
+    import jax
+    import jax.numpy as jnp
+    import joligen_tpu.utils.clip_vit as clip_vit
+
+    # full ViT-B/16 is too heavy for the CPU CI mesh; shrink the tower
+    # (the real-size tower is covered by the porter parity test)
+    monkeypatch.setattr(
+        clip_vit, "CLIPVisualViT",
+        functools.partial(clip_vit.CLIPVisualViT, dim=32, depth=1, heads=2,
+                          patch=16, out_dim=16))
+
+    opt = _opt(
+        fakeds, tmp_path,
+        data_dataset_mode="unaligned_labeled_mask_ref",
+        alg_diffusion_cond_embed="ref",
+        alg_diffusion_ref_embed_net="clip",
+    )
+    from joligen_tpu.data import create_dataloader, create_dataset
+    from joligen_tpu.models import create_model
+    ds = create_dataset(opt, "train")
+    dl = create_dataloader(opt, ds)
+    batch = next(iter(dl))
+    m = create_model(opt)
+    assert "freezenet_clip" in m.states["G_A"].params["params"]
+    loss = m.optimize_parameters(batch)["G_tot"]
+    assert np.isfinite(loss)
+    # frozen: CLIP params unchanged after the step (snapshot to host —
+    # the jitted step donates the old param buffers)
+    before = jax.device_get(m.states["G_A"].params["params"]["freezenet_clip"])
+    loss2 = m.optimize_parameters(batch)["G_tot"]
+    after = jax.device_get(m.states["G_A"].params["params"]["freezenet_clip"])
+    diffs = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()), before, after)
+    assert max(jax.tree.leaves(diffs)) == 0.0
+    assert np.isfinite(loss2)
