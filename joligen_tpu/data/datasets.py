@@ -256,6 +256,11 @@ class _OnlineMixin:
             single_bbox=getattr(opt, "data_online_single_bbox", False),
             rotation_state=rotation_state,
         )
+        if getattr(opt, "data_refined_mask", False):
+            # SAM-refined object mask (reference data_refined_mask,
+            # base_diffusion_model.py:265-271); no-op without sam_vit.npz
+            from ..utils.mask_generation import refine_mask_with_sam
+            mask = refine_mask_with_sam(crop, mask)
         return crop, mask, ref_bbox, cat
 
 

@@ -120,6 +120,10 @@ class CUTModel(BaseModel):
                 self.states[name] = self.states[name].replace(
                     params=load_midas_encoder_into_projected(
                         self.states[name].params))
+            if "sam" in name and "mask" not in name:
+                from .modules.vision_aided_d import load_sam_encoder
+                self.states[name] = self.states[name].replace(
+                    params=load_sam_encoder(self.states[name].params))
 
         if self.semantic_cls:
             self.netCLS = define_C(opt)
@@ -127,12 +131,27 @@ class CUTModel(BaseModel):
             self.txs["CLS"] = tx
             self.states["CLS"] = init_net_state(rngs[6], self.netCLS,
                                                 (ex_img,), tx)
+        self.fs_is_sam = (getattr(opt, "f_s_net", "") == "sam")
         if self.semantic_mask:
             self.netf_s = define_f(opt)
-            tx = make_optimizer(opt, getattr(opt, "train_sem_lr_f_s", 2e-4))
-            self.txs["f_s"] = tx
-            self.states["f_s"] = init_net_state(rngs[7], self.netf_s,
-                                                (ex_img,), tx)
+            if self.fs_is_sam:
+                # frozen SAM: no-op optimizer, ported weights swapped in
+                import optax
+                from ..utils.sam import load_sam_params, sam_weights_path
+                tx = optax.set_to_zero()
+                self.txs["f_s"] = tx
+                self.states["f_s"] = init_net_state(rngs[7], self.netf_s,
+                                                    (ex_img,), tx)
+                loaded, _ = load_sam_params(sam_weights_path())
+                params = dict(self.states["f_s"].params)
+                params["params"] = {"sam": loaded["params"]}
+                self.states["f_s"] = self.states["f_s"].replace(params=params)
+            else:
+                tx = make_optimizer(opt,
+                                    getattr(opt, "train_sem_lr_f_s", 2e-4))
+                self.txs["f_s"] = tx
+                self.states["f_s"] = init_net_state(rngs[7], self.netf_s,
+                                                    (ex_img,), tx)
 
         pool_size = int(getattr(opt, "train_pool_size", 50))
         self.pool = ImagePool.create(
@@ -161,6 +180,8 @@ class CUTModel(BaseModel):
             out["cls_A"] = np.asarray(batch["A_label_cls"], np.int32)
         if "A_label_mask" in batch:
             out["mask_A"] = batch["A_label_mask"]
+        if self.fs_is_sam and "A_ref_bbox" in batch:
+            out["ref_bbox_A"] = np.asarray(batch["A_ref_bbox"], np.float32)
         return out
 
     @property
@@ -337,6 +358,14 @@ class CUTModel(BaseModel):
                 inp["_cls_params"] = jax.lax.stop_gradient(states["CLS"].params)
             if self.semantic_mask:
                 inp["_fs_params"] = jax.lax.stop_gradient(states["f_s"].params)
+                if self.fs_is_sam:
+                    # f_s_net=sam: the GT label mask is SAM's prediction on
+                    # real_A, prompted by the ref bbox (reference
+                    # base_model.py:1522-1534)
+                    logits = self.netf_s.apply(
+                        inp["_fs_params"], inp["real_A"],
+                        boxes=inp.get("ref_bbox_A"))
+                    inp["mask_A"] = (logits[..., 1:2] > 0).astype(jnp.int32)
 
             # --- G + F group
             (gtot, (losses, fake_B, idt_B, fake_clip)), grads = \
@@ -431,7 +460,8 @@ class CUTModel(BaseModel):
                 states["CLS"] = apply_updates(states["CLS"], cgrads,
                                               self.txs["CLS"])
                 losses["CLS"] = cl
-            if self.semantic_mask and "mask_A" in inp:
+            if self.semantic_mask and "mask_A" in inp \
+                    and not self.fs_is_sam:
                 def fs_loss(p):
                     logits = self.netf_s.apply(p, inp["real_A"])
                     return jnp.mean(_softmax_ce(logits, inp["mask_A"][..., 0]))

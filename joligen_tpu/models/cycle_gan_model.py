@@ -68,6 +68,10 @@ class CycleGANModel(BaseModel):
                     self.states[sname] = self.states[sname].replace(
                         params=load_midas_encoder_into_projected(
                             self.states[sname].params))
+                if "sam" in name and "mask" not in name:
+                    from .modules.vision_aided_d import load_sam_encoder
+                    self.states[sname] = self.states[sname].replace(
+                        params=load_sam_encoder(self.states[sname].params))
                 self.d_names.append((sname, dom, name))
                 k += 1
 

@@ -117,11 +117,15 @@ def define_D(opt, names=None):
                 interp=getattr(opt, "D_proj_interp", -1),
                 trunk_stages=_LITE3_STAGES, dtype=dtype)
         elif name == "sam":
-            raise NotImplementedError(
-                "discriminator sam requires the Segment-Anything backbone "
-                "whose weights cannot be downloaded in this environment; "
-                "drop ported weights into JOLIGEN_TPU_WEIGHTS_DIR and file "
-                "an issue to enable")
+            # frozen SAM vision encoder + trainable head; sam_vit.npz swaps
+            # in post-init (random frozen features otherwise)
+            from .modules.vision_aided_d import SamFeatureDiscriminator
+            from ..utils.sam import sam_weights_path
+            if sam_weights_path() is None:
+                print("sam D: sam_vit.npz not found in "
+                      "JOLIGEN_TPU_WEIGHTS_DIR — using frozen random SAM "
+                      "features (port with tools/port_sam_weights.py)")
+            ds["D_B_" + name] = SamFeatureDiscriminator(dtype=dtype)
         elif name == "mask":
             # judges one-hot semantic masks: real = one-hot label mask,
             # fake = gumbel-softmax of f_s(fake) (reference

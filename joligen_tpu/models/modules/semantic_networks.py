@@ -78,9 +78,19 @@ def define_f(opt):
         from .segformer import SegformerSegmenter
         return SegformerSegmenter(num_classes=opt.f_s_semantic_nclasses)
     if net == "sam":
-        raise NotImplementedError(
-            "f_s_net=sam requires downloaded SAM weights; drop them into "
-            "JOLIGEN_TPU_WEIGHTS_DIR (zero-egress environment)")
+        # frozen SAM as the segmenter: replaces the GT label mask with its
+        # box-prompted prediction (reference base_model.py:1522-1560); the
+        # f_s optimizer is a no-op for it
+        from ...utils.sam import (SamSegmenter, load_sam_params,
+                                  sam_weights_path)
+        path = sam_weights_path()
+        if path is None:
+            raise NotImplementedError(
+                "f_s_net=sam needs ported SAM weights: run "
+                "tools/port_sam_weights.py and drop sam_vit.npz into "
+                "JOLIGEN_TPU_WEIGHTS_DIR (zero-egress environment)")
+        _, cfg = load_sam_params(path)
+        return SamSegmenter(cfg)
     # 'unet' and 'vgg' both train from scratch here (the reference's
     # VGG16-FCN8s also needs torchvision weights)
     return UNetSegmenter(nclasses=opt.f_s_semantic_nclasses, nf=opt.f_s_nf)

@@ -19,6 +19,57 @@ from flax import linen as nn
 sg = jax.lax.stop_gradient
 
 
+class SamFeatureDiscriminator(nn.Module):
+    """`sam` discriminator: frozen SAM vision-encoder feature grid
+    (stop_gradient) + trainable patch head. The reference
+    (base_gan_model.py:533-534) feeds SAM mask predictions of fakes/reals
+    to a basic D; judging the frozen SAM feature grid keeps the same
+    frozen-SAM signal without a prompt side-channel. Ported weights swap
+    in from sam_vit.npz post-init (vision-encoder subtree)."""
+    head_ch: int = 128
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from ...utils.sam import SAM_MEAN, SAM_STD, SamConfig, \
+            SamVisionEncoder
+        if x.shape[-1] == 1:
+            x = jnp.tile(x, (1, 1, 1, 3))
+        # [-1,1] -> SAM preprocessing at a training-friendly resolution
+        h = (x.astype(jnp.float32) + 1.0) * 127.5
+        h = (h - SAM_MEAN) / SAM_STD
+        size = 256  # 16x16 feature grid; SAM's ViT handles any /16 size
+        if h.shape[1] != size:
+            h = jax.image.resize(h, (h.shape[0], size, size, 3), "bilinear")
+        feats = SamVisionEncoder(SamConfig(), name="freezenet_sam")(h)
+        feats = sg(feats).astype(self.dtype)
+        h = nn.leaky_relu(nn.Conv(self.head_ch, (3, 3), padding=1,
+                                  dtype=self.dtype, name="patch0")(feats),
+                          0.2)
+        h = nn.leaky_relu(nn.Conv(self.head_ch, (3, 3), strides=2, padding=1,
+                                  dtype=self.dtype, name="patch1")(h), 0.2)
+        logits = nn.Conv(1, (1, 1), dtype=self.dtype, name="patch_out")(h)
+        return logits.reshape(x.shape[0], -1).astype(jnp.float32)
+
+
+def load_sam_encoder(params, node_name="freezenet_sam"):
+    """Swap every ``node_name`` subtree for the ported SAM vision-encoder
+    weights when sam_vit.npz exists."""
+    from ...utils.sam import load_sam_params, sam_weights_path
+    path = sam_weights_path()
+    if path is None:
+        return params
+    enc = load_sam_params(path)[0]["params"]["vision_encoder"]
+
+    def walk(node):
+        if not isinstance(node, dict):
+            return node
+        return {k: (enc if k == node_name else walk(v))
+                for k, v in node.items()}
+
+    return walk(params)
+
+
 class VisionAidedDiscriminator(nn.Module):
     head_ch: int = 128
     dtype: jnp.dtype = jnp.float32

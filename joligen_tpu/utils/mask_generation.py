@@ -129,6 +129,60 @@ def fill_img_with_hough(img, mask, select_mask=True, **kw):
     return _compose(img, _from_uint8(c3), mask, select_mask)
 
 
+def fill_img_with_sam(img, mask, select_mask=True, **kw):
+    """SAM boundary sketch (reference util/mask_generation.py:179-230 runs
+    SAM on the mask's bbox crop and draws mask edges). Runs the flax SAM
+    with the mask bbox as box prompt when sam_vit.npz exists; sobel sketch
+    fallback otherwise."""
+    import cv2
+    from .sam import predict_sam_mask
+    u8 = _to_uint8(img)
+    if u8.shape[-1] == 1:
+        u8 = np.repeat(u8, 3, axis=2)
+    m = np.asarray(mask)[..., 0] if np.asarray(mask).ndim == 3 \
+        else np.asarray(mask)
+    ys, xs = np.nonzero(m > 0)
+    if len(xs):
+        box = [xs.min(), ys.min(), xs.max() + 1, ys.max() + 1]
+    else:
+        box = [0, 0, u8.shape[1], u8.shape[0]]
+    sam_masks = predict_sam_mask(u8, np.asarray([box], np.float32),
+                                 multimask=True)
+    if sam_masks is None:
+        return fill_img_with_sketch(img, mask, select_mask=select_mask)
+    edges = np.zeros(u8.shape[:2], np.uint8)
+    for sm in sam_masks:
+        contours, _ = cv2.findContours(sm.astype(np.uint8),
+                                       cv2.RETR_LIST,
+                                       cv2.CHAIN_APPROX_NONE)
+        cv2.drawContours(edges, contours, -1, 255, 1)
+    e3 = np.repeat(edges[:, :, None], img.shape[-1], axis=2)
+    return _compose(img, _from_uint8(e3), mask, select_mask)
+
+
+def refine_mask_with_sam(img, mask):
+    """Replace a rectangular label mask with the SAM-predicted object mask
+    prompted by its bbox (reference data_refined_mask,
+    base_diffusion_model.py:265-271 + sam_inference.predict_sam_mask).
+    Returns the original mask when weights are absent."""
+    from .sam import predict_sam_mask
+    m = np.asarray(mask)
+    m2d = m[..., 0] if m.ndim == 3 else m
+    ys, xs = np.nonzero(m2d > 0)
+    if not len(xs):
+        return mask
+    box = [xs.min(), ys.min(), xs.max() + 1, ys.max() + 1]
+    u8 = _to_uint8(img)
+    if u8.shape[-1] == 1:
+        u8 = np.repeat(u8, 3, axis=2)
+    sam_masks = predict_sam_mask(u8, np.asarray([box], np.float32))
+    if sam_masks is None:
+        return mask
+    cat = int(m2d.max())
+    refined = np.where(sam_masks[0], cat, 0).astype(m.dtype)
+    return refined[..., None] if m.ndim == 3 else refined
+
+
 EDGE_FILLERS = {
     "canny": fill_img_with_canny,
     "sketch": fill_img_with_sketch,
@@ -136,7 +190,7 @@ EDGE_FILLERS = {
     "depth": fill_img_with_depth,
     "hough": fill_img_with_hough,
     # SAM sketch needs SAM weights (zero-egress); sobel sketch stands in
-    "sam": fill_img_with_sketch,
+    "sam": fill_img_with_sam,
 }
 
 

@@ -210,3 +210,52 @@ def test_depth_projected_d():
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             "tools/port_midas_weights.py"))
     assert spec is not None  # porter exists for the depth trunk
+
+
+def test_fs_sam_segmenter(fakeds, tmp_path, monkeypatch):
+    """f_s_net=sam: frozen SAM replaces the GT label mask in the CUT
+    semantic-mask path (reference base_model.py:1522-1560); weight-gated on
+    sam_vit.npz (a tiny random SAM here)."""
+    import importlib.util as ilu
+    import jax
+    torch = pytest.importorskip("torch")
+    from transformers import SamConfig as HFSamConfig
+    from transformers import SamModel as HFSamModel
+
+    hf_cfg = HFSamConfig(
+        vision_config=dict(hidden_size=32, num_hidden_layers=2,
+                           num_attention_heads=2, image_size=64,
+                           patch_size=16, window_size=2,
+                           global_attn_indexes=[1], output_channels=16,
+                           mlp_dim=64, num_pos_feats=8),
+        prompt_encoder_config=dict(hidden_size=16, image_size=64,
+                                   patch_size=16, image_embedding_size=4),
+        mask_decoder_config=dict(hidden_size=16, num_attention_heads=2,
+                                 mlp_dim=32, iou_head_hidden_dim=16),
+    )
+    torch.manual_seed(1)
+    hf = HFSamModel(hf_cfg).eval()
+    REPO_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = ilu.spec_from_file_location(
+        "port_sam", os.path.join(REPO_DIR, "tools/port_sam_weights.py"))
+    porter = ilu.module_from_spec(spec)
+    spec.loader.exec_module(porter)
+    sd = {k: np.asarray(v) for k, v in hf.state_dict().items()}
+    np.savez(str(tmp_path / "sam_vit.npz"),
+             **porter.flatten(porter.map_state_dict(sd)),
+             **porter.config_entries(hf.config))
+    monkeypatch.setenv("JOLIGEN_TPU_WEIGHTS_DIR", str(tmp_path))
+
+    from joligen_tpu.data import create_dataloader, create_dataset
+    from joligen_tpu.models import create_model
+    opt = _opt(fakeds, tmp_path,
+               data_dataset_mode="unaligned_labeled_mask",
+               data_crop_size=16, data_load_size=16,
+               train_semantic_mask=True, f_s_net="sam",
+               f_s_semantic_nclasses=2)
+    m = create_model(opt)
+    batch = next(iter(create_dataloader(opt, create_dataset(opt, "train"))))
+    losses = m.optimize_parameters(batch)
+    assert "f_s" not in losses            # frozen: no f_s training loss
+    assert np.isfinite(losses["G_tot"])
+    assert np.isfinite(losses["G_sem_mask"])

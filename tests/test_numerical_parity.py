@@ -855,3 +855,95 @@ def test_midas_small_porter_matches_torch_math(tmp_path, monkeypatch):
     got = np.asarray(MidasSmall().apply(load_midas_params(npz),
                                         jnp.asarray(x_np)))
     np.testing.assert_allclose(got, ref, rtol=4e-4, atol=4e-4)
+
+
+def test_sam_matches_transformers(tmp_path):
+    """The flax SAM + porter mapping reproduce transformers.SamModel
+    bit-for-bit on a random tiny config (reference sam_inference.py wraps
+    the same SAM weights via segment_anything/mobile_sam)."""
+    import importlib.util as ilu
+    import jax
+    import jax.numpy as jnp
+    torch = pytest.importorskip("torch")
+    tfmr = pytest.importorskip("transformers")
+
+    from transformers import SamConfig as HFSamConfig
+    from transformers import SamModel as HFSamModel
+
+    hf_cfg = HFSamConfig(
+        vision_config=dict(
+            hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+            image_size=64, patch_size=16, window_size=2,
+            global_attn_indexes=[1], output_channels=16, mlp_dim=64,
+            num_pos_feats=8, attn_implementation="eager"),
+        prompt_encoder_config=dict(
+            hidden_size=16, image_size=64, patch_size=16,
+            image_embedding_size=4),
+        mask_decoder_config=dict(
+            hidden_size=16, num_attention_heads=2, mlp_dim=32,
+            iou_head_hidden_dim=16),
+    )
+    torch.manual_seed(0)
+    hf = HFSamModel(hf_cfg).eval()
+
+    rng = np.random.RandomState(31)
+    x_np = rng.randn(2, 64, 64, 3).astype(np.float32)
+    boxes_np = np.array([[[4.0, 6.0, 40.0, 44.0], [10.0, 2.0, 30.0, 60.0]],
+                         [[0.0, 0.0, 63.0, 63.0], [5.0, 5.0, 20.0, 20.0]]],
+                        np.float32)
+
+    with torch.no_grad():
+        out = hf(pixel_values=torch.tensor(x_np).permute(0, 3, 1, 2),
+                 input_boxes=torch.tensor(boxes_np),
+                 multimask_output=True)
+    ref_masks = out.pred_masks.numpy()
+    ref_iou = out.iou_scores.numpy()
+
+    spec = ilu.spec_from_file_location(
+        "port_sam", os.path.join(REPO, "tools/port_sam_weights.py"))
+    porter = ilu.module_from_spec(spec)
+    spec.loader.exec_module(porter)
+    sd = {k: np.asarray(v) for k, v in hf.state_dict().items()}
+    flat = porter.flatten(porter.map_state_dict(sd))
+    npz = str(tmp_path / "sam_vit.npz")
+    np.savez(npz, **flat, **porter.config_entries(hf.config))
+
+    from joligen_tpu.utils.sam import SamConfig, SamModel, load_sam_params
+    cfg = SamConfig(image_size=64, patch=16, vis_dim=32, vis_layers=2,
+                    vis_heads=2, vis_mlp=64, window=2,
+                    global_attn_indexes=(1,), out_ch=16, dec_mlp=32,
+                    dec_heads=2, iou_head_hidden=16)
+    params, loaded_cfg = load_sam_params(npz)
+    assert loaded_cfg == cfg  # cfg scalars round-trip through the npz
+    net = SamModel(cfg)
+    masks, iou = net.apply(params, jnp.asarray(x_np),
+                           input_boxes=jnp.asarray(boxes_np),
+                           multimask_output=True)
+    # HF pred_masks: (B, nb, M, 4g, 4g)
+    np.testing.assert_allclose(np.asarray(iou), ref_iou, rtol=1e-4,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(masks), ref_masks, rtol=1e-3,
+                               atol=1e-3)
+
+    # host API + consumers run end-to-end on the gated weights
+    import joligen_tpu.utils.sam as sam_mod
+    os.environ["JOLIGEN_TPU_WEIGHTS_DIR"] = str(tmp_path)
+    sam_mod._CACHED = None
+    try:
+        img = (rng.rand(48, 48, 3) * 255).astype(np.uint8)
+        m = sam_mod.predict_sam_mask(img, np.array([[8, 8, 40, 40]],
+                                                   np.float32))
+        assert m is not None and m.shape == (1, 48, 48) and m.dtype == bool
+        from joligen_tpu.utils.mask_generation import (fill_img_with_sam,
+                                                       refine_mask_with_sam)
+        fimg = img.astype(np.float32) / 127.5 - 1.0
+        fmask = np.zeros((48, 48, 1), np.int32)
+        fmask[10:38, 10:38] = 2
+        refined = refine_mask_with_sam(fimg, fmask)
+        assert refined.shape == fmask.shape
+        assert set(np.unique(refined)) <= {0, 2}
+        sketch = fill_img_with_sam(fimg, fmask)
+        assert sketch.shape == fimg.shape and np.isfinite(sketch).all()
+    finally:
+        del os.environ["JOLIGEN_TPU_WEIGHTS_DIR"]
+        sam_mod._CACHED = None
