@@ -113,9 +113,19 @@ def _compose(img, cond, mask, select_mask):
 
 
 def fill_img_with_hough(img, mask, select_mask=True, **kw):
-    """MLSD line-segment conditioning (reference mbv2_mlsd nets need
-    downloaded weights): cv2 HoughLinesP drawn white-on-black instead."""
+    """MLSD line-segment conditioning (reference util/mask_generation.py
+    via sketch_generation/mlsd.py). Runs the flax MLSD when
+    ``$JOLIGEN_TPU_WEIGHTS_DIR/mlsd_large.npz`` exists; cv2 HoughLinesP
+    drawn white-on-black otherwise."""
     import cv2
+    from .mlsd import mlsd_lines
+    rgb = _to_uint8(img)
+    if rgb.shape[-1] == 1:
+        rgb = np.repeat(rgb, 3, axis=2)
+    drawn = mlsd_lines(rgb)
+    if drawn is not None:
+        c3 = np.repeat(drawn[:, :, None], img.shape[-1], axis=2)
+        return _compose(img, _from_uint8(c3), mask, select_mask)
     u8 = cv2.cvtColor(_to_uint8(img), cv2.COLOR_RGB2GRAY) \
         if img.shape[-1] == 3 else _to_uint8(img)[..., 0]
     edges = cv2.Canny(u8, 50, 150)

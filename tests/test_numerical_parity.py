@@ -947,3 +947,47 @@ def test_sam_matches_transformers(tmp_path):
     finally:
         del os.environ["JOLIGEN_TPU_WEIGHTS_DIR"]
         sam_mod._CACHED = None
+
+
+def test_mlsd_porter_matches_reference_module(tmp_path):
+    """Flax MLSD + porter reproduce the reference MobileV2_MLSD_Large torch
+    module (models/modules/sketch_generation/mbv2_mlsd_large.py) with a
+    random state dict, executed directly."""
+    import importlib.util as ilu
+    import jax.numpy as jnp
+    torch = pytest.importorskip("torch")
+
+    spec = ilu.spec_from_file_location(
+        "ref_mlsd",
+        "/root/reference/models/modules/sketch_generation/mbv2_mlsd_large.py")
+    ref_mod = ilu.module_from_spec(spec)
+    spec.loader.exec_module(ref_mod)
+    torch.manual_seed(0)
+    ref = ref_mod.MobileV2_MLSD_Large().eval()
+    # randomize BN stats too (fresh init has mean 0 / var 1)
+    rng = np.random.RandomState(41)
+    with torch.no_grad():
+        for m in ref.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.copy_(torch.tensor(
+                    rng.randn(m.num_features).astype(np.float32) * 0.05))
+                m.running_var.copy_(torch.tensor(
+                    (1 + rng.rand(m.num_features) * 0.1).astype(np.float32)))
+
+    x_np = rng.randn(1, 64, 64, 4).astype(np.float32)
+    with torch.no_grad():
+        out = ref(torch.tensor(x_np).permute(0, 3, 1, 2))
+    ref_map = out.permute(0, 2, 3, 1).numpy()
+
+    spec = ilu.spec_from_file_location(
+        "port_mlsd", os.path.join(REPO, "tools/port_mlsd_weights.py"))
+    porter = ilu.module_from_spec(spec)
+    spec.loader.exec_module(porter)
+    sd = {k: np.asarray(v) for k, v in ref.state_dict().items()}
+    npz = str(tmp_path / "mlsd_large.npz")
+    np.savez(npz, **porter.map_state_dict(sd))
+
+    from joligen_tpu.utils.mlsd import MLSDNet, load_mlsd_params
+    got = np.asarray(MLSDNet().apply(load_mlsd_params(npz),
+                                     jnp.asarray(x_np)))
+    np.testing.assert_allclose(got, ref_map, rtol=2e-4, atol=2e-4)
