@@ -83,6 +83,13 @@ class CUTModel(BaseModel):
         self.txs["G_A"] = txG
         self.states["G_A"] = init_net_state(rngs[0], self.netG, (ex_img,),
                                             txG, use_ema=self.use_ema)
+        if "segformer" in (opt.G_netG or ""):
+            from .modules.segformer import load_mit_backbone
+            st = self.states["G_A"]
+            self.states["G_A"] = st.replace(
+                params=load_mit_backbone(st.params),
+                ema_params=(load_mit_backbone(st.ema_params)
+                            if st.ema_params is not None else None))
 
         # data-dependent F init (reference cut_model.py:505 data_dependent_initialize)
         feats = self.netG.apply(self.states["G_A"].params, ex_img,
@@ -152,6 +159,10 @@ class CUTModel(BaseModel):
                 self.txs["f_s"] = tx
                 self.states["f_s"] = init_net_state(rngs[7], self.netf_s,
                                                     (ex_img,), tx)
+                if getattr(opt, "f_s_net", "") == "segformer":
+                    from .modules.segformer import load_mit_backbone
+                    self.states["f_s"] = self.states["f_s"].replace(
+                        params=load_mit_backbone(self.states["f_s"].params))
 
         pool_size = int(getattr(opt, "train_pool_size", 50))
         self.pool = ImagePool.create(

@@ -33,8 +33,9 @@ class OverlapPatchEmbed(nn.Module):
     def __call__(self, x):
         x = nn.Conv(self.features, (self.patch, self.patch),
                     strides=self.stride, padding=self.patch // 2,
-                    dtype=self.dtype)(x)
-        return nn.LayerNorm(dtype=jnp.float32)(x).astype(self.dtype)
+                    dtype=self.dtype, name="proj")(x)
+        return nn.LayerNorm(dtype=jnp.float32,
+                            name="norm")(x).astype(self.dtype)
 
 
 class EfficientAttention(nn.Module):
@@ -52,7 +53,8 @@ class EfficientAttention(nn.Module):
             kv_in = nn.Conv(c, (self.sr_ratio, self.sr_ratio),
                             strides=self.sr_ratio, dtype=self.dtype,
                             name="sr")(x)
-            kv_in = nn.LayerNorm(dtype=jnp.float32)(kv_in).astype(self.dtype)
+            kv_in = nn.LayerNorm(dtype=jnp.float32,
+                                 name="sr_norm")(kv_in).astype(self.dtype)
         kh, kw = kv_in.shape[1], kv_in.shape[2]
         kv = nn.Dense(2 * c, dtype=self.dtype, name="kv")(kv_in)
         k, v = jnp.split(kv.reshape(n, kh * kw, 2 * c), 2, axis=-1)
@@ -77,7 +79,7 @@ class MixFFN(nn.Module):
         h = nn.Dense(hidden, dtype=self.dtype, name="fc1")(x)
         h = nn.Conv(hidden, (3, 3), padding=1, feature_group_count=hidden,
                     dtype=self.dtype, name="dw")(h)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)  # torch-exact GELU (mit pretrain)
         return nn.Dense(c, dtype=self.dtype, name="fc2")(h)
 
 
@@ -88,10 +90,10 @@ class MiTBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        y = nn.LayerNorm(dtype=jnp.float32)(x).astype(self.dtype)
+        y = nn.LayerNorm(dtype=jnp.float32, name="ln1")(x).astype(self.dtype)
         x = x + EfficientAttention(self.num_heads, self.sr_ratio,
                                    dtype=self.dtype, name="attn")(y)
-        y = nn.LayerNorm(dtype=jnp.float32)(x).astype(self.dtype)
+        y = nn.LayerNorm(dtype=jnp.float32, name="ln2")(x).astype(self.dtype)
         return x + MixFFN(dtype=self.dtype, name="ffn")(y)
 
 
@@ -100,6 +102,7 @@ class MiTBackbone(nn.Module):
     widths: Sequence[int] = (32, 64, 160, 256)   # B0
     depths: Sequence[int] = (2, 2, 2, 2)
     sr_ratios: Sequence[int] = (8, 4, 2, 1)
+    heads: Sequence[int] | None = None   # default: width-derived (B0 rule)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -108,16 +111,20 @@ class MiTBackbone(nn.Module):
         h = x
         for si in range(4):
             patch, stride = (7, 4) if si == 0 else (3, 2)
-            # head count scales with width and always divides it
-            heads = max(1, self.widths[si] // 32)
-            while self.widths[si] % heads:
-                heads -= 1
+            if self.heads is not None:
+                heads = self.heads[si]
+            else:
+                # head count scales with width and always divides it
+                heads = max(1, self.widths[si] // 32)
+                while self.widths[si] % heads:
+                    heads -= 1
             h = OverlapPatchEmbed(self.widths[si], patch, stride,
                                   dtype=self.dtype, name=f"embed{si}")(h)
             for bi in range(self.depths[si]):
                 h = MiTBlock(heads, self.sr_ratios[si],
                              dtype=self.dtype, name=f"s{si}b{bi}")(h)
-            h = nn.LayerNorm(dtype=jnp.float32)(h).astype(self.dtype)
+            h = nn.LayerNorm(dtype=jnp.float32,
+                             name=f"norm{si}")(h).astype(self.dtype)
             feats.append(h)
         return feats
 
@@ -213,3 +220,36 @@ class SegformerGeneratorAttn(nn.Module):
         for i in range(n_content, self.nb_mask_attn):
             out = out + inp * attn[..., i:i + 1]
         return out.astype(jnp.float32)
+
+
+def load_mit_backbone(params, node_name="backbone"):
+    """Swap every ``node_name`` subtree for ported MiT ImageNet weights when
+    ``$JOLIGEN_TPU_WEIGHTS_DIR/segformer_mit_b0.npz`` exists (reference
+    models/modules/utils.py:224 inits segformer nets from the same
+    pretrain). The backbone stays trainable — this is an init, not a
+    freeze."""
+    import os
+
+    import numpy as np
+
+    path = os.path.join(os.environ.get("JOLIGEN_TPU_WEIGHTS_DIR", ""),
+                        "segformer_mit_b0.npz")
+    if not os.environ.get("JOLIGEN_TPU_WEIGHTS_DIR") \
+            or not os.path.exists(path):
+        return params
+    z = np.load(path)
+    tree = {}
+    for key in z.files:
+        node = tree
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(z[key])
+
+    def walk(node):
+        if not isinstance(node, dict):
+            return node
+        return {k: (tree if k == node_name else walk(v))
+                for k, v in node.items()}
+
+    return walk(params)

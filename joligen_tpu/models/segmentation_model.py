@@ -23,6 +23,10 @@ class SegmentationModel(BaseModel):
         self.txs["f_s"] = tx
         self.states["f_s"] = init_net_state(self.next_rng(), self.netf_s,
                                             (ex,), tx)
+        if getattr(opt, "f_s_net", "") == "segformer":
+            from .modules.segformer import load_mit_backbone
+            self.states["f_s"] = self.states["f_s"].replace(
+                params=load_mit_backbone(self.states["f_s"].params))
         self._jit_step = None
         self._jit_infer = None
 

@@ -486,8 +486,12 @@ def predict_sam_mask(img_rgb_u8, boxes_xyxy, multimask=False):
     from PIL import Image
     if _CACHED is None:
         params, cfg = load_sam_params(path)
-        _CACHED = (SamModel(cfg), params)
-    net, params = _CACHED
+        net = SamModel(cfg)
+        fns = {mm: jax.jit(lambda p, xx, bb, mm=mm: net.apply(
+            p, xx, input_boxes=bb, multimask_output=mm))
+            for mm in (False, True)}
+        _CACHED = (net, params, fns)
+    net, params, fns = _CACHED
     h, w = img_rgb_u8.shape[:2]
     size = net.cfg.image_size
     x = np.asarray(Image.fromarray(img_rgb_u8).resize(
@@ -496,10 +500,8 @@ def predict_sam_mask(img_rgb_u8, boxes_xyxy, multimask=False):
     boxes = np.asarray(boxes_xyxy, np.float32).reshape(1, -1, 4)
     boxes = boxes * np.array([size / w, size / h, size / w, size / h],
                              np.float32)
-    masks, iou = jax.jit(
-        lambda p, xx, bb: net.apply(p, xx, input_boxes=bb,
-                                    multimask_output=multimask)
-    )(params, jnp.asarray(x[None]), jnp.asarray(boxes))
+    masks, iou = fns[bool(multimask)](params, jnp.asarray(x[None]),
+                                      jnp.asarray(boxes))
     masks = np.asarray(masks)[0]          # (nb, M, 256, 256)
     iou = np.asarray(iou)[0]
     best = iou.argmax(axis=1) if multimask else np.zeros(

@@ -259,3 +259,23 @@ def test_fs_sam_segmenter(fakeds, tmp_path, monkeypatch):
     assert "f_s" not in losses            # frozen: no f_s training loss
     assert np.isfinite(losses["G_tot"])
     assert np.isfinite(losses["G_sem_mask"])
+
+
+def test_segformer_generator_and_fs(fakeds, tmp_path):
+    """Segformer G (attn decoder) trains a CUT step and the segformer f_s
+    head trains in the semantic-mask path (reference segformer_generator.py
+    + semantic_networks define_f segformer)."""
+    from joligen_tpu.data import create_dataloader, create_dataset
+    from joligen_tpu.models import create_model
+    opt = _opt(fakeds, tmp_path, model_type="cut",
+               data_dataset_mode="unaligned_labeled_mask",
+               data_crop_size=16, data_load_size=16,
+               G_netG="segformer_attn_conv",
+               train_semantic_mask=True, f_s_net="segformer",
+               f_s_semantic_nclasses=2)
+    m = create_model(opt)
+    batch = next(iter(create_dataloader(opt, create_dataset(opt, "train"))))
+    losses = m.optimize_parameters(batch)
+    assert np.isfinite(losses["G_tot"]) and np.isfinite(losses["f_s"])
+    out = m.inference(batch)
+    assert out.shape == batch["A"].shape

@@ -991,3 +991,57 @@ def test_mlsd_porter_matches_reference_module(tmp_path):
     got = np.asarray(MLSDNet().apply(load_mlsd_params(npz),
                                      jnp.asarray(x_np)))
     np.testing.assert_allclose(got, ref_map, rtol=2e-4, atol=2e-4)
+
+
+def test_segformer_mit_porter_matches_transformers(tmp_path):
+    """Flax MiTBackbone + porter reproduce transformers.SegformerModel's
+    per-stage hidden states on a random tiny config (reference inits the
+    segformer G/f_s from the same mit pretrain, utils.py:224)."""
+    import importlib.util as ilu
+    import jax.numpy as jnp
+    torch = pytest.importorskip("torch")
+    from transformers import SegformerConfig, SegformerModel
+
+    cfg = SegformerConfig(
+        hidden_sizes=[16, 32, 40, 64], depths=[1, 2, 1, 1],
+        num_attention_heads=[1, 2, 5, 8], sr_ratios=[8, 4, 2, 1],
+        num_encoder_blocks=4, hidden_act="gelu",
+        attention_probs_dropout_prob=0.0, hidden_dropout_prob=0.0,
+        drop_path_rate=0.0)
+    torch.manual_seed(2)
+    hf = SegformerModel(cfg).eval()
+
+    rng = np.random.RandomState(43)
+    x_np = rng.randn(1, 64, 64, 3).astype(np.float32)
+    with torch.no_grad():
+        out = hf(torch.tensor(x_np).permute(0, 3, 1, 2),
+                 output_hidden_states=True)
+    ref_feats = [h.permute(0, 2, 3, 1).numpy() for h in out.hidden_states]
+
+    spec = ilu.spec_from_file_location(
+        "port_mit", os.path.join(REPO, "tools/port_segformer_weights.py"))
+    porter = ilu.module_from_spec(spec)
+    spec.loader.exec_module(porter)
+    sd = {k: np.asarray(v) for k, v in hf.state_dict().items()}
+    npz = str(tmp_path / "segformer_mit_b0.npz")
+    np.savez(npz, **porter.map_state_dict(sd, depths=tuple(cfg.depths)))
+
+    from joligen_tpu.models.modules.segformer import (MiTBackbone,
+                                                      load_mit_backbone)
+    net = MiTBackbone(widths=(16, 32, 40, 64), depths=(1, 2, 1, 1),
+                      heads=(1, 2, 5, 8))
+    import jax
+    init = net.init(jax.random.PRNGKey(0), jnp.asarray(x_np))
+    wrapped = {"params": {"backbone": init["params"]}}
+    os.environ["JOLIGEN_TPU_WEIGHTS_DIR"] = str(tmp_path)
+    try:
+        loaded = load_mit_backbone(wrapped)
+    finally:
+        del os.environ["JOLIGEN_TPU_WEIGHTS_DIR"]
+    import jax.tree_util as jtu
+    assert jtu.tree_structure(loaded) == jtu.tree_structure(wrapped)
+    got = net.apply({"params": loaded["params"]["backbone"]},
+                    jnp.asarray(x_np))
+    assert len(got) == 4
+    for g, r in zip(got, ref_feats):
+        np.testing.assert_allclose(np.asarray(g), r, rtol=3e-4, atol=3e-4)
