@@ -240,11 +240,16 @@ class PaletteModel(BaseModel):
         donate = (0,) if getattr(self.opt, "tpu_donate", True) else ()
         return jax.jit(step, donate_argnums=donate)
 
-    def optimize_parameters(self, batch):
+    def prepare_batch(self, batch):
+        """Host work + device upload, separable from the step so train.py
+        can overlap the transfer of batch N+1 with the compute of batch N
+        (the tunnel/PCIe upload otherwise serializes with the 4.6 ms step)."""
         inp = self.set_input(batch)
         inp = quantize_batch(inp, float_keys=("y_cond", "gt", "ref"),
                              int_keys=("mask",))
-        dev = self.put_batch(inp)
+        return self.put_batch(inp)
+
+    def optimize_prepared(self, dev):
         if self._jit_train_step is None:
             self._jit_train_step = self._make_train_step()
         self.states["G_A"], losses = self._jit_train_step(
@@ -255,6 +260,9 @@ class PaletteModel(BaseModel):
         # (print freq), not every step
         self.loss_log = losses
         return self.loss_log
+
+    def optimize_parameters(self, batch):
+        return self.optimize_prepared(self.prepare_batch(batch))
 
     # ------------------------------------------------------------------
     def inference(self, batch, use_ema=None, sampling_method=None,

@@ -71,8 +71,9 @@ def test_train_predict_lifecycle(server, tmp_path):
     assert code == 200
     assert any(p["name"] == "srv" for p in body["processes"])
 
-    # wait for training to finish (tiny run)
-    for _ in range(240):
+    # wait for training to finish (tiny run; XLA compile under CI
+    # contention can take minutes, so the deadline is generous)
+    for _ in range(600):
         code, body = _get(server, "/train/srv")
         if body["status"] == "stopped":
             break

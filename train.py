@@ -130,16 +130,52 @@ def launch_training(opt):
     epoch_start = getattr(opt, "train_epoch_count", 1)
     last_metrics = {}
 
+    # device-side double buffering: when the model separates host->device
+    # upload (prepare_batch) from the jitted step (optimize_prepared), a
+    # worker thread uploads batch N+1 while the device computes batch N
+    # (reference has no analog — DDP hides this behind CUDA streams)
+    prefetch_depth = int(getattr(opt, "tpu_prefetch", 2) or 0)
+    can_overlap = (hasattr(model, "prepare_batch")
+                   and hasattr(model, "optimize_prepared")
+                   and prefetch_depth > 0)
+
+    def iterate(loader):
+        """Yields (run_step, host_batch) pairs; host_batch feeds the
+        display/metric paths that want raw numpy."""
+        if not can_overlap:
+            for data in loader:
+                yield (lambda d=data: model.optimize_parameters(d)), data
+            return
+        import queue as _q
+        import threading
+        q = _q.Queue(maxsize=max(1, prefetch_depth))
+        DONE = object()
+
+        def feed():
+            try:
+                for data in loader:
+                    q.put((model.prepare_batch(data), data))
+            finally:
+                q.put(DONE)
+
+        threading.Thread(target=feed, daemon=True).start()
+        while True:
+            item = q.get()
+            if item is DONE:
+                return
+            dev, data = item
+            yield (lambda d=dev: model.optimize_prepared(d)), data
+
     for epoch in range(epoch_start, opt.train_n_epochs + opt.train_n_epochs_decay + 1):
         epoch_t0 = time.time()
         t_prev = time.time()
-        for data in dataloader:
+        for run_step, data in iterate(dataloader):
             if profile_dir and total_iters == 3 * batch:
                 import jax.profiler
                 jax.profiler.start_trace(profile_dir)
             t0 = time.time()
             t_data += t0 - t_prev
-            losses = model.optimize_parameters(data)
+            losses = run_step()
             t1 = time.time()
             t_compute += t1 - t0
             t_prev = t1
