@@ -234,12 +234,15 @@ class B2BModel(BaseModel):
             err = err * m
         return jnp.mean(err)
 
-    def optimize_parameters(self, batch):
-        from ..parallel.mesh import dequantize_on_device, quantize_batch
+    def prepare_batch(self, batch):
+        from ..parallel.mesh import quantize_batch
         inp = self.set_input(batch)
         inp = quantize_batch(inp, float_keys=("gt", "y_cond"),
                              int_keys=("mask",))
-        dev = self.put_batch(inp)
+        return self.put_batch(inp)
+
+    def optimize_prepared(self, dev):
+        from ..parallel.mesh import dequantize_on_device
         if self._jit_step is None:
             tx = self.txs["G_A"]
 
@@ -320,6 +323,9 @@ class B2BModel(BaseModel):
                 dev.get("frame_step"), dev.get("global_context"))
         self.loss_log = losses  # device scalars, lazy host sync
         return self.loss_log
+
+    def optimize_parameters(self, batch):
+        return self.optimize_prepared(self.prepare_batch(batch))
 
     def merge_lora_checkpoint(self):
         """Fold the trained adapters into the base weights (reference raw->

@@ -151,10 +151,11 @@ class CMModel(BaseModel):
 
         return jax.jit(step, donate_argnums=(0, 1))
 
-    def optimize_parameters(self, batch):
-        inp = self.set_input(batch)
-        dev = self.put_batch(inp)
-        b = inp["gt"].shape[0]
+    def prepare_batch(self, batch):
+        return self.put_batch(self.set_input(batch))
+
+    def optimize_prepared(self, dev):
+        b = dev["gt"].shape[0]
         # discretization stage only changes on doubling steps; key the jit
         # cache by it so array-size changes recompile exactly once per stage
         stage = (self.ect_stage if self.is_ect else
@@ -175,6 +176,9 @@ class CMModel(BaseModel):
             self.ect_stage = self.step_count // (1000 * 50)
         self.loss_log = losses  # device scalars, lazy host sync
         return self.loss_log
+
+    def optimize_parameters(self, batch):
+        return self.optimize_prepared(self.prepare_batch(batch))
 
     def inference(self, batch, use_ema=None, sigmas=SAMPLING_SIGMAS):
         inp = self.set_input(batch)

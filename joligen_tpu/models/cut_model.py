@@ -486,18 +486,25 @@ class CUTModel(BaseModel):
         donate = (0, 1) if getattr(self.opt, "tpu_donate", True) else ()
         return jax.jit(step, donate_argnums=donate)
 
-    def optimize_parameters(self, batch):
+    def prepare_batch(self, batch):
+        """Host work + upload, separable so train.py overlaps transfers
+        with the previous step's compute."""
         from ..parallel.mesh import quantize_batch
         inp = self.set_input(batch)
         inp = quantize_batch(inp, float_keys=("real_A", "real_B"),
                              int_keys=("mask_A",))
-        dev = self.put_batch(inp)
+        return self.put_batch(inp)
+
+    def optimize_prepared(self, dev):
         if self._jit_step is None:
             self._jit_step = self._make_step()
         self.states, self.pool, self.apa_p, losses = self._jit_step(
             self.states, self.pool, self.apa_p, self.next_rng(), dev)
         self.loss_log = losses  # device scalars, lazy host sync
         return self.loss_log
+
+    def optimize_parameters(self, batch):
+        return self.optimize_prepared(self.prepare_batch(batch))
 
     # ------------------------------------------------------------------
     def inference(self, batch, use_ema=None):

@@ -175,17 +175,22 @@ class CycleGANModel(BaseModel):
         donate = (0, 1) if getattr(self.opt, "tpu_donate", True) else ()
         return jax.jit(step, donate_argnums=donate)
 
-    def optimize_parameters(self, batch):
+    def prepare_batch(self, batch):
         from ..parallel.mesh import quantize_batch
         inp = self.set_input(batch)
         inp = quantize_batch(inp, float_keys=("real_A", "real_B"))
-        dev = self.put_batch(inp)
+        return self.put_batch(inp)
+
+    def optimize_prepared(self, dev):
         if self._jit_step is None:
             self._jit_step = self._make_step()
         self.states, (self.pool_A, self.pool_B), losses = self._jit_step(
             self.states, (self.pool_A, self.pool_B), self.next_rng(), dev)
         self.loss_log = losses  # device scalars, lazy host sync
         return self.loss_log
+
+    def optimize_parameters(self, batch):
+        return self.optimize_prepared(self.prepare_batch(batch))
 
     def inference(self, batch, use_ema=None, direction="AtoB"):
         inp = self.set_input(batch)

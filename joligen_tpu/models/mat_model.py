@@ -192,16 +192,20 @@ class MATModel(BaseModel):
 
         return jax.jit(step, donate_argnums=(0,))
 
-    def optimize_parameters(self, batch):
-        inp = self.set_input(batch)
-        dev = self.put_batch(inp)
+    def prepare_batch(self, batch):
+        return self.put_batch(self.set_input(batch))
+
+    def optimize_prepared(self, dev):
         if self._jit_step is None:
-            self._jit_step = self._make_step(inp["real"].shape[0])
+            self._jit_step = self._make_step(dev["real"].shape[0])
         self.states, self.w_avg, losses = self._jit_step(
             self.states, self.w_avg, self.next_rng(), dev["real"],
             dev["mask"])
         self.loss_log = losses  # device scalars, lazy host sync
         return self.loss_log
+
+    def optimize_parameters(self, batch):
+        return self.optimize_prepared(self.prepare_batch(batch))
 
     # ------------------------------------------------------------------
     def inference(self, batch, use_ema=True, truncation_psi=None, seed=None,

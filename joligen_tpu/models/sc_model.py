@@ -57,9 +57,10 @@ class SCModel(BaseModel):
     def _apply(self, params, x, t, dt_base, x_cond):
         return self.netG.apply(params, x, t, dt_base, x_cond=x_cond)
 
-    def optimize_parameters(self, batch):
-        inp = self.set_input(batch)
-        dev = self.put_batch(inp)
+    def prepare_batch(self, batch):
+        return self.put_batch(self.set_input(batch))
+
+    def optimize_prepared(self, dev):
         if self._jit_step is None:
             tx = self.txs["G_A"]
 
@@ -80,6 +81,9 @@ class SCModel(BaseModel):
             dev.get("y_cond"), dev.get("mask"))
         self.loss_log = losses  # device scalars, lazy host sync
         return self.loss_log
+
+    def optimize_parameters(self, batch):
+        return self.optimize_prepared(self.prepare_batch(batch))
 
     def inference(self, batch, use_ema=None, denoise_timesteps=None):
         inp = self.set_input(batch)
