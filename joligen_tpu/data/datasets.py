@@ -559,9 +559,15 @@ class MultiDataset:
                 raise ValueError(
                     f"test set id '{name}' not in config test_sets: "
                     f"{[t.get('id') for t in cfg['test_sets']]}")
-            entries = [e for e in entries
-                       if e.get("name") == ts.get("dataset")]
-            child_test_names = {ts.get("dataset"): ts.get("test_name", "")}
+            # accept both key spellings: ours {dataset, test_name} and the
+            # generator tool's {dataset_name, child_test_name, dataroot}
+            ds = ts.get("dataset", ts.get("dataset_name"))
+            tn = ts.get("test_name", ts.get("child_test_name", ""))
+            entries = [dict(e) for e in entries if e.get("name") == ds]
+            if ts.get("dataroot"):  # generated holdout lives elsewhere
+                for e in entries:
+                    e["dataroot"] = ts["dataroot"]
+            child_test_names = {ds: tn}
         from . import find_dataset_class
         delta_scale = float(getattr(
             opt, "data_multi_dataset_crop_delta_scale", 1.0) or 1.0)

@@ -50,8 +50,17 @@ class B2BModel(BaseModel):
         self.P_std = float(getattr(opt, "alg_b2b_P_std", 0.8))
         self.uniform_mix = float(getattr(opt, "alg_b2b_timestep_uniform_mix_prob",
                                          0.1))
-        self.denoise_timesteps = int(getattr(opt, "alg_b2b_denoise_timesteps",
-                                             50))
+        # int or list: the reference takes one-or-more step counts
+        # (b2b_model.py:146-151 nargs='+', default [50]); the first is the
+        # default sampler, the full ladder drives per-stepcount eval.
+        steps = getattr(opt, "alg_b2b_denoise_timesteps", [50])
+        if isinstance(steps, (int, float)):
+            steps = [int(steps)]
+        if not steps or any(int(s) <= 0 for s in steps):
+            raise ValueError("--alg_b2b_denoise_timesteps must be one or "
+                             "more positive integers")
+        self.denoise_timesteps_list = [int(s) for s in steps]
+        self.denoise_timesteps = self.denoise_timesteps_list[0]
         self.cfg_scale = float(getattr(opt, "alg_b2b_cfg_scale", 1.0))
         self.clip_denoised = bool(getattr(opt, "alg_b2b_clip_denoised", False))
         self.mask_size_cond = bool(getattr(opt, "alg_b2b_mask_size_conditioning",

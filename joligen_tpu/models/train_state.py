@@ -120,6 +120,14 @@ def make_optimizer(opt, lr, iter_size=None):
         tx = optax.lion(sched, b1=b1, b2=b2, weight_decay=wd)
     elif name == "madgrad":
         tx = madgrad(sched, momentum=b1, weight_decay=wd)
+    elif name == "muon":
+        # Newton-Schulz orthogonalized momentum on matrix params (adam on the
+        # rest) — pure matmul iterations, a natural MXU fit. The reference's
+        # multi-dataset B2B tool emits train_optim=muon
+        # (scripts/gen_multi_dataset_b2b_config.py:938) even though its own
+        # train.py factory doesn't support it yet; here it is first-class.
+        tx = optax.contrib.muon(sched, beta=max(b1, 0.9), weight_decay=wd,
+                                adam_b1=b1, adam_b2=b2)
     else:
         raise NotImplementedError(f"optimizer {name}")
     if iter_size is None:

@@ -73,8 +73,15 @@ def build_inputs(args, opt):
     return img, crop, mask, [0, 0, W, H]
 
 
-def inference(args):
-    model, opt = load_model_from_file(args.model_in_file, cpu=args.cpu)
+def inference(args, lmodel=None, lopt=None):
+    """Run one generation; ``lmodel``/``lopt`` allow callers (the video
+    scripts) to reuse a loaded model across frames, mirroring the reference
+    generate() lmodel/lopt threading (scripts/gen_single_image_diffusion.py:
+    167-236). Returns (full_frame_uint8, model, opt)."""
+    if lmodel is not None:
+        model, opt = lmodel, lopt
+    else:
+        model, opt = load_model_from_file(args.model_in_file, cpu=args.cpu)
     if args.seed >= 0:
         random.seed(args.seed)
         np.random.seed(args.seed)
@@ -90,6 +97,22 @@ def inference(args):
         fns = (getattr(opt, "alg_diffusion_cond_computed_sketch_list", None)
                or ["canny"])
         cond = random_edge_mask(fns, crop, mask)
+    elif cond_creation == "previous_frame":
+        # reference scripts/gen_single_image_diffusion.py:562-578 — condition
+        # on the previous frame cropped to the same window; all -1 when none.
+        prev = getattr(args, "previous_frame", None)
+        size = crop.shape[0]
+        if prev is not None:
+            if isinstance(prev, str):
+                prev = load_image_rgb(prev)
+            x1, y1, x2, y2 = bbox_select
+            prev = prev[y1:y2, x1:x2]
+            from PIL import Image
+            prev = np.asarray(Image.fromarray(prev).resize(
+                (size, size), Image.BICUBIC), np.uint8)
+            cond = to_m1p1(prev)
+        else:
+            cond = -np.ones_like(crop)
     else:  # y_t: randomize the masked region
         from joligen_tpu.data.transforms import fill_mask_with_random
         cond = fill_mask_with_random(crop, mask, -1)
@@ -112,6 +135,7 @@ def inference(args):
     name = args.name or os.path.splitext(os.path.basename(args.img_in))[0]
     os.makedirs(args.dir_out, exist_ok=True)
     from PIL import Image
+    last_full = img
     for it, out in enumerate(outs):
         suffix = f"_{it}" if len(outs) > 1 else ""
         out_u8 = to_uint8(out)
@@ -122,6 +146,7 @@ def inference(args):
             Image.BICUBIC), np.uint8)
         full = img.copy()
         full[y1:y1 + resized.shape[0], x1:x1 + resized.shape[1]] = resized
+        last_full = full
         save_image_rgb(os.path.join(args.dir_out,
                                     f"{name}{suffix}_generated.png"), full)
         save_image_rgb(os.path.join(args.dir_out,
@@ -139,7 +164,7 @@ def inference(args):
                   "w") as f:
             json.dump(bbox_select, f)
     print("Successfully generated image", name)
-    return outs[0]
+    return last_full, model, opt
 
 
 def build_parser():

@@ -51,6 +51,12 @@ def launch_testing(opt, main_opt):
     step_grid = []
     if opt.model_type == "sc":
         step_grid = list(getattr(opt, "alg_sc_denoise_timesteps", []) or [])
+    elif opt.model_type == "b2b":
+        steps = getattr(opt, "alg_b2b_denoise_timesteps", []) or []
+        if isinstance(steps, (int, float)):
+            steps = [int(steps)]
+        if len(steps) > 1:  # reference evaluates every requested stepcount
+            step_grid = [int(s) for s in steps]
     if main_opt.sampling_steps:
         step_grid = [main_opt.sampling_steps]
 

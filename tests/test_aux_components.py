@@ -2,6 +2,7 @@
 segmentation model + mIoU, test model, StableHLO export, train-time
 metric evaluation and continue_from provenance."""
 
+import glob
 import json
 import os
 import subprocess
@@ -303,37 +304,95 @@ def test_gen_multi_dataset_b2b_config(tmp_path):
         root = str(tmp_path / nm)
         make_fake(root, n=6, size=64, online=True)
         roots.append(root)
+    # dsa keeps its predefined testA; dsb loses it so the tool must carve an
+    # automatic holdout out of trainA (both reference paths exercised)
+    os.remove(os.path.join(roots[1], "testA", "paths.txt"))
     out = str(tmp_path / "out")
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
-    r = subprocess.run(
-        [sys.executable,
-         os.path.join(REPO, "scripts", "gen_multi_dataset_b2b_config.py"),
-         "--dataset-dirs", *roots, "--output-dir", out,
-         "--child-dataset-mode", "self_supervised_labeled_mask_online",
-         "--holdout-samples", "2", "--data-crop-size", "16",
-         "--data-load-size", "16"],
-        env=env, capture_output=True, text=True, timeout=300)
+    cmd = [sys.executable,
+           os.path.join(REPO, "scripts", "gen_multi_dataset_b2b_config.py"),
+           "--dataset-dirs", *roots, "--output-dir", out,
+           "--child-dataset-mode", "self_supervised_labeled_mask_online",
+           "--auto-test-samples", "2", "--auto-test-min-images", "1",
+           "--data-crop-size", "16", "--data-load-size", "16",
+           "--preview-samples", "2"]
+    r = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                       timeout=300)
     assert r.returncode == 0, r.stderr[-2000:]
-    multi = json.load(open(os.path.join(out, "multi_dataset.json")))
+    multi = json.load(open(os.path.join(out, "multi_dataset_config.json")))
     assert len(multi["datasets"]) == 2
     for e in multi["datasets"]:
         crop = e["overrides"]["data_online_creation_crop_size_A"]
         assert crop % 16 == 0 and crop > 0
-    assert {t["id"] for t in multi["test_sets"]} == {"dsa_auto", "dsb_auto"}
-    assert os.path.exists(os.path.join(roots[0], "testA_auto", "paths.txt"))
+    by_id = {t["id"]: t for t in multi["test_sets"]}
+    assert set(by_id) == {"dsa", "dsb"}
+    # dsa: predefined testA discovered, source root untouched
+    assert not by_id["dsa"]["generated"]
+    assert multi["datasets"][0]["dataroot"] == roots[0]
+    # dsb: automatic holdout carved under the output dir, entry repointed
+    assert by_id["dsb"]["generated"]
+    gen_root = multi["datasets"][1]["dataroot"]
+    assert gen_root.startswith(os.path.join(out, "generated_test_sets"))
+    assert os.path.exists(os.path.join(gen_root, "trainA", "paths.txt"))
+    assert os.path.exists(os.path.join(gen_root, "testA", "paths.txt"))
     cfg = json.load(open(os.path.join(out, "train_config.json")))
     assert cfg["data_dataset_mode"] == "multi_dataset"
+    assert cfg["train_optim"] == "muon"
+    # previews rendered through the real pipeline
+    assert glob.glob(os.path.join(out, "previews", "*", "sample_*.png"))
 
     # the generated config drives the dataset in both phases
     from joligen_tpu.data import create_dataset
     opt = _opt(roots[0], tmp_path, model_type="b2b",
                data_dataset_mode="multi_dataset",
                data_multi_dataset_config=os.path.join(
-                   out, "multi_dataset.json"))
+                   out, "multi_dataset_config.json"))
     opt.data_relative_paths = False
     ds = create_dataset(opt, "train")
     s = ds[0]
     assert s is not None and s["A"].shape[-1] == 3
-    test_ds = create_dataset(opt, "test", name="dsb_auto")
+    test_ds = create_dataset(opt, "test", name="dsb")
     assert len(test_ds) > 0 and test_ds[0] is not None
+
+    # resume: second run reuses the per-dataset cache (no re-derivation)
+    r2 = subprocess.run(cmd + ["--resume", "--skip-preview"], env=env,
+                        capture_output=True, text=True, timeout=300)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "resumed from cache" in r2.stdout
+
+
+def test_gen_multi_dataset_b2b_config_video_holdout(tmp_path):
+    """Video child mode: the automatic holdout samples whole temporal
+    windows and must leave at least one intact train window."""
+    from tools.make_fake_dataset import make_video
+    root = str(tmp_path / "vid")
+    make_video(root, n_series=2, frames=6, size=64)
+    os.remove(os.path.join(root, "testA", "paths.txt"))
+    out = str(tmp_path / "out")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run(
+        [sys.executable,
+         os.path.join(REPO, "scripts", "gen_multi_dataset_b2b_config.py"),
+         "--dataset-dirs", root, "--output-dir", out,
+         "--auto-test-samples", "2", "--auto-test-min-images", "1",
+         "--step", "8",  # tiny synthetic bboxes floor to 0 at step 16
+         "--data-temporal-number-frames", "2",
+         "--data-temporal-frame-step", "1", "--skip-preview"],
+        env=env, capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    multi = json.load(open(os.path.join(out, "multi_dataset_config.json")))
+    gen_root = multi["datasets"][0]["dataroot"]
+    train_lines = open(os.path.join(gen_root, "trainA", "paths.txt")
+                       ).read().splitlines()
+    test_lines = open(os.path.join(gen_root, "testA", "paths.txt")
+                      ).read().splitlines()
+    assert len(test_lines) >= 2  # whole windows, not single rows
+    assert len(train_lines) + len(test_lines) == 12
+    # remaining train list still contains a consecutive same-series window
+    import scripts.gen_multi_dataset_b2b_config as tool
+    assert tool.temporal_windows(train_lines, 2, 1)
+    cfg = json.load(open(os.path.join(out, "train_config.json")))
+    assert cfg["G_netG"] == "vit_vid"
+    assert cfg["data_temporal_number_frames"] == 2

@@ -94,6 +94,27 @@ def test_gen_single_image_diffusion_bbox(diffusion_ckpt, tmp_path):
     assert (gen != orig).any()  # masked region was regenerated
 
 
+def test_gen_video_diffusion_frame_by_frame(diffusion_ckpt, tmp_path):
+    """Per-frame single-image diffusion over a paths file with autoregressive
+    previous-frame threading (reference scripts/gen_video_diffusion.py)."""
+    root, model_file = diffusion_ckpt
+    paths = tmp_path / "frames.txt"
+    lines = []
+    for i in range(2):
+        img = os.path.join(root, "testA", "imgs", f"{i:03d}.png")
+        bbox = os.path.join(root, "testA", "bbox", f"{i:03d}.txt")
+        lines.append(f"{img} {bbox}")
+    paths.write_text("\n".join(lines) + "\n")
+    _run(["scripts/gen_video_diffusion.py", "--model_in_file", model_file,
+          "--dataroot", str(paths), "--dir_out", str(tmp_path),
+          "--name", "fbf", "--cond", "generated", "--sv_frames",
+          "--sampling_method", "ddim", "--sampling_steps", "3",
+          "--seed", "1", "--fps", "4", "--cpu"])
+    assert os.path.exists(tmp_path / "fbf_generated_video.mp4")
+    gen = [f for f in os.listdir(tmp_path) if f.endswith("_generated.png")]
+    assert len(gen) == 2
+
+
 def test_gen_vid_diffusion(tmp_path, tmp_path_factory):
     """Video inference over a tiny unet_vid checkpoint, autoregressive."""
     root = str(tmp_path_factory.mktemp("vds"))
