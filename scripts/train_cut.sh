@@ -1,0 +1,8 @@
+#!/bin/bash
+# CUT training starter (reference scripts/train_cut.sh).
+set -ex
+current_dir=$(cd "$(dirname "${BASH_SOURCE[0]}")" && pwd)
+if [ $# -ne 1 ]; then echo "Usage: $0 [dataroot]"; exit 1; fi
+echo "Data root = $1"
+python3 "${current_dir}/../train.py" --dataroot "$1" --model_type cut \
+    --train_pool_size 50

@@ -1,0 +1,16 @@
+#!/bin/bash
+# CUT + class-semantic training starter (reference
+# scripts/train_cut_semantic.sh, flags updated to the current schema).
+set -e
+current_dir=$(cd "$(dirname "${BASH_SOURCE[0]}")" && pwd)
+if [ $# -ne 1 ]; then echo "Usage: $0 [dataroot]"; exit 1; fi
+echo "Data root = $1"
+python3 "${current_dir}/../train.py" \
+    --dataroot "$1" --checkpoints_dir ./checkpoint_semantic --name train_1 \
+    --model_type cut --train_semantic_cls --cls_semantic_nclasses 10 \
+    --data_dataset_mode unaligned_labeled_cls \
+    --G_netG mobile_resnet_attn \
+    --data_crop_size 256 --data_load_size 256 --train_batch_size 2 \
+    --train_G_lr 0.0002 --train_D_lr 0.0001 \
+    --dataaug_no_flip --dataaug_no_rotate \
+    --output_display_freq 100 --output_print_freq 100

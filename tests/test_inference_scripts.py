@@ -115,6 +115,71 @@ def test_gen_video_diffusion_frame_by_frame(diffusion_ckpt, tmp_path):
     assert len(gen) == 2
 
 
+def test_b2b_stablehlo_serving_roundtrip(tmp_path, tmp_path_factory):
+    """Train tiny video B2B -> export sampler+denoiser StableHLO ->
+    autoregressive inference from the artifact (+ live-backend parity and
+    the context corruption grid)."""
+    root = str(tmp_path_factory.mktemp("b2bds"))
+    ckpt = str(tmp_path_factory.mktemp("b2bck"))
+    make_video(root, n_series=1, frames=6, size=96)
+    _run([
+        "train.py", "--dataroot", root, "--model_type", "b2b",
+        "--data_dataset_mode", "self_supervised_vid_mask_online",
+        "--data_relative_paths", "--data_crop_size", "32",
+        "--data_load_size", "32", "--data_temporal_number_frames", "2",
+        "--data_temporal_frame_step", "1",
+        "--data_online_creation_crop_size_A", "48",
+        "--G_netG", "vit_vid", "--G_vit_depth", "1",
+        "--G_vit_hidden_size", "32", "--G_vit_num_heads", "2",
+        "--G_vit_patch_size", "8", "--G_vit_bottleneck_dim", "16",
+        "--alg_b2b_mask_as_channel", "--alg_b2b_denoise_timesteps", "2",
+        "--train_batch_size", "1", "--train_n_epochs", "1",
+        "--train_n_epochs_decay", "0", "--data_max_dataset_size", "4",
+        "--checkpoints_dir", ckpt, "--name", "bv",
+        "--output_print_freq", "4",
+    ])
+    model_file = os.path.join(ckpt, "bv", "latest_net_G_A.pth")
+    exp = str(tmp_path / "exp")
+    r = _run(["scripts/b2b_export_stablehlo.py", "--model_in_file",
+              model_file, "--dir_out", exp, "--cpu"])
+    for suffix in ("b2b.denoiser.stablehlo", "b2b.sampler.stablehlo",
+                   "b2b.meta.json"):
+        assert os.path.exists(os.path.join(exp, suffix))
+    import json
+    meta = json.load(open(os.path.join(exp, "b2b.meta.json")))
+    assert meta["flags"]["is_video"] and meta["flags"]["mask_as_channel"]
+
+    paths = os.path.join(root, "trainA", "paths.txt")
+    out_hlo = str(tmp_path / "hlo")
+    _run(["scripts/b2b_stablehlo_denoiser_infer_autoregressive_"
+          "progress_bbox.py", "--model_in_file",
+          os.path.join(exp, "b2b.meta.json"), "--paths_in_file", paths,
+          "--dataset_root", root, "--dir_out", out_hlo, "--nb_frames", "4",
+          "--video_out", os.path.join(out_hlo, "out.mp4"), "--cpu"])
+    frames = [f for f in os.listdir(out_hlo) if f.endswith("_generated.png")]
+    assert len(frames) == 4
+    assert os.path.exists(os.path.join(out_hlo, "out.mp4"))
+
+    out_live = str(tmp_path / "live")
+    _run(["scripts/b2b_stablehlo_denoiser_infer_autoregressive_"
+          "progress_bbox.py", "--backend", "live", "--model_in_file",
+          model_file, "--paths_in_file", paths, "--dataset_root", root,
+          "--dir_out", out_live, "--nb_frames", "2",
+          "--denoise_timesteps", "2", "--cpu"])
+    assert len([f for f in os.listdir(out_live)
+                if f.endswith("_generated.png")]) == 2
+
+    out_grid = str(tmp_path / "grid")
+    _run(["scripts/b2b_context_corruption_grid.py", "--model_in_file",
+          model_file, "--paths_in_file", paths, "--dataset_root", root,
+          "--dir_out", out_grid, "--study_mode", "mask",
+          "--denoise_timesteps", "2", "--cpu"])
+    metrics = json.load(open(os.path.join(out_grid,
+                                          "corruption_metrics.json")))
+    assert len(metrics) >= 7 and "mask_jitter" in metrics
+    assert os.path.exists(os.path.join(out_grid, "corruption_grid.png"))
+
+
 def test_gen_vid_diffusion(tmp_path, tmp_path_factory):
     """Video inference over a tiny unet_vid checkpoint, autoregressive."""
     root = str(tmp_path_factory.mktemp("vds"))
