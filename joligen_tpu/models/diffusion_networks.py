@@ -114,17 +114,13 @@ def define_G(opt):
     nclasses = max(getattr(opt, "f_s_semantic_nclasses", 2),
                    getattr(opt, "cls_semantic_nclasses", 2))
     ref_embed_net = getattr(opt, "alg_diffusion_ref_embed_net", "") or ""
-    if ref_embed_net in ("imagebind",):
-        raise NotImplementedError(
-            "ref_embed_net=imagebind needs the ImageBind checkpoint (zero "
-            "egress); use clip (drop clip_vitb16.npz into "
-            "JOLIGEN_TPU_WEIGHTS_DIR) or the default conv encoder")
     return PaletteDenoiser(
         inner=define_inner_G(opt),
         cond_embed_dim=opt.alg_diffusion_cond_embed_dim,
         conditioning=conditioning,
         nclasses=nclasses,
         raw_t=opt.G_netG in ("vit", "dit", "hdit", "vit_vid"),
-        ref_embed_net=("clip" if ref_embed_net == "clip" else ""),
+        ref_embed_net=(ref_embed_net
+                       if ref_embed_net in ("clip", "imagebind") else ""),
         dtype=_compute_dtype(opt),
     )

@@ -49,6 +49,7 @@ class PaletteDenoiser(nn.Module):
     nclasses: int = 2
     raw_t: bool = False   # inner takes raw t in [0,1] (JiT/HDiT style)
     ref_embed_net: str = ""   # "" (conv encoder) | "clip" (frozen ViT-B/16)
+    #                         # | "imagebind" (frozen ImageBind vision tower)
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -101,6 +102,19 @@ class PaletteDenoiser(nn.Module):
                 # weights swap in post-init via load_clip_ref_encoder
                 from ...utils.clip_vit import CLIPVisualViT, preprocess
                 feats = CLIPVisualViT(name="freezenet_clip")(
+                    preprocess(ref.astype(jnp.float32)))
+                feats = jax.lax.stop_gradient(feats)
+                ref_embed = nn.Dense(self.cond_embed_dim - g,
+                                     dtype=self.dtype, name="ref_proj")(
+                    nn.silu(feats).astype(self.dtype))
+            elif self.ref_embed_net == "imagebind":
+                # frozen ImageBind vision joint embedding -> SiLU -> Dense
+                # (reference palette_denoise_fn.py:83-85,146-148); ported
+                # weights swap in via load_imagebind_ref_encoder
+                from ...utils.image_bind import (IMAGEBIND_VISION_CONFIG,
+                                                 ImageBindVision, preprocess)
+                feats = ImageBindVision(name="freezenet_imagebind",
+                                        **IMAGEBIND_VISION_CONFIG)(
                     preprocess(ref.astype(jnp.float32)))
                 feats = jax.lax.stop_gradient(feats)
                 ref_embed = nn.Dense(self.cond_embed_dim - g,

@@ -78,6 +78,12 @@ class PaletteModel(BaseModel):
                 params=load_clip_ref_encoder(state.params),
                 ema_params=(load_clip_ref_encoder(state.ema_params)
                             if state.ema_params is not None else None))
+        elif getattr(self.netG, "ref_embed_net", "") == "imagebind":
+            from ..utils.image_bind import load_imagebind_ref_encoder
+            state = state.replace(
+                params=load_imagebind_ref_encoder(state.params),
+                ema_params=(load_imagebind_ref_encoder(state.ema_params)
+                            if state.ema_params is not None else None))
         # shard params/opt-state over the fsdp axis, replicate over data
         pshard = param_sharding(self.mesh, state.params)
         state = state.replace(

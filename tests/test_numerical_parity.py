@@ -1045,3 +1045,87 @@ def test_segformer_mit_porter_matches_transformers(tmp_path):
     assert len(got) == 4
     for g, r in zip(got, ref_feats):
         np.testing.assert_allclose(np.asarray(g), r, rtol=3e-4, atol=3e-4)
+
+
+def test_imagebind_vision_porter_matches_reference_module(tmp_path):
+    """The flax ImageBind vision tower + porter reproduce the ACTUAL
+    reference torch module (models/modules/image_bind, executed directly
+    with a tiny config; timm/ftfy stubbed — only DropPath(0)/trunc_normal_
+    and the text tokenizer import them)."""
+    import importlib.util as ilu
+    import sys
+    import types
+
+    torch = pytest.importorskip("torch")
+
+    # stub the missing deps the reference package imports at module level
+    if "timm" not in sys.modules:
+        timm = types.ModuleType("timm")
+        models = types.ModuleType("timm.models")
+        layers = types.ModuleType("timm.models.layers")
+
+        class DropPath(torch.nn.Identity):
+            def __init__(self, *a, **k):
+                super().__init__()
+
+        layers.DropPath = DropPath
+        layers.trunc_normal_ = torch.nn.init.trunc_normal_
+        timm.models = models
+        models.layers = layers
+        sys.modules.update({"timm": timm, "timm.models": models,
+                            "timm.models.layers": layers})
+    for missing in ("ftfy", "regex"):
+        if missing not in sys.modules:
+            stub = types.ModuleType(missing)
+            stub.fix_text = lambda s: s
+            import re as _re
+            stub.compile = _re.compile
+            sys.modules[missing] = stub
+
+    sys.path.insert(0, "/root/reference/models/modules")
+    try:
+        from image_bind.imagebind_model import ImageBindModel, ModalityType
+    finally:
+        sys.path.pop(0)
+
+    torch.manual_seed(5)
+    d, depth, heads, out_dim = 64, 2, 4, 32
+    model = ImageBindModel(
+        vision_embed_dim=d, vision_num_blocks=depth, vision_num_heads=heads,
+        out_embed_dim=out_dim,
+        text_embed_dim=32, text_num_blocks=1, text_num_heads=2,
+        audio_embed_dim=32, audio_num_blocks=1, audio_num_heads=2,
+        depth_embed_dim=32, depth_num_blocks=1, depth_num_heads=2,
+        thermal_embed_dim=32, thermal_num_blocks=1, thermal_num_heads=2,
+        imu_embed_dim=32, imu_num_blocks=1, imu_num_heads=2,
+    ).eval()
+    # randomize the zero-init projections so the head math is exercised
+    with torch.no_grad():
+        for p in model.modality_heads.vision.parameters():
+            p.add_(0.05 * torch.randn_like(p))
+
+    rng = np.random.RandomState(3)
+    x_np = rng.uniform(-1, 1, (2, 224, 224, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = model({ModalityType.VISION:
+                     torch.tensor(x_np).permute(0, 3, 1, 2)})["vision"]
+    ref = ref.numpy()
+
+    spec = ilu.spec_from_file_location(
+        "port_ib", os.path.join(REPO, "tools/port_imagebind_weights.py"))
+    porter = ilu.module_from_spec(spec)
+    spec.loader.exec_module(porter)
+    sd = {k: v.float().numpy() for k, v in model.state_dict().items()}
+    npz = str(tmp_path / "imagebind_vision.npz")
+    np.savez(npz, **porter.map_state_dict(sd))
+
+    from joligen_tpu.utils.image_bind import (ImageBindVision,
+                                              load_imagebind_vision_params)
+    params, cfg = load_imagebind_vision_params(npz, heads=heads)
+    assert cfg == {"dim": d, "depth": depth, "heads": heads,
+                   "out_dim": out_dim}
+    import jax.numpy as jnp
+    net = ImageBindVision(dim=d, depth=depth, heads=heads, out_dim=out_dim)
+    got = np.asarray(net.apply(params, jnp.asarray(x_np)))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)

@@ -145,3 +145,89 @@ def test_palette_clip_ref_conditioning(fakeds, tmp_path, monkeypatch):
         lambda a, b: float(jnp.abs(a - b).max()), before, after)
     assert max(jax.tree.leaves(diffs)) == 0.0
     assert np.isfinite(loss2)
+
+
+def test_palette_imagebind_ref_conditioning(fakeds, tmp_path, monkeypatch):
+    """ref conditioning through the frozen ImageBind vision tower
+    (reference palette_denoise_fn.py:83-85,146-148): a step runs, the tower
+    takes zero gradient, and a ported npz swaps into the state."""
+    import jax
+    import jax.numpy as jnp
+    import joligen_tpu.utils.image_bind as ib
+
+    tiny = {"dim": 32, "depth": 1, "heads": 2, "out_dim": 16}
+    monkeypatch.setattr(ib, "IMAGEBIND_VISION_CONFIG", tiny)
+
+    opt = _opt(
+        fakeds, tmp_path,
+        data_dataset_mode="unaligned_labeled_mask_ref",
+        alg_diffusion_cond_embed="ref",
+        alg_diffusion_ref_embed_net="imagebind",
+    )
+    from joligen_tpu.data import create_dataloader, create_dataset
+    from joligen_tpu.models import create_model
+    ds = create_dataset(opt, "train")
+    dl = create_dataloader(opt, ds)
+    batch = next(iter(dl))
+    m = create_model(opt)
+    assert "freezenet_imagebind" in m.states["G_A"].params["params"]
+    loss = m.optimize_parameters(batch)["G_tot"]
+    assert np.isfinite(loss)
+    before = jax.device_get(
+        m.states["G_A"].params["params"]["freezenet_imagebind"])
+    loss2 = m.optimize_parameters(batch)["G_tot"]
+    after = jax.device_get(
+        m.states["G_A"].params["params"]["freezenet_imagebind"])
+    diffs = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()), before, after)
+    assert max(jax.tree.leaves(diffs)) == 0.0
+    assert np.isfinite(loss2)
+
+    # ported-weights swap: write a matching tiny npz and rebuild
+    net = ib.ImageBindVision(**tiny)
+    ref_params = net.init(jax.random.PRNGKey(7),
+                          jnp.zeros((1, 224, 224, 3)))["params"]
+    flat = {}
+
+    def emit(prefix, node):
+        for k, v in node.items():
+            if isinstance(v, dict):
+                emit(prefix + k + ".", v)
+            else:
+                flat[prefix + k] = np.asarray(v)
+    # serialize in the porter's npz contract
+    d, hd = tiny["dim"], tiny["dim"] // tiny["heads"]
+    flat["patch_conv.kernel"] = np.asarray(
+        ref_params["patch_conv"]["kernel"])
+    flat["cls_token"] = np.asarray(ref_params["cls_token"]) + 0.5
+    flat["pos_embed"] = np.asarray(ref_params["pos_embed"])
+    for ln in ("pre_ln", "head_ln"):
+        flat[f"{ln}.scale"] = np.asarray(ref_params[ln]["scale"])
+        flat[f"{ln}.bias"] = np.asarray(ref_params[ln]["bias"])
+    flat["head_proj"] = np.asarray(ref_params["head_proj"])
+    for i in range(tiny["depth"]):
+        b = ref_params[f"block{i}"]
+        qkv_w = np.concatenate([
+            np.asarray(b["attn"][n]["kernel"]).reshape(d, d).T
+            for n in ("query", "key", "value")], axis=0)
+        qkv_b = np.concatenate([
+            np.asarray(b["attn"][n]["bias"]).reshape(d)
+            for n in ("query", "key", "value")], axis=0)
+        flat[f"block{i}.attn.qkv_w"] = qkv_w
+        flat[f"block{i}.attn.qkv_b"] = qkv_b
+        flat[f"block{i}.attn.proj_w"] = np.asarray(
+            b["attn"]["out"]["kernel"]).reshape(d, d).T
+        flat[f"block{i}.attn.proj_b"] = np.asarray(b["attn"]["out"]["bias"])
+        for fc in ("fc1", "fc2"):
+            flat[f"block{i}.{fc}.kernel"] = np.asarray(b[fc]["kernel"])
+            flat[f"block{i}.{fc}.bias"] = np.asarray(b[fc]["bias"])
+        for nrm in ("norm_1", "norm_2"):
+            flat[f"block{i}.{nrm}.scale"] = np.asarray(b[nrm]["scale"])
+            flat[f"block{i}.{nrm}.bias"] = np.asarray(b[nrm]["bias"])
+    np.savez(os.path.join(str(tmp_path), "imagebind_vision.npz"), **flat)
+    monkeypatch.setenv("JOLIGEN_TPU_WEIGHTS_DIR", str(tmp_path))
+    m2 = create_model(opt)
+    got = np.asarray(jax.device_get(
+        m2.states["G_A"].params["params"]["freezenet_imagebind"]
+        ["cls_token"]))
+    np.testing.assert_allclose(got, flat["cls_token"], rtol=1e-6)
