@@ -163,6 +163,12 @@ class CUTModel(BaseModel):
                     from .modules.segformer import load_mit_backbone
                     self.states["f_s"] = self.states["f_s"].replace(
                         params=load_mit_backbone(self.states["f_s"].params))
+                elif getattr(opt, "f_s_net", "") == "vgg":
+                    from .modules.semantic_networks import \
+                        load_vgg_fcn8s_trunk
+                    self.states["f_s"] = self.states["f_s"].replace(
+                        params=load_vgg_fcn8s_trunk(
+                            self.states["f_s"].params))
 
         pool_size = int(getattr(opt, "train_pool_size", 50))
         self.pool = ImagePool.create(

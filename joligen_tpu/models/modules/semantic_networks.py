@@ -64,6 +64,121 @@ class UNetSegmenter(nn.Module):
         return nn.Conv(self.nclasses, (1, 1), dtype=self.dtype)(h).astype(jnp.float32)
 
 
+class VGG16FCN8s(nn.Module):
+    """FCN-8s segmenter on a VGG16 trunk (reference classifiers.py:57-175
+    VGG16_FCN8s: 99px zero pad, pool3/pool4 skip fusions scaled by 1e-4/1e-2
+    through zero-init score convs, fixed-bilinear transpose-conv upsampling
+    with the reference crop offsets 5/9/31). The trunk loads ImageNet
+    weights from vgg16_lpips.npz when present (tools/port_vgg16_weights.py),
+    fc6/fc7 head weights from the same file when ported with --with-head."""
+    nclasses: int
+    dtype: jnp.dtype = jnp.float32
+
+    @staticmethod
+    def _bilinear_kernel(factor, channels):
+        import numpy as np
+        size = 2 * factor
+        f = (size + 1) // 2
+        center = f - 1 if size % 2 == 1 else f - 0.5
+        og = np.ogrid[:size, :size]
+        filt = ((1 - abs(og[0] - center) / f)
+                * (1 - abs(og[1] - center) / f)).astype(np.float32)
+        w = np.zeros((size, size, channels, channels), np.float32)
+        for i in range(channels):
+            w[:, :, i, i] = filt
+        return jnp.asarray(w)
+
+    def _upscore(self, x, factor):
+        import jax
+        w = self._bilinear_kernel(factor, x.shape[-1])
+        return jax.lax.conv_transpose(
+            x, w.astype(x.dtype), strides=(factor, factor), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    @staticmethod
+    def _crop(a, ref_h, ref_w, offset):
+        return a[:, offset:offset + ref_h, offset:offset + ref_w, :]
+
+    @nn.compact
+    def __call__(self, x):
+        import jax
+        n, H, W, _ = x.shape
+        h = jnp.pad(x.astype(self.dtype),
+                    ((0, 0), (99, 99), (99, 99), (0, 0)))
+        widths = (64, 128, 256, 512, 512)
+        pool3 = pool4 = None
+
+        def ceil_pool(v):  # reference pools use ceil_mode=True
+            ph, pw = v.shape[1] % 2, v.shape[2] % 2
+            if ph or pw:
+                v = jnp.pad(v, ((0, 0), (0, ph), (0, pw), (0, 0)),
+                            constant_values=-jnp.inf)
+            return nn.max_pool(v, (2, 2), strides=(2, 2))
+
+        for bi, wdt in enumerate(widths):
+            for ci in range(2 if bi < 2 else 3):
+                h = nn.Conv(wdt, (3, 3), padding=1, dtype=self.dtype,
+                            name=f"b{bi}c{ci}")(h)
+                h = nn.relu(h)
+            h = ceil_pool(h)
+            if bi == 2:
+                pool3 = h
+            elif bi == 3:
+                pool4 = h
+        h = nn.Conv(4096, (7, 7), padding="VALID", dtype=self.dtype,
+                    name="fc6")(h)
+        h = nn.relu(h)
+        h = nn.Conv(4096, (1, 1), dtype=self.dtype, name="fc7")(h)
+        h = nn.relu(h)
+        h = nn.Conv(self.nclasses, (1, 1), dtype=self.dtype, name="score")(h)
+
+        up2 = self._upscore(h, 2)
+        sp4 = nn.Conv(self.nclasses, (1, 1), dtype=self.dtype,
+                      kernel_init=nn.initializers.zeros,
+                      bias_init=nn.initializers.zeros,
+                      name="score_pool4")(0.01 * pool4)
+        fuse4 = up2 + self._crop(sp4, up2.shape[1], up2.shape[2], 5)
+        up4 = self._upscore(fuse4, 2)
+        sp3 = nn.Conv(self.nclasses, (1, 1), dtype=self.dtype,
+                      kernel_init=nn.initializers.zeros,
+                      bias_init=nn.initializers.zeros,
+                      name="score_pool3")(0.0001 * pool3)
+        fuse3 = up4 + self._crop(sp3, up4.shape[1], up4.shape[2], 9)
+        up8 = self._upscore(fuse3, 8)
+        return self._crop(up8, H, W, 31).astype(jnp.float32)
+
+
+def load_vgg_fcn8s_trunk(params, node_name="f_s"):
+    """Swap the VGG16 trunk convs (b{bi}c{ci}) — and fc6/fc7 when ported —
+    for ImageNet weights from vgg16_lpips.npz; unchanged when absent."""
+    import os
+
+    import jax.numpy as _jnp
+    import numpy as _np
+    wd = os.environ.get("JOLIGEN_TPU_WEIGHTS_DIR", "")
+    path = os.path.join(wd, "vgg16_lpips.npz")
+    if not (wd and os.path.exists(path)):
+        return params
+    raw = _np.load(path)
+
+    def walk(node):
+        if not isinstance(node, dict):
+            return node
+        out = {}
+        for k, v in node.items():
+            if isinstance(v, dict) and "kernel" in v \
+                    and f"{k}/kernel" in raw.files \
+                    and raw[f"{k}/kernel"].shape == tuple(
+                        _np.shape(v["kernel"])):
+                out[k] = {"kernel": _jnp.asarray(raw[f"{k}/kernel"]),
+                          "bias": _jnp.asarray(raw[f"{k}/bias"])}
+            else:
+                out[k] = walk(v)
+        return out
+
+    return walk(params)
+
+
 def define_C(opt):
     return Classifier(nclasses=opt.cls_semantic_nclasses, nf=opt.cls_nf,
                       img_size=opt.data_crop_size)
@@ -91,6 +206,6 @@ def define_f(opt):
                 "JOLIGEN_TPU_WEIGHTS_DIR (zero-egress environment)")
         _, cfg = load_sam_params(path)
         return SamSegmenter(cfg)
-    # 'unet' and 'vgg' both train from scratch here (the reference's
-    # VGG16-FCN8s also needs torchvision weights)
+    if net == "vgg":
+        return VGG16FCN8s(nclasses=opt.f_s_semantic_nclasses)
     return UNetSegmenter(nclasses=opt.f_s_semantic_nclasses, nf=opt.f_s_nf)

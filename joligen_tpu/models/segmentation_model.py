@@ -27,6 +27,10 @@ class SegmentationModel(BaseModel):
             from .modules.segformer import load_mit_backbone
             self.states["f_s"] = self.states["f_s"].replace(
                 params=load_mit_backbone(self.states["f_s"].params))
+        elif getattr(opt, "f_s_net", "") == "vgg":
+            from .modules.semantic_networks import load_vgg_fcn8s_trunk
+            self.states["f_s"] = self.states["f_s"].replace(
+                params=load_vgg_fcn8s_trunk(self.states["f_s"].params))
         self._jit_step = None
         self._jit_infer = None
 

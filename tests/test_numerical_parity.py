@@ -1129,3 +1129,121 @@ def test_imagebind_vision_porter_matches_reference_module(tmp_path):
     got = np.asarray(net.apply(params, jnp.asarray(x_np)))
     assert got.shape == ref.shape
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_vgg16_fcn8s_matches_reference_module(tmp_path):
+    """The flax VGG16FCN8s reproduces the ACTUAL reference torch module
+    (models/modules/classifiers.py:57-175 executed directly with
+    torchvision/wget stubbed; random weights, pretrained=False)."""
+    import importlib.util as ilu
+    import sys
+    import types
+
+    torch = pytest.importorskip("torch")
+
+    # stub torchvision (transform composition at class-creation time +
+    # models.vgg.cfgs), wget, and util.util which reference utils.py imports
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tr = types.ModuleType("torchvision.transforms")
+        for name in ("Compose", "ToTensor", "Normalize", "Resize",
+                     "CenterCrop"):
+            setattr(tr, name, type(name, (), {
+                "__init__": lambda self, *a, **k: None,
+                "__call__": lambda self, x: x}))
+        tr.InterpolationMode = types.SimpleNamespace(BICUBIC=None)
+        mv = types.ModuleType("torchvision.models")
+        vgg_mod = types.ModuleType("torchvision.models.vgg")
+        vgg_mod.cfgs = {"D": [64, 64, "M", 128, 128, "M", 256, 256, 256,
+                              "M", 512, 512, 512, "M", 512, 512, 512, "M"]}
+        vgg_mod.model_urls = {}
+        mv.vgg = vgg_mod
+        # classifiers.py builds a module-level TORCH_MODEL_CLASSES map over
+        # many torchvision.models entries (PEP 562 module __getattr__)
+        mv.__getattr__ = lambda name: (lambda *a, **k: None)
+        tv.transforms = tr
+        tv.models = mv
+        sys.modules.update({
+            "torchvision": tv, "torchvision.transforms": tr,
+            "torchvision.models": mv, "torchvision.models.vgg": vgg_mod})
+    if "wget" not in sys.modules:
+        sys.modules["wget"] = types.ModuleType("wget")
+    if "util" not in sys.modules:
+        u = types.ModuleType("util")
+        uu = types.ModuleType("util.util")
+        uu.tensor2im = lambda *a, **k: None
+        u.util = uu
+        sys.modules.update({"util": u, "util.util": uu})
+
+    pkg = types.ModuleType("refmodules")
+    pkg.__path__ = ["/root/reference/models/modules"]
+    sys.modules["refmodules"] = pkg
+    for name in ("utils", "classifiers"):
+        spec = ilu.spec_from_file_location(
+            f"refmodules.{name}",
+            f"/root/reference/models/modules/{name}.py")
+        mod = ilu.module_from_spec(spec)
+        sys.modules[f"refmodules.{name}"] = mod
+        spec.loader.exec_module(mod)
+    VGG16_FCN8s = sys.modules["refmodules.classifiers"].VGG16_FCN8s
+
+    torch.manual_seed(11)
+    ncls = 3
+    ref_net = VGG16_FCN8s(num_cls=ncls, pretrained=False).eval()
+    with torch.no_grad():  # exercise the skip fusions: un-zero the scores
+        for conv in (ref_net.score_pool3, ref_net.score_pool4):
+            for p in conv.parameters():
+                p.add_(torch.randn_like(p))
+
+    rng = np.random.RandomState(4)
+    x_np = rng.uniform(-1, 1, (1, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = ref_net(torch.tensor(x_np).permute(0, 3, 1, 2))
+    ref = ref.permute(0, 2, 3, 1).numpy()
+
+    # map the torch weights onto the flax module
+    from joligen_tpu.models.modules.semantic_networks import VGG16FCN8s
+    sd = {k: v.numpy() for k, v in ref_net.state_dict().items()}
+    convs = [k[:-len(".weight")] for k in sd
+             if k.startswith("vgg.") and k.endswith(".weight")]
+    convs.sort(key=lambda k: int(k.split(".")[1]))
+    names = [f"b{bi}c{ci}" for bi in range(5)
+             for ci in range(2 if bi < 2 else 3)]
+    params = {}
+    for name, tk in zip(names, convs):
+        params[name] = {
+            "kernel": np.transpose(sd[tk + ".weight"], (2, 3, 1, 0)),
+            "bias": sd[tk + ".bias"]}
+    for name, tk in (("fc6", "vgg_head.0"), ("fc7", "vgg_head.3"),
+                     ("score", "vgg_head.6"),
+                     ("score_pool4", "score_pool4"),
+                     ("score_pool3", "score_pool3")):
+        params[name] = {
+            "kernel": np.transpose(sd[tk + ".weight"], (2, 3, 1, 0)),
+            "bias": sd[tk + ".bias"]}
+
+    import jax.numpy as jnp
+    net = VGG16FCN8s(nclasses=ncls)
+    got = np.asarray(net.apply({"params": params}, jnp.asarray(x_np)))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_vgg16_fcn8s_define_f_wiring():
+    """f_s_net=vgg builds the real FCN8s and produces per-pixel logits at
+    the input resolution."""
+    import types
+
+    import jax
+    import jax.numpy as jnp
+
+    from joligen_tpu.models.modules.semantic_networks import (VGG16FCN8s,
+                                                              define_f)
+    opt = types.SimpleNamespace(f_s_net="vgg", f_s_semantic_nclasses=3,
+                                f_s_nf=8)
+    net = define_f(opt)
+    assert isinstance(net, VGG16FCN8s)
+    x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    params = net.init(jax.random.PRNGKey(0), x)
+    out = net.apply(params, x)
+    assert out.shape == (1, 32, 32, 3)
