@@ -138,6 +138,13 @@ class CUTModel(BaseModel):
             self.txs["CLS"] = tx
             self.states["CLS"] = init_net_state(rngs[6], self.netCLS,
                                                 (ex_img,), tx)
+            template = getattr(opt, "train_sem_cls_template", "basic")
+            if template and template != "basic" and \
+                    getattr(opt, "train_sem_cls_pretrained", False):
+                from .modules.semantic_networks import load_resnet_template
+                self.states["CLS"] = self.states["CLS"].replace(
+                    params=load_resnet_template(self.states["CLS"].params,
+                                                template))
         self.fs_is_sam = (getattr(opt, "f_s_net", "") == "sam")
         if self.semantic_mask:
             self.netf_s = define_f(opt)

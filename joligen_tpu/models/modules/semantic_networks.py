@@ -148,6 +148,119 @@ class VGG16FCN8s(nn.Module):
         return self._crop(up8, H, W, 31).astype(jnp.float32)
 
 
+class _Affine(nn.Module):
+    """Folded BatchNorm: per-channel scale/shift. The porter folds the
+    torchvision running stats into these (FrozenBN) — the TPU-native
+    stand-in for BN that keeps training steps pure and avoids SyncBN."""
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        s = self.param("scale", nn.initializers.ones, (self.features,))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return x * s + b
+
+
+class ResNetTemplate(nn.Module):
+    """torchvision-style ResNet classifier template (reference
+    classifiers.py:249-260 torch_model wraps TORCH_MODEL_CLASSES[template]
+    and replaces .fc with an nclasses head). Supports the templates whose
+    512-wide fc the reference actually rewires (resnet18/34) plus resnet50.
+    ImageNet weights drop in from ``resnet{18,34,50}_tv.npz`` (porter
+    tools/port_torchvision_resnet_weights.py, BN folded)."""
+    nclasses: int
+    variant: str = "resnet18"
+    dtype: jnp.dtype = jnp.float32
+
+    _CFG = {"resnet18": ((2, 2, 2, 2), False),
+            "resnet34": ((3, 4, 6, 3), False),
+            "resnet50": ((3, 4, 6, 3), True)}
+
+    @nn.compact
+    def __call__(self, x):
+        import jax
+        blocks, bottleneck = self._CFG[self.variant]
+        h = x.astype(self.dtype)
+        if h.shape[-1] == 1:
+            h = jnp.tile(h, (1, 1, 1, 3))
+        h = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
+                    dtype=self.dtype, name="conv1")(h)
+        h = _Affine(64, name="bn1")(h)
+        h = nn.relu(h)
+        h = jnp.pad(h, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                    constant_values=-jnp.inf)
+        h = nn.max_pool(h, (3, 3), strides=(2, 2))
+        width = 64
+        for si, n in enumerate(blocks):
+            for bi in range(n):
+                stride = 2 if (si > 0 and bi == 0) else 1
+                out_w = width * (4 if bottleneck else 1)
+                name = f"layer{si + 1}_{bi}"
+                identity = h
+                if stride != 1 or h.shape[-1] != out_w:
+                    identity = nn.Conv(out_w, (1, 1), strides=stride,
+                                       use_bias=False, dtype=self.dtype,
+                                       name=f"{name}_down")(h)
+                    identity = _Affine(out_w, name=f"{name}_downbn")(identity)
+                if bottleneck:
+                    y = nn.Conv(width, (1, 1), use_bias=False,
+                                dtype=self.dtype, name=f"{name}_conv1")(h)
+                    y = nn.relu(_Affine(width, name=f"{name}_bn1")(y))
+                    y = nn.Conv(width, (3, 3), strides=stride, padding=1,
+                                use_bias=False, dtype=self.dtype,
+                                name=f"{name}_conv2")(y)
+                    y = nn.relu(_Affine(width, name=f"{name}_bn2")(y))
+                    y = nn.Conv(out_w, (1, 1), use_bias=False,
+                                dtype=self.dtype, name=f"{name}_conv3")(y)
+                    y = _Affine(out_w, name=f"{name}_bn3")(y)
+                else:
+                    y = nn.Conv(width, (3, 3), strides=stride, padding=1,
+                                use_bias=False, dtype=self.dtype,
+                                name=f"{name}_conv1")(h)
+                    y = nn.relu(_Affine(width, name=f"{name}_bn1")(y))
+                    y = nn.Conv(width, (3, 3), padding=1, use_bias=False,
+                                dtype=self.dtype, name=f"{name}_conv2")(y)
+                    y = _Affine(width, name=f"{name}_bn2")(y)
+                h = nn.relu(y + identity)
+            width *= 2
+        h = h.mean(axis=(1, 2))
+        return nn.Dense(self.nclasses, dtype=self.dtype,
+                        name="fc")(h).astype(jnp.float32)
+
+
+def load_resnet_template(params, variant, node_name="CLS"):
+    """Swap ResNetTemplate leaves for ImageNet weights from
+    resnet{variant}_tv.npz when present (fc head keeps its fresh init —
+    the reference replaces it with a new nclasses Linear)."""
+    import os
+
+    import jax.numpy as _jnp
+    import numpy as _np
+    wd = os.environ.get("JOLIGEN_TPU_WEIGHTS_DIR", "")
+    path = os.path.join(wd, f"{variant}_tv.npz")
+    if not (wd and os.path.exists(path)):
+        return params
+    raw = _np.load(path)
+
+    def walk(node):
+        if not isinstance(node, dict):
+            return node
+        out = {}
+        for k, v in node.items():
+            if isinstance(v, dict) and all(
+                    not isinstance(x, dict) for x in v.values()) \
+                    and k != "fc":
+                keys = {f"{k}/{leaf}" for leaf in v}
+                if keys <= set(raw.files):
+                    out[k] = {leaf: _jnp.asarray(raw[f"{k}/{leaf}"])
+                              for leaf in v}
+                    continue
+            out[k] = walk(v)
+        return out
+
+    return walk(params)
+
+
 def load_vgg_fcn8s_trunk(params, node_name="f_s"):
     """Swap the VGG16 trunk convs (b{bi}c{ci}) — and fc6/fc7 when ported —
     for ImageNet weights from vgg16_lpips.npz; unchanged when absent."""
@@ -180,6 +293,17 @@ def load_vgg_fcn8s_trunk(params, node_name="f_s"):
 
 
 def define_C(opt):
+    """C factory (reference semantic_networks.py:19-43): 'basic' CNN or a
+    torchvision-template ResNet classifier."""
+    template = getattr(opt, "train_sem_cls_template", "basic") or "basic"
+    if template != "basic":
+        if template not in ResNetTemplate._CFG:
+            raise NotImplementedError(
+                f"cls template '{template}' — supported: basic, "
+                f"{', '.join(sorted(ResNetTemplate._CFG))} (the reference's "
+                "torch_model rewires a 512-wide fc, i.e. resnet18/34)")
+        return ResNetTemplate(nclasses=opt.cls_semantic_nclasses,
+                              variant=template)
     return Classifier(nclasses=opt.cls_semantic_nclasses, nf=opt.cls_nf,
                       img_size=opt.data_crop_size)
 
