@@ -51,6 +51,13 @@ def inference(args):
     if args.max_frames > 0:
         imgs, bboxes = imgs[: args.max_frames], bboxes[: args.max_frames]
     assert imgs, "no input frames found"
+    backward = getattr(args, "direction", "forward") == "backward"
+    if backward:  # generate the reversed sequence, un-reverse on output
+        imgs, bboxes = imgs[::-1], bboxes[::-1]
+    if getattr(args, "seed", -1) is not None and getattr(args, "seed", -1) >= 0:
+        np.random.seed(args.seed)
+        import jax
+        model.rng = jax.random.PRNGKey(args.seed)
     nf = int(getattr(opt, "data_temporal_number_frames", 4) or 4)
     size = opt.data_crop_size
 
@@ -89,20 +96,45 @@ def inference(args):
     crops += [crops[-1]] * pad
     masks += [masks[-1]] * pad
 
+    def make_cond(crop, mask):
+        if getattr(args, "cond_canny", False):
+            from joligen_tpu.utils.mask_generation import \
+                fill_img_with_canny
+            return fill_img_with_canny(crop, mask)
+        return fill_mask_with_random(crop, mask, -1)
+
+    k_ctx = max(0, min(int(getattr(args, "context_frames", 1) or 1),
+                       nf - 1))
+    sigma = float(getattr(args, "context_noise_sigma", 0.0) or 0.0)
+    cls_progress = list(getattr(args, "cls_progress", []) or [])
+    base_cls = int(getattr(args, "cls", -1))
+
     generated = []
-    prev_frame = None
-    for start in range(0, len(crops), nf):
+    prev_frames = None  # last k_ctx generated frames
+    for ci, start in enumerate(range(0, len(crops), nf)):
         clip = np.stack(crops[start:start + nf])      # (F,H,W,C)
         cmask = np.stack(masks[start:start + nf])
-        cond = np.stack([fill_mask_with_random(c, m, -1)
+        cond = np.stack([make_cond(c, m)
                          for c, m in zip(clip, cmask)])
         gt = clip.copy()
-        if args.autoregressive and prev_frame is not None:
-            # clean reference frame: previous clip's last generated frame
-            gt[0] = prev_frame
-            cond[0] = prev_frame
-            cmask[0] = np.zeros_like(cmask[0])
+        if args.autoregressive and prev_frames is not None:
+            # context frames: previous clip's trailing generated frames,
+            # optionally re-noised inside the mask to match the noisy-GT
+            # context the model trained on (palette_model autoregressive)
+            for j, pf in enumerate(prev_frames):
+                ctx = pf
+                if sigma > 0:
+                    m = (cmask[j] > 0.5).astype(np.float32)
+                    ctx = ctx + sigma * np.random.randn(
+                        *ctx.shape).astype(np.float32) * m
+                gt[j] = pf
+                cond[j] = ctx
+                cmask[j] = np.zeros_like(cmask[j])
         batch = {"A": cond[None], "B": gt[None], "B_label_mask": cmask[None]}
+        label = cls_progress[min(ci, len(cls_progress) - 1)] \
+            if cls_progress else base_cls
+        if label >= 0:
+            batch["B_label_cls"] = np.asarray([label], np.int32)
         kwargs = {}
         if opt.model_type == "palette" and args.sampling_steps > 0:
             kwargs.update(sampling_method="ddim",
@@ -111,9 +143,13 @@ def inference(args):
             kwargs["denoise_timesteps"] = args.sampling_steps
         fake = model.inference(batch, **kwargs)
         frames = fake[0] if fake.ndim == 5 else fake  # (F,H,W,C)
-        prev_frame = frames[-1]
+        prev_frames = list(frames[-k_ctx:]) if k_ctx else None
         generated.extend(list(frames))
     generated = generated[:n]
+    if backward:
+        generated = generated[::-1]
+        origs = origs[::-1]
+        windows = windows[::-1]
 
     os.makedirs(args.dir_out, exist_ok=True)
     written = []
@@ -154,6 +190,28 @@ def build_parser():
     p.add_argument("--max_frames", type=int, default=-1)
     p.add_argument("--sampling_steps", type=int, default=-1)
     p.add_argument("--autoregressive", action="store_true")
+    p.add_argument("--direction", default="forward",
+                   choices=["forward", "backward"],
+                   help="backward generates the reversed sequence "
+                        "(reference gen_vid_autoregressive_..._backward_*)")
+    p.add_argument("--context_frames", type=int, default=1,
+                   help="generated frames carried into the next clip as "
+                        "clean context (reference streaming seq_half)")
+    p.add_argument("--context_noise_sigma", type=float, default=0.0,
+                   help="gaussian noise added to context frames inside the "
+                        "mask — matches the noisy-GT-context training "
+                        "distribution (sigma buckets up to 0.7, reference "
+                        "palette_model.py:377-411)")
+    p.add_argument("--cond_canny", action="store_true",
+                   help="condition on per-frame canny sketches "
+                        "(reference ..._withCanny_* variants)")
+    p.add_argument("--cls", type=int, default=-1,
+                   help="class label for conditioned checkpoints; "
+                        "progresses per clip with --cls_progress")
+    p.add_argument("--cls_progress", type=int, nargs="*", default=[],
+                   help="per-clip class labels (reference "
+                        "..._online_progress_cls variant)")
+    p.add_argument("--seed", type=int, default=-1)
     p.add_argument("--cpu", action="store_true")
     return p
 

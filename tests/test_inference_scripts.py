@@ -210,3 +210,16 @@ def test_gen_vid_diffusion(tmp_path, tmp_path_factory):
     frames = [f for f in os.listdir(tmp_path) if f.endswith("_generated.png")]
     assert len(frames) == 4
     assert os.path.exists(tmp_path / "out.mp4")
+
+    # autoregressive-variant features (reference gen_vid_autoregressive_*):
+    # backward direction, per-frame canny conditioning, noisy context
+    out2 = tmp_path / "bwd"
+    _run(["scripts/gen_vid_diffusion.py",
+          "--model_in_file", os.path.join(ckpt, "v", "latest_net_G_A.pth"),
+          "--dir_in", os.path.join(root, "testA", "vid0"),
+          "--dir_out", str(out2), "--max_frames", "4",
+          "--sampling_steps", "3", "--autoregressive",
+          "--direction", "backward", "--cond_canny",
+          "--context_noise_sigma", "0.3", "--seed", "7", "--cpu"])
+    frames = [f for f in os.listdir(out2) if f.endswith("_generated.png")]
+    assert len(frames) == 4
