@@ -228,6 +228,7 @@ class UNetMHA(nn.Module):
         x = x.astype(self.dtype)
 
         Res = nn.remat(ResBlock, static_argnums=(2,)) if self.remat else ResBlock
+        Attn = nn.remat(AttentionBlock) if self.remat else AttentionBlock
         args = self._block_args()
 
         ch = int(self.channel_mults[0] * self.inner_channel)
@@ -240,7 +241,7 @@ class UNetMHA(nn.Module):
                 ch = int(mult * self.inner_channel)
                 h = Res(out_channel=ch, **args)(h, emb, deterministic)
                 if ds in self.attn_res:
-                    h = AttentionBlock(num_heads=self.num_heads,
+                    h = Attn(num_heads=self.num_heads,
                                        num_head_channels=self.num_head_channels,
                                        dtype=self.dtype)(h)
                 hs.append(h)
@@ -263,7 +264,7 @@ class UNetMHA(nn.Module):
                                      dtype=self.dtype, name=f"mid_t{ti}")(h, emb)
         else:
             h = Res(out_channel=ch, dropout=self.dropout, **args)(h, emb, deterministic)
-            h = AttentionBlock(num_heads=self.num_heads,
+            h = Attn(num_heads=self.num_heads,
                                num_head_channels=self.num_head_channels,
                                dtype=self.dtype)(h)
             h = Res(out_channel=ch, dropout=self.dropout, **args)(h, emb, deterministic)
@@ -276,7 +277,7 @@ class UNetMHA(nn.Module):
                 ch = int(mult * self.inner_channel)
                 h = Res(out_channel=ch, **args)(h, emb, deterministic)
                 if ds in self.attn_res:
-                    h = AttentionBlock(num_heads=self.num_heads,
+                    h = Attn(num_heads=self.num_heads,
                                        num_head_channels=self.num_head_channels,
                                        dtype=self.dtype)(h)
                 if level and i == self.res_blocks[level]:
