@@ -37,6 +37,7 @@ def define_inner_G(opt):
             group_size=opt.G_unet_mha_group_norm_size,
             dropout=0.0,
             tanh=False,
+            attn_norm=getattr(opt, "G_unet_mha_attn_norm", "group"),
             remat=getattr(opt, "tpu_remat", False),
             dtype=dtype,
         )
@@ -68,6 +69,7 @@ def define_inner_G(opt):
             motion_num_heads=getattr(opt, "G_unet_vid_num_attention_heads", 8),
             motion_num_transformer_blocks=getattr(
                 opt, "G_unet_vid_num_transformer_blocks", 2),
+            attn_norm=getattr(opt, "G_unet_mha_attn_norm", "group"),
             remat=getattr(opt, "tpu_remat", False),
             dtype=dtype,
         )
@@ -85,6 +87,7 @@ def define_inner_G(opt):
             num_head_channels=opt.G_unet_mha_num_head_channels,
             norm=opt.G_unet_mha_norm_layer,
             group_size=opt.G_unet_mha_group_norm_size,
+            attn_norm=getattr(opt, "G_unet_mha_attn_norm", "group"),
             remat=getattr(opt, "tpu_remat", False),
             dtype=dtype,
         )

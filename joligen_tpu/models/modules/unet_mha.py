@@ -131,9 +131,15 @@ class ResBlock(nn.Module):
 class AttentionBlock(nn.Module):
     """Spatial self-attention (reference unet_generator_attn.py:269-330),
     with the qk scaling applied pre-softmax for bf16 stability and softmax
-    in fp32. Uses the XLA fused dot-product-attention path."""
+    in fp32. Uses the XLA fused dot-product-attention path.
+
+    ``norm_kind="instance"`` reproduces the reference's pre-attention
+    normalization exactly (normalization1d = parameterless InstanceNorm1d,
+    unet_attn_utils.py:60-66,116-117) — required when loading converted
+    reference checkpoints; the framework default is groupnorm."""
     num_heads: int = 1
     num_head_channels: int = -1
+    norm_kind: str = "group"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -143,7 +149,14 @@ class AttentionBlock(nn.Module):
                  else max(1, c // self.num_head_channels))
         hd = c // heads
         seq = x.reshape(n, h * w, c)
-        y = _norm("groupnorm", 32)(seq.reshape(n, h * w, 1, c)).reshape(n, h * w, c)
+        if self.norm_kind == "instance":
+            f32 = seq.astype(jnp.float32)
+            mu = f32.mean(axis=1, keepdims=True)
+            var = f32.var(axis=1, keepdims=True)
+            y = ((f32 - mu) / jnp.sqrt(var + 1e-5)).astype(seq.dtype)
+        else:
+            y = _norm("groupnorm", 32)(
+                seq.reshape(n, h * w, 1, c)).reshape(n, h * w, c)
         qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(y)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(n, h * w, heads, hd)
@@ -206,6 +219,7 @@ class UNetMHA(nn.Module):
     use_scale_shift_norm: bool = True
     resblock_updown: bool = True
     transformer_blocks: int = 0   # >0 = UViT: transformer middle stack
+    attn_norm: str = "group"      # "instance" = reference-exact attention norm
     remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
@@ -243,6 +257,7 @@ class UNetMHA(nn.Module):
                 if ds in self.attn_res:
                     h = Attn(num_heads=self.num_heads,
                                        num_head_channels=self.num_head_channels,
+                                       norm_kind=self.attn_norm,
                                        dtype=self.dtype)(h)
                 hs.append(h)
             if level != len(self.channel_mults) - 1:
@@ -265,8 +280,8 @@ class UNetMHA(nn.Module):
         else:
             h = Res(out_channel=ch, dropout=self.dropout, **args)(h, emb, deterministic)
             h = Attn(num_heads=self.num_heads,
-                               num_head_channels=self.num_head_channels,
-                               dtype=self.dtype)(h)
+                     num_head_channels=self.num_head_channels,
+                     norm_kind=self.attn_norm, dtype=self.dtype)(h)
             h = Res(out_channel=ch, dropout=self.dropout, **args)(h, emb, deterministic)
 
         # decoder
@@ -279,6 +294,7 @@ class UNetMHA(nn.Module):
                 if ds in self.attn_res:
                     h = Attn(num_heads=self.num_heads,
                                        num_head_channels=self.num_head_channels,
+                                       norm_kind=self.attn_norm,
                                        dtype=self.dtype)(h)
                 if level and i == self.res_blocks[level]:
                     if self.resblock_updown:

@@ -79,6 +79,7 @@ class UNetRefAttn(nn.Module):
     group_size: int = 32
     dropout: float = 0.0
     use_scale_shift_norm: bool = True
+    attn_norm: str = "group"
     remat: bool = False
     dtype: jnp.dtype = jnp.float32
 

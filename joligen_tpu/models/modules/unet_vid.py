@@ -51,6 +51,7 @@ class UNetVid(nn.Module):
     max_sequence_length: int = 25
     motion_num_heads: int = 8
     motion_num_transformer_blocks: int = 2
+    attn_norm: str = "group"
     remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
@@ -92,7 +93,8 @@ class UNetVid(nn.Module):
                 ch = int(mult * self.inner_channel)
                 h = Res(out_channel=ch, **args)(h, emb_bf, deterministic)
                 if ds in self.attn_res:
-                    h = AttentionBlock(num_heads=self.num_heads,
+                    h = AttentionBlock(norm_kind=self.attn_norm,
+                           num_heads=self.num_heads,
                                        num_head_channels=self.num_head_channels,
                                        dtype=self.dtype)(h)
                 h = fold(MotionModule(**motion_args, name=f"motion_enc{mm}")(unfold(h)))
@@ -108,7 +110,8 @@ class UNetVid(nn.Module):
 
         # middle
         h = Res(out_channel=ch, dropout=self.dropout, **args)(h, emb_bf, deterministic)
-        h = AttentionBlock(num_heads=self.num_heads,
+        h = AttentionBlock(norm_kind=self.attn_norm,
+                           num_heads=self.num_heads,
                            num_head_channels=self.num_head_channels,
                            dtype=self.dtype)(h)
         h = fold(MotionModule(**motion_args, name="motion_mid")(unfold(h)))
@@ -123,7 +126,8 @@ class UNetVid(nn.Module):
                 ch = int(mult * self.inner_channel)
                 h = Res(out_channel=ch, **args)(h, emb_bf, deterministic)
                 if ds in self.attn_res:
-                    h = AttentionBlock(num_heads=self.num_heads,
+                    h = AttentionBlock(norm_kind=self.attn_norm,
+                           num_heads=self.num_heads,
                                        num_head_channels=self.num_head_channels,
                                        dtype=self.dtype)(h)
                 h = fold(MotionModule(**motion_args, name=f"motion_dec{mm}")(unfold(h)))

@@ -1350,3 +1350,192 @@ def test_resnet_template_matches_torch_math(tmp_path):
     loaded["params"]["fc"]["bias"] = jnp.zeros((5,))
     got = np.asarray(net.apply(loaded, jnp.asarray(x_np)))
     np.testing.assert_allclose(got, feats_ref[:, :5], rtol=2e-3, atol=2e-3)
+
+
+def _reference_unet_importable():
+    """Set up the stubs + synthetic packages needed to import the reference
+    unet_generator_attn module directly; returns the UNet class."""
+    import sys
+    import types
+
+    import torch
+
+    if "positional_encodings" not in sys.modules:
+        pe = types.ModuleType("positional_encodings")
+        pet = types.ModuleType("positional_encodings.torch_encodings")
+
+        class _P:
+            def __init__(self, *a, **k):
+                pass
+        pet.PositionalEncoding1D = pet.Summer = _P
+        pe.torch_encodings = pet
+        sys.modules.update({"positional_encodings": pe,
+                            "positional_encodings.torch_encodings": pet})
+    for name, path in [
+            ("models", "/root/reference/models"),
+            ("models.modules", "/root/reference/models/modules"),
+            ("models.modules.unet_generator_attn",
+             "/root/reference/models/modules/unet_generator_attn")]:
+        if name not in sys.modules:
+            m = types.ModuleType(name)
+            m.__path__ = [path]
+            sys.modules[name] = m
+    from models.modules.unet_generator_attn.unet_generator_attn import UNet
+    return UNet
+
+
+def test_convert_reference_checkpoint_palette_unet(tmp_path):
+    """The reference-checkpoint converter reproduces the ACTUAL reference
+    UNet + cond_embed forward (unet_generator_attn.py executed directly):
+    random torch weights -> converted flax params -> identical denoiser
+    output (attn_norm=instance path)."""
+    import importlib.util as ilu
+    import sys
+    import types
+
+    torch = pytest.importorskip("torch")
+    UNet = _reference_unet_importable()
+
+    torch.manual_seed(3)
+    ngf, cond_dim = 16, 64
+    res_blocks, mults, attn_res = [1, 1], (1, 2), [2]
+    ref_unet = UNet(image_size=16, in_channel=6, inner_channel=ngf,
+                    out_channel=3, res_blocks=res_blocks, attn_res=attn_res,
+                    channel_mults=mults, num_head_channels=8, tanh=False,
+                    n_timestep_train=10, n_timestep_test=5,
+                    norm="groupnorm", group_norm_size=8,
+                    cond_embed_dim=cond_dim).eval()
+    with torch.no_grad():  # un-zero the zero-init projections
+        for p in ref_unet.parameters():
+            if p.abs().sum() == 0:
+                p.add_(0.05 * torch.randn_like(p))
+    cond_embed = torch.nn.Sequential(
+        torch.nn.Linear(cond_dim, cond_dim), torch.nn.SiLU(),
+        torch.nn.Linear(cond_dim, cond_dim)).eval()
+
+    rng = np.random.RandomState(9)
+    x_np = rng.uniform(-1, 1, (2, 16, 16, 6)).astype(np.float32)
+    gammas_np = rng.uniform(0.1, 0.9, (2,)).astype(np.float32)
+
+    sys.path.insert(0, "/root/reference")  # for models.modules.diffusion_utils
+    try:
+        from models.modules.diffusion_utils import gamma_embedding
+    finally:
+        sys.path.pop(0)
+    with torch.no_grad():
+        emb = cond_embed(gamma_embedding(
+            torch.tensor(gammas_np)[:, None], cond_dim))
+        ref_out = ref_unet(torch.tensor(x_np).permute(0, 3, 1, 2), emb)
+    ref_out = ref_out.permute(0, 2, 3, 1).numpy()
+
+    # fake reference checkpoint: UNet under denoise_fn.model. + cond_embed
+    sd = {f"denoise_fn.model.{k}": v.numpy()
+          for k, v in ref_unet.state_dict().items()}
+    sd.update({f"cond_embed.{k}": v.numpy()
+               for k, v in cond_embed.state_dict().items()})
+
+    spec = ilu.spec_from_file_location(
+        "conv_ref", os.path.join(REPO,
+                                 "tools/convert_reference_checkpoint.py"))
+    conv = ilu.module_from_spec(spec)
+    spec.loader.exec_module(conv)
+
+    import types as _t
+    opt = _t.SimpleNamespace(G_unet_mha_res_blocks=res_blocks,
+                             G_unet_mha_channel_mults=list(mults),
+                             G_unet_mha_attn_res=attn_res,
+                             G_unet_mha_num_heads=1,
+                             G_unet_mha_num_head_channels=8)
+    params = conv.map_palette_g(sd, opt)
+
+    import jax.numpy as jnp
+
+    from joligen_tpu.models.modules.palette_diffusion import PaletteDenoiser
+    from joligen_tpu.models.modules.unet_mha import UNetMHA
+    net = PaletteDenoiser(
+        inner=UNetMHA(in_channel=6, out_channel=3, inner_channel=ngf,
+                      cond_embed_dim=cond_dim, res_blocks=tuple(res_blocks),
+                      attn_res=tuple(attn_res), channel_mults=mults,
+                      num_head_channels=8, group_size=8,
+                      attn_norm="instance"),
+        cond_embed_dim=cond_dim, conditioning="", nclasses=2)
+    got = np.asarray(net.apply(params, jnp.asarray(x_np),
+                               jnp.asarray(gammas_np)))
+    assert got.shape == ref_out.shape
+    np.testing.assert_allclose(got, ref_out, rtol=2e-4, atol=2e-4)
+
+
+def test_convert_reference_checkpoint_cli(tmp_path):
+    """End-to-end: a torch-saved reference-format checkpoint dir converts
+    via the CLI tool and drives this framework's single-image inference."""
+    import subprocess
+    import sys
+    import types
+
+    torch = pytest.importorskip("torch")
+    UNet = _reference_unet_importable()
+
+    torch.manual_seed(4)
+    ngf, cond_dim = 16, 64
+    ref_unet = UNet(image_size=16, in_channel=6, inner_channel=ngf,
+                    out_channel=3, res_blocks=[1, 1], attn_res=[2],
+                    channel_mults=(1, 2), num_head_channels=8, tanh=False,
+                    n_timestep_train=10, n_timestep_test=5,
+                    norm="groupnorm", group_norm_size=8,
+                    cond_embed_dim=cond_dim)
+    cond_embed = torch.nn.Sequential(
+        torch.nn.Linear(cond_dim, cond_dim), torch.nn.SiLU(),
+        torch.nn.Linear(cond_dim, cond_dim))
+    sd = {f"denoise_fn.model.{k}": v
+          for k, v in ref_unet.state_dict().items()}
+    sd.update({f"cond_embed.{k}": v
+               for k, v in cond_embed.state_dict().items()})
+
+    ref_dir = tmp_path / "refckpt"
+    ref_dir.mkdir()
+    torch.save(sd, str(ref_dir / "latest_net_G_A.pth"))
+    torch.save(sd, str(ref_dir / "latest_net_G_A_ema.pth"))
+    cfg = {
+        "model_type": "palette", "G_netG": "unet_mha", "G_ngf": ngf,
+        "data_crop_size": 16, "data_load_size": 16,
+        "G_unet_mha_res_blocks": [1, 1], "G_unet_mha_channel_mults": [1, 2],
+        "G_unet_mha_attn_res": [2], "G_unet_mha_num_head_channels": 8,
+        "G_unet_mha_group_norm_size": 8,
+        "alg_diffusion_cond_embed_dim": cond_dim,
+        "G_diff_n_timestep_train": 10, "G_diff_n_timestep_test": 4,
+        "dataroot": "/tmp/none",
+        "data_dataset_mode": "self_supervised_labeled_mask",
+    }
+    import json as _json
+    (ref_dir / "train_config.json").write_text(_json.dumps(cfg))
+
+    out_dir = tmp_path / "converted"
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run(
+        [sys.executable,
+         os.path.join(REPO, "tools/convert_reference_checkpoint.py"),
+         "--model_in_file", str(ref_dir / "latest_net_G_A.pth"),
+         "--dir_out", str(out_dir), "--cpu"],
+        env=env, capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, (r.stdout[-800:], r.stderr[-1500:])
+    assert os.path.exists(out_dir / "latest_net_G_A.pth")
+    assert os.path.exists(out_dir / "latest_net_G_A_ema.pth")
+    out_cfg = _json.loads((out_dir / "train_config.json").read_text())
+    assert out_cfg["G_unet_mha_attn_norm"] == "instance"
+
+    # the converted checkpoint drives inference end-to-end
+    from PIL import Image
+    img = (tmp_path / "in.png")
+    Image.fromarray((np.random.RandomState(0).rand(16, 16, 3) * 255)
+                    .astype(np.uint8)).save(str(img))
+    r = subprocess.run(
+        [sys.executable,
+         os.path.join(REPO, "scripts/gen_single_image_diffusion.py"),
+         "--model_in_file", str(out_dir / "latest_net_G_A.pth"),
+         "--img_in", str(img), "--dir_out", str(tmp_path / "out"),
+         "--sampling_method", "ddim", "--sampling_steps", "2",
+         "--seed", "0", "--cpu"],
+        env=env, capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, (r.stdout[-800:], r.stderr[-1500:])
+    assert os.path.exists(tmp_path / "out" / "in_generated.png")
