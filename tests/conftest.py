@@ -1,11 +1,16 @@
 import os
 
-# Tests run on a virtual 8-device CPU mesh so sharding paths are exercised
-# without TPU hardware (SURVEY.md §4 implication).
+# Tests run on a virtual multi-device CPU mesh so sharding paths (psum,
+# batch sharding, fsdp partitioning) are exercised without TPU hardware
+# (SURVEY.md §4 implication). 2 virtual devices, not 8: every XLA CPU
+# collective needs all device threads to rendezvous concurrently, and on a
+# 1-core CI host an 8-way rendezvous intermittently times out and SIGABRTs
+# under load (observed rendezvous.cc hangs). The driver's dryrun_multichip
+# still validates the full 8-device mesh with its own XLA_FLAGS.
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
+        flags + " --xla_force_host_platform_device_count=2"
     ).strip()
 
 # The machine's sitecustomize force-selects the axon TPU platform
