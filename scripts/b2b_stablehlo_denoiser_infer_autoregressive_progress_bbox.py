@@ -218,10 +218,8 @@ def main():
         gt = clip if sess.nf else clip[0]
         mk = cmask if sess.nf else cmask[0]
         y_cond = gt * (1.0 - np.clip(mk, 0.0, 1.0))
-        out = sess.sample(gt[None] if sess.nf else gt[None],
-                          mk[None] if sess.nf else mk[None],
-                          labels, args.seed + ci,
-                          y_cond[None] if sess.nf else y_cond[None])
+        out = sess.sample(gt[None], mk[None], labels, args.seed + ci,
+                          y_cond[None])
         frames = np.asarray(out)[0]
         if frames.ndim == 3:  # image model: one frame per call
             frames = frames[None]
