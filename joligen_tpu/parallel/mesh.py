@@ -9,6 +9,10 @@ axes:
 - ``fsdp``: parameter/optimizer-state sharding (ZeRO-style, sharded over ICI)
 - ``tensor``: tensor-parallel axis reserved for attention-head/channel
   sharding of the largest denoisers
+- ``seq``: sequence parallelism over the VIDEO FRAME axis (the reference
+  has no distributed sequence story, SURVEY.md §5; here clips shard
+  (B, F, H, W, C) -> frames over ``seq`` and XLA inserts the all-gathers
+  around the temporal motion-attention layers)
 
 All collectives ride ICI; multi-host initialization goes through
 ``jax.distributed.initialize`` (DCN) before mesh creation.
@@ -21,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-AXES = ("data", "fsdp", "tensor")
+AXES = ("data", "fsdp", "tensor", "seq")
 
 
 def make_mesh(opt=None, devices=None):
@@ -31,12 +35,13 @@ def make_mesh(opt=None, devices=None):
     n = len(devices)
     fsdp = getattr(opt, "tpu_mesh_fsdp", 1) if opt is not None else 1
     tensor = getattr(opt, "tpu_mesh_tensor", 1) if opt is not None else 1
+    seq = getattr(opt, "tpu_mesh_seq", 1) if opt is not None else 1
     data = getattr(opt, "tpu_mesh_data", -1) if opt is not None else -1
     if data == -1:
-        data = n // (fsdp * tensor)
-    assert data * fsdp * tensor == n, (
-        f"mesh {data}x{fsdp}x{tensor} != {n} devices")
-    dev_array = np.asarray(devices).reshape(data, fsdp, tensor)
+        data = n // (fsdp * tensor * seq)
+    assert data * fsdp * tensor * seq == n, (
+        f"mesh {data}x{fsdp}x{tensor}x{seq} != {n} devices")
+    dev_array = np.asarray(devices).reshape(data, fsdp, tensor, seq)
     return Mesh(dev_array, AXES)
 
 
@@ -114,16 +119,28 @@ def dequantize_on_device(x, kind="image"):
     return x.astype(jnp.int32)
 
 
+def video_batch_sharding(mesh):
+    """Clips (B, F, H, W, C): batch over data+fsdp, FRAMES over seq."""
+    return NamedSharding(mesh, P(("data", "fsdp"), "seq"))
+
+
 def shard_batch(mesh, batch):
-    """Host numpy batch -> global device arrays sharded over the batch axis.
+    """Host numpy batch -> global device arrays sharded over the batch axis
+    (and, for 5D video clips when the seq axis is live, the frame axis).
     Batches not divisible by the data extent (tiny eval remainders) are
     replicated instead — correctness over speed off the hot path."""
     sharding = batch_sharding(mesh)
     n = mesh.shape["data"] * mesh.shape["fsdp"]
+    seq = mesh.shape["seq"]
+    vid = video_batch_sharding(mesh)
     repl = replicate(mesh)
 
     def put(x):
-        if hasattr(x, "shape") and x.ndim > 0 and x.shape[0] % n == 0:
+        if not (hasattr(x, "shape") and x.ndim > 0):
+            return jax.device_put(x, repl)
+        if x.shape[0] % n == 0:
+            if seq > 1 and x.ndim == 5 and x.shape[1] % seq == 0:
+                return jax.device_put(x, vid)
             return jax.device_put(x, sharding)
         return jax.device_put(x, repl)
 
