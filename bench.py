@@ -17,6 +17,42 @@ import time
 
 A100_BASELINE_IMGS_PER_SEC = {128: 450.0, 256: 110.0}
 
+# GAN: the reference logs 0.114 s/img for the 256px mask-semantic CUT
+# quickstart on an RTX A5000 (docs/source/quickstart_gan.rst:60) = 8.8
+# img/s; an A100 is ~2x an A5000 on this workload -> ~17.5 img/s estimate.
+A100_BASELINE_GAN_IMGS_PER_SEC = {256: 17.5, 128: 70.0}
+
+
+def build_gan(size, batch):
+    import jax
+    import numpy as np
+
+    from joligen_tpu.models import create_model
+    from joligen_tpu.options import TrainOptions
+
+    args = [
+        "--dataroot", "/tmp/none", "--model_type", "cut",
+        "--data_dataset_mode", "unaligned_labeled_mask",
+        "--data_crop_size", str(size), "--data_load_size", str(size),
+        "--G_netG", "mobile_resnet_attn", "--G_ngf", "64",
+        "--G_nblocks", "9",
+        "--D_netDs", "projected_d", "basic",
+        "--train_semantic_mask", "--f_s_semantic_nclasses", "2",
+        "--train_batch_size", str(batch), "--train_G_ema",
+        "--checkpoints_dir", "/tmp/bench_ckpt", "--name", "bench_gan",
+    ]
+    opt = TrainOptions().parse_cli(args)
+    opt.steps_per_epoch = 1000
+    model = create_model(opt)
+    b = batch * jax.device_count()
+    rng = np.random.RandomState(0)
+    batch_np = {
+        "A": rng.randn(b, size, size, 3).astype(np.float32),
+        "B": rng.randn(b, size, size, 3).astype(np.float32),
+        "A_label_mask": rng.randint(0, 2, (b, size, size, 1)).astype(np.int32),
+    }
+    return model, batch_np, b
+
 
 def build(size, ngf, batch, smoke=False, remat=False):
     import jax
@@ -79,6 +115,11 @@ def main():
     ap.add_argument("--steps", type=int, default=12)
     ap.add_argument("--mode", choices=["train", "sample"], default="train",
                     help="train throughput (default) or DDIM sampling rate")
+    ap.add_argument("--workload", choices=["palette", "gan"],
+                    default="palette",
+                    help="palette DDPM north star (default) or the 256px "
+                         "mask-semantic CUT GAN (reference quickstart_gan "
+                         "headline: 0.114 s/img on an A5000)")
     ap.add_argument("--ddim_steps", type=int, default=10)
     ap.add_argument("--remat", action="store_true",
                     help="rematerialize ResBlocks (fits larger batches)")
@@ -89,8 +130,15 @@ def main():
     if a.smoke:
         a.size, a.steps = 32, 3
 
-    candidates = [a.batch] if a.batch else ([16] if a.smoke
-                                            else [40, 32, 16])
+    if a.batch:
+        candidates = [a.batch]
+    elif a.smoke:
+        candidates = [16]
+    elif a.workload == "gan":
+        candidates = [8, 4]   # G+F+2D+f_s states: batch 12 misses HBM by
+        # 18M at 256px; 10 pads WORSE than 12 (non-power-of-two tiling)
+    else:
+        candidates = [40, 32, 16]
     for i, batch in enumerate(candidates):
         try:
             _measure(a, batch)
@@ -106,6 +154,9 @@ def main():
 
 def _measure(a, batch):
     import jax
+
+    if a.workload == "gan":
+        return _measure_gan(a, batch)
 
     model, batch_np, global_batch = build(a.size, a.ngf, batch,
                                           smoke=a.smoke, remat=a.remat)
@@ -181,6 +232,44 @@ def _measure(a, batch):
         "unit": "img/s/chip",
         "vs_baseline": round(
             per_chip / A100_BASELINE_IMGS_PER_SEC.get(a.size, 110.0), 3),
+    }))
+
+
+def _measure_gan(a, batch):
+    """Steady-state CUT training throughput with pre-staged device batches
+    (G+F+D+f_s groups in one jitted step each call)."""
+    import jax
+    import numpy as np
+
+    model, batch_np, global_batch = build_gan(a.size, batch)
+    rng = np.random.RandomState(0)
+    pool = []
+    for _ in range(4):
+        b = {k: (np.roll(v, rng.randint(1, 4), axis=0)
+                 if hasattr(v, "ndim") else v)
+             for k, v in batch_np.items()}
+        pool.append(model.prepare_batch(b))
+    jax.block_until_ready(pool)
+
+    def step(i):
+        model.optimize_prepared(pool[i % len(pool)])
+
+    for i in range(3):
+        step(i)
+    jax.block_until_ready(model.states["G_A"].params)
+    best_dt = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        for i in range(a.steps):
+            step(i)
+        jax.block_until_ready(model.states["G_A"].params)
+        best_dt = min(best_dt, time.perf_counter() - t0)
+    per_chip = global_batch * a.steps / best_dt / jax.device_count()
+    print(json.dumps({
+        "metric": f"cut_gan_train_images_per_sec_per_chip_{a.size}px",
+        "value": round(per_chip, 2), "unit": "img/s/chip",
+        "vs_baseline": round(
+            per_chip / A100_BASELINE_GAN_IMGS_PER_SEC.get(a.size, 17.5), 3),
     }))
 
 
