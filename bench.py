@@ -215,8 +215,7 @@ def _measure(a, batch):
     # tpu_prefetch): a pipelined trainer overlaps the host->device copy of
     # step N+1 with the compute of step N, so steady-state throughput is
     # set by device compute, not by the (tunnel-dominated here) per-step
-    # upload latency. Measured on this setup: 4.6 ms/step device compute
-    # vs ~29 ms when each step re-uploads its batch synchronously.
+    # upload latency.
     from joligen_tpu.parallel.mesh import quantize_batch
     import numpy as np
     rng = np.random.RandomState(0)

@@ -249,7 +249,7 @@ class PaletteModel(BaseModel):
     def prepare_batch(self, batch):
         """Host work + device upload, separable from the step so train.py
         can overlap the transfer of batch N+1 with the compute of batch N
-        (the tunnel/PCIe upload otherwise serializes with the 4.6 ms step)."""
+        (the upload otherwise serializes with the device step)."""
         inp = self.set_input(batch)
         inp = quantize_batch(inp, float_keys=("y_cond", "gt", "ref"),
                              int_keys=("mask",))
