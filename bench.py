@@ -108,10 +108,9 @@ def main():
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--ngf", type=int, default=64)
     ap.add_argument("--batch", type=int, default=0,
-                    help="per-chip batch; 0 = auto (largest of 40/32/16 "
-                         "that fits HBM — 40 measures 7100 img/s on the "
-                         "16G chip vs 2713 at 16: per-step dispatch "
-                         "overhead amortizes with batch)")
+                    help="per-chip batch; 0 = auto (16 with backoff — the "
+                         "step is bandwidth-bound, larger batches don't "
+                         "help and only add memory pressure)")
     ap.add_argument("--steps", type=int, default=12)
     ap.add_argument("--mode", choices=["train", "sample"], default="train",
                     help="train throughput (default) or DDIM sampling rate")
