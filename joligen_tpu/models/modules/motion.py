@@ -80,11 +80,11 @@ class TemporalTransformerBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         for i in range(self.num_attention_blocks):
-            h = nn.LayerNorm(dtype=jnp.float32, name=f"norm{i}")(x)
+            h = nn.LayerNorm(dtype=self.dtype, name=f"norm{i}")(x)
             x = x + TemporalSelfAttention(
                 self.num_heads, max_len=self.max_len, dtype=self.dtype,
                 name=f"attn{i}")(h)
-        h = nn.LayerNorm(dtype=jnp.float32, name="norm_ff")(x)
+        h = nn.LayerNorm(dtype=self.dtype, name="norm_ff")(x)
         h = GEGLU(x.shape[-1] * 4, dtype=self.dtype, name="ff_geglu")(h)
         x = x + nn.Dense(x.shape[-1], dtype=self.dtype, name="ff_out")(h)
         return x
@@ -108,9 +108,9 @@ class MotionModule(nn.Module):
         while c % groups:
             groups -= 1
         res = x
-        y = nn.GroupNorm(num_groups=groups, epsilon=1e-6, dtype=jnp.float32,
-                         name="norm")(x.reshape(b * f, h, w, c).astype(jnp.float32))
-        y = y.astype(self.dtype)
+        y = nn.GroupNorm(num_groups=groups, epsilon=1e-6, dtype=self.dtype,
+                         name="norm")(
+            x.reshape(b * f, h, w, c).astype(self.dtype))
         y = nn.Dense(c, dtype=self.dtype, name="proj_in")(y)
         # (B,F,H,W,C) -> (B*H*W, F, C) temporal sequences
         y = y.reshape(b, f, h * w, c).transpose(0, 2, 1, 3).reshape(b * h * w, f, c)

@@ -54,8 +54,10 @@ class TokenMotionModule(nn.Module):
     def __call__(self, x):
         b, f, t, d = x.shape
         res = x
-        y = nn.LayerNorm(dtype=jnp.float32, name="norm")(x)
-        y = nn.Dense(d, dtype=self.dtype, name="proj_in")(y.astype(self.dtype))
+        # fp32 statistics, compute-dtype IO (flax accumulates stats in
+        # fp32 regardless; see unet_mha.GroupNorm32)
+        y = nn.LayerNorm(dtype=self.dtype, name="norm")(x.astype(self.dtype))
+        y = nn.Dense(d, dtype=self.dtype, name="proj_in")(y)
         y = y.transpose(0, 2, 1, 3).reshape(b * t, f, d)
         for i in range(self.num_layers):
             y = TemporalTransformerBlock(self.num_heads, max_len=self.max_len,
@@ -79,8 +81,8 @@ class GlobalContextEncoder(nn.Module):
         for i, ch in enumerate((64, 128, 256, 256)):
             h = nn.Conv(ch, (3, 3), strides=2, padding=1, dtype=self.dtype,
                         name=f"conv{i}")(h)
-            h = nn.GroupNorm(num_groups=min(32, ch), dtype=jnp.float32,
-                             name=f"gn{i}")(h.astype(jnp.float32)).astype(self.dtype)
+            h = nn.GroupNorm(num_groups=min(32, ch), dtype=self.dtype,
+                             name=f"gn{i}")(h)
             h = nn.silu(h)
         h = jnp.mean(h, axis=(1, 2))
         h = nn.Dense(self.hidden_size, dtype=self.dtype, name="proj0")(h)
