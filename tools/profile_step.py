@@ -1,0 +1,111 @@
+"""Roofline introspection for the headline bench step.
+
+Compiles the palette DDPM train step (same construction as bench.py) and
+prints XLA's own cost model for it: FLOPs, bytes accessed, and the
+compiled memory footprint. This separates "we are bandwidth-bound" from
+"XLA materializes more than it should" without guessing from first
+principles.
+
+Usage:
+    python tools/profile_step.py [--size 256] [--batch 16] [--ngf 64]
+        [--trace DIR]   # also capture a jax.profiler device trace
+
+The cost analysis is compile-only (no step execution), so it is safe to
+run on the shared tunnel chip; --trace executes ~5 steps.
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--ngf", type=int, default=64)
+    ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--trace", default=None,
+                    help="directory for a jax.profiler trace (executes steps)")
+    a = ap.parse_args()
+
+    import jax
+    from bench import build
+
+    model, batch_np, _ = build(a.size, a.ngf, a.batch, remat=a.remat)
+    from joligen_tpu.parallel.mesh import quantize_batch
+    inp = model.set_input(batch_np)
+    inp = quantize_batch(inp, float_keys=("y_cond", "gt", "ref"),
+                         int_keys=("mask",))
+    dev = model.put_batch(inp)
+    if model._jit_train_step is None:
+        model._jit_train_step = model._make_train_step()
+
+    args = (model.states["G_A"], model.next_rng(), dev["y_cond"], dev["gt"],
+            dev.get("mask"), dev.get("cls"), dev.get("ref"))
+
+    t0 = time.time()
+    lowered = model._jit_train_step.lower(*args)
+    compiled = lowered.compile()
+    print(f"# compile: {time.time() - t0:.1f}s", file=sys.stderr)
+
+    cost = compiled.cost_analysis()
+    if isinstance(cost, (list, tuple)):
+        cost = cost[0]
+    mem = compiled.memory_analysis()
+
+    flops = cost.get("flops", 0.0)
+    btes = cost.get("bytes accessed", 0.0)
+    out = {
+        "flops_per_step": flops,
+        "tflops_per_step": round(flops / 1e12, 2),
+        "bytes_accessed_per_step_GB": round(btes / 1e9, 2),
+        "arithmetic_intensity_flops_per_byte": round(flops / max(btes, 1), 1),
+        # v5e: 197 TF/s bf16, 819 GB/s HBM
+        "ideal_ms_compute_v5e": round(flops / 197e12 * 1e3, 1),
+        "ideal_ms_bandwidth_v5e": round(btes / 819e9 * 1e3, 1),
+    }
+    for k in ("bytes accessed output", "transcendentals", "optimal_seconds"):
+        if k in cost:
+            out[k.replace(" ", "_")] = cost[k]
+    if mem is not None:
+        out["memory"] = {
+            "argument_MB": round(mem.argument_size_in_bytes / 1e6, 1),
+            "output_MB": round(mem.output_size_in_bytes / 1e6, 1),
+            "temp_MB": round(mem.temp_size_in_bytes / 1e6, 1),
+            "code_MB": round(mem.generated_code_size_in_bytes / 1e6, 1),
+        }
+    print(json.dumps(out, indent=2))
+
+    # per-category bytes: every other cost_analysis key (XLA emits
+    # "bytes accessed operand k {}" style entries per op category)
+    extra = {k: v for k, v in sorted(cost.items())
+             if k not in ("flops", "bytes accessed") and v and v > 1e8}
+    if extra:
+        print("# large cost entries:")
+        for k, v in extra.items():
+            print(f"#   {k}: {v:.3e}")
+
+    if a.trace:
+        import numpy as np
+        def drain():
+            return float(np.asarray(jax.device_get(
+                list(model.loss_log.values())[0])))
+        def step():
+            model.states["G_A"], model.loss_log = model._jit_train_step(
+                model.states["G_A"], model.next_rng(), dev["y_cond"],
+                dev["gt"], dev.get("mask"), dev.get("cls"), dev.get("ref"))
+        step(); drain()   # warm
+        with jax.profiler.trace(a.trace):
+            for _ in range(5):
+                step()
+            drain()
+        print(f"# trace written to {a.trace}")
+
+
+if __name__ == "__main__":
+    main()
