@@ -47,18 +47,18 @@ class NLayerDiscriminator(nn.Module):
             if self.antialias:
                 h = nn.Conv(self.ndf * mult, (kw, kw), strides=1,
                             padding=padw, dtype=self.dtype)(h)
-                h = make_norm(self.norm)(h)
+                h = make_norm(self.norm, self.dtype)(h)
                 h = nn.leaky_relu(h, 0.2)
                 h = blur_pool(h)
             else:
                 h = nn.Conv(self.ndf * mult, (kw, kw), strides=2,
                             padding=padw, dtype=self.dtype)(h)
-                h = make_norm(self.norm)(h)
+                h = make_norm(self.norm, self.dtype)(h)
                 h = nn.leaky_relu(h, 0.2)
         mult = min(2 ** self.n_layers, 8)
         h = nn.Conv(self.ndf * mult, (kw, kw), strides=1, padding=padw,
                     dtype=self.dtype)(h)
-        h = make_norm(self.norm)(h)
+        h = make_norm(self.norm, self.dtype)(h)
         h = nn.leaky_relu(h, 0.2)
         out = nn.Conv(1, (kw, kw), strides=1, padding=padw,
                       dtype=self.dtype)(h)
@@ -80,6 +80,6 @@ class PixelDiscriminator(nn.Module):
         h = nn.Conv(self.ndf, (1, 1), dtype=self.dtype)(x)
         h = nn.leaky_relu(h, 0.2)
         h = nn.Conv(self.ndf * 2, (1, 1), dtype=self.dtype)(h)
-        h = make_norm(self.norm)(h)
+        h = make_norm(self.norm, self.dtype)(h)
         h = nn.leaky_relu(h, 0.2)
         return nn.Conv(1, (1, 1), dtype=self.dtype)(h).astype(jnp.float32)

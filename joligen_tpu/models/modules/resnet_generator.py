@@ -29,25 +29,38 @@ def _pad(x, p, mode="reflect"):
 
 class InstanceNorm(nn.Module):
     """Per-sample, per-channel spatial normalization (torch InstanceNorm2d
-    affine=False default in the reference norm helper)."""
+    affine=False default in the reference norm helper).
+
+    fp32 STATISTICS with compute-dtype IO: the mean/var reductions
+    accumulate in float32 (the upcast fuses into the reduction — nothing
+    fp32 is materialized), while the normalize itself runs in the input
+    dtype. Same policy as the UNet's GroupNorm32 — the fp32-elementwise
+    version materialized f32 tensors at full resolution in forward AND
+    backward and dominated the CUT train step's HBM traffic (BASELINE.md
+    roofline audit)."""
     eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x):
-        orig = x.dtype
+        # E[x^2] - E[x]^2 so both stats are pure reductions over the bf16
+        # input (jnp.var's (x - mean) subtract materializes a full fp32
+        # tensor; this form keeps fp32 to the accumulators only)
         x32 = x.astype(jnp.float32)
         mean = x32.mean(axis=(1, 2), keepdims=True)
-        var = x32.var(axis=(1, 2), keepdims=True)
-        return ((x32 - mean) * jax.lax.rsqrt(var + self.eps)).astype(orig)
+        mean2 = (x32 * x32).mean(axis=(1, 2), keepdims=True)
+        var = jnp.maximum(mean2 - mean * mean, 0.0)
+        scale = jax.lax.rsqrt(var + self.eps).astype(x.dtype)
+        return (x - mean.astype(x.dtype)) * scale
 
 
-def make_norm(kind):
+def make_norm(kind, dtype=None):
     if kind == "instance":
         return InstanceNorm()
     if kind == "batch":
         # batch stats are replaced by group stats on TPU (no SyncBN needed;
-        # SURVEY.md §2.7 — prefer group/instance norm over cross-device BN)
-        return nn.GroupNorm(num_groups=None, group_size=1)
+        # SURVEY.md §2.7 — prefer group/instance norm over cross-device BN).
+        # dtype: stats stay fp32 inside flax; IO in the compute dtype.
+        return nn.GroupNorm(num_groups=None, group_size=1, dtype=dtype)
     return lambda x: x
 
 
@@ -84,7 +97,7 @@ class ResnetBlock(nn.Module):
         h = Conv(self.dim, name="conv1")(h) if self.mobile else \
             nn.Conv(self.dim, (3, 3), padding="VALID", dtype=self.dtype,
                     name="conv1")(h)
-        h = make_norm(self.norm)(h)
+        h = make_norm(self.norm, self.dtype)(h)
         h = nn.relu(h)
         if self.dropout > 0:
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
@@ -92,7 +105,7 @@ class ResnetBlock(nn.Module):
         h = Conv(self.dim, name="conv2")(h) if self.mobile else \
             nn.Conv(self.dim, (3, 3), padding="VALID", dtype=self.dtype,
                     name="conv2")(h)
-        h = make_norm(self.norm)(h)
+        h = make_norm(self.norm, self.dtype)(h)
         return x + h
 
 
@@ -118,14 +131,14 @@ class ResnetEncoder(nn.Module):
         h = _pad(x, 3, self.padding_type)
         h = nn.Conv(self.ngf, (7, 7), padding="VALID", dtype=self.dtype,
                     name="stem")(h)
-        h = make_norm(self.norm)(h)
+        h = make_norm(self.norm, self.dtype)(h)
         h = tap(nn.relu(h))
         mult = 1
         for i in range(self.n_downsampling):
             mult *= 2
             h = nn.Conv(self.ngf * mult, (3, 3), strides=2, padding=1,
                         dtype=self.dtype, name=f"down{i}")(h)
-            h = make_norm(self.norm)(h)
+            h = make_norm(self.norm, self.dtype)(h)
             h = tap(nn.relu(h))
         for i in range(self.n_blocks):
             h = ResnetBlock(self.ngf * mult, self.norm, self.padding_type,
@@ -151,11 +164,11 @@ class ResnetDecoder(nn.Module):
     def __call__(self, h):
         mult = 2 ** self.n_downsampling
         for i in range(self.n_downsampling):
-            n, hh, ww, c = h.shape
-            h = jax.image.resize(h, (n, hh * 2, ww * 2, c), method="nearest")
+            from ...ops.resize import nearest_up2
+            h = nearest_up2(h)
             h = nn.Conv(self.ngf * mult // (2 ** (i + 1)), (3, 3), padding=1,
                         dtype=self.dtype, name=f"up{i}")(h)
-            h = make_norm(self.norm)(h)
+            h = make_norm(self.norm, self.dtype)(h)
             h = nn.relu(h)
         h = _pad(h, 3, self.padding_type)
         h = nn.Conv(self.out_channels, (7, 7), padding="VALID",

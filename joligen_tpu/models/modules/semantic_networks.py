@@ -47,7 +47,8 @@ class UNetSegmenter(nn.Module):
         f = self.nf
         for i in range(3):
             h = nn.Conv(f, (3, 3), padding=1, dtype=self.dtype)(h)
-            h = nn.GroupNorm(num_groups=8, dtype=jnp.float32)(h).astype(self.dtype)
+            # stats stay fp32 inside flax; IO in the compute dtype
+            h = nn.GroupNorm(num_groups=8, dtype=self.dtype)(h)
             h = nn.relu(h)
             skips.append(h)
             h = nn.avg_pool(h, (2, 2), strides=(2, 2))
@@ -56,8 +57,8 @@ class UNetSegmenter(nn.Module):
         h = nn.relu(h)
         for i in range(3):
             f //= 2
-            n, hh, ww, c = h.shape
-            h = jax.image.resize(h, (n, hh * 2, ww * 2, c), method="nearest")
+            from ...ops.resize import nearest_up2
+            h = nearest_up2(h)
             h = nn.Conv(f, (3, 3), padding=1, dtype=self.dtype)(h)
             h = nn.relu(h)
             h = jnp.concatenate([h, skips.pop()], axis=-1)
@@ -292,6 +293,11 @@ def load_vgg_fcn8s_trunk(params, node_name="f_s"):
     return walk(params)
 
 
+def _dtype(opt):
+    import jax.numpy as jnp
+    return jnp.bfloat16 if getattr(opt, "tpu_bf16", True) else jnp.float32
+
+
 def define_C(opt):
     """C factory (reference semantic_networks.py:19-43): 'basic' CNN or a
     torchvision-template ResNet classifier."""
@@ -305,7 +311,7 @@ def define_C(opt):
         return ResNetTemplate(nclasses=opt.cls_semantic_nclasses,
                               variant=template)
     return Classifier(nclasses=opt.cls_semantic_nclasses, nf=opt.cls_nf,
-                      img_size=opt.data_crop_size)
+                      img_size=opt.data_crop_size, dtype=_dtype(opt))
 
 
 def define_f(opt):
@@ -315,7 +321,8 @@ def define_f(opt):
     net = getattr(opt, "f_s_net", "unet") or "unet"
     if net == "segformer":
         from .segformer import SegformerSegmenter
-        return SegformerSegmenter(num_classes=opt.f_s_semantic_nclasses)
+        return SegformerSegmenter(num_classes=opt.f_s_semantic_nclasses,
+                                  dtype=_dtype(opt))
     if net == "sam":
         # frozen SAM as the segmenter: replaces the GT label mask with its
         # box-prompted prediction (reference base_model.py:1522-1560); the
@@ -331,5 +338,7 @@ def define_f(opt):
         _, cfg = load_sam_params(path)
         return SamSegmenter(cfg)
     if net == "vgg":
-        return VGG16FCN8s(nclasses=opt.f_s_semantic_nclasses)
-    return UNetSegmenter(nclasses=opt.f_s_semantic_nclasses, nf=opt.f_s_nf)
+        return VGG16FCN8s(nclasses=opt.f_s_semantic_nclasses,
+                          dtype=_dtype(opt))
+    return UNetSegmenter(nclasses=opt.f_s_semantic_nclasses, nf=opt.f_s_nf,
+                         dtype=_dtype(opt))

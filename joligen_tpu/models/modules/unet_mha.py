@@ -60,8 +60,8 @@ class Upsample(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        n, h, w, c = x.shape
-        x = jax.image.resize(x, (n, h * 2, w * 2, c), method="nearest")
+        from ...ops.resize import nearest_up2
+        x = nearest_up2(x)
         if self.use_conv:
             x = nn.Conv(self.out_channel, (3, 3), padding=1, dtype=self.dtype)(x)
         return x
@@ -97,9 +97,9 @@ class ResBlock(nn.Module):
         h = nn.silu(h)
 
         if self.up:
-            n, hh, ww, c = h.shape
-            h = jax.image.resize(h, (n, hh * 2, ww * 2, c), method="nearest")
-            x = jax.image.resize(x, (n, hh * 2, ww * 2, c), method="nearest")
+            from ...ops.resize import nearest_up2
+            h = nearest_up2(h)
+            x = nearest_up2(x)
         elif self.down:
             h = nn.avg_pool(h, (2, 2), strides=(2, 2))
             x = nn.avg_pool(x, (2, 2), strides=(2, 2))

@@ -29,28 +29,58 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--ngf", type=int, default=64)
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--workload", choices=["palette", "gan", "sample"],
+                    default="palette")
+    ap.add_argument("--ddim_steps", type=int, default=10)
     ap.add_argument("--trace", default=None,
                     help="directory for a jax.profiler trace (executes steps)")
     a = ap.parse_args()
 
     import jax
-    from bench import build
+    from bench import build, build_gan
 
-    model, batch_np, _ = build(a.size, a.ngf, a.batch, remat=a.remat)
-    from joligen_tpu.parallel.mesh import quantize_batch
-    inp = model.set_input(batch_np)
-    inp = quantize_batch(inp, float_keys=("y_cond", "gt", "ref"),
-                         int_keys=("mask",))
-    dev = model.put_batch(inp)
-    if model._jit_train_step is None:
-        model._jit_train_step = model._make_train_step()
+    if a.workload == "gan":
+        model, batch_np, _ = build_gan(a.size, a.batch)
+        dev = model.prepare_batch(batch_np)
+        if model._jit_step is None:
+            model._jit_step = model._make_step()
+        args = (model.states, model.pool, model.apa_p, model.next_rng(), dev)
+        t0 = time.time()
+        compiled = model._jit_step.lower(*args).compile()
+    elif a.workload == "sample":
+        model, batch_np, _ = build(a.size, a.ngf, a.batch, remat=a.remat)
+        model.inference(batch_np, sampling_method="ddim",
+                        num_steps=a.ddim_steps, output_uint8=True)
+        key = next(iter(model._jit_sample))
+        fn = model._jit_sample[key]
+        from joligen_tpu.parallel.mesh import quantize_batch
+        inp = quantize_batch(model.set_input(batch_np),
+                             float_keys=("y_cond", "gt", "ref"),
+                             int_keys=("mask",))
+        dev = model.put_batch(inp)
+        state = model.states["G_A"]
+        params = (state.ema_params if state.ema_params is not None
+                  else state.params)
+        args = (params, model.next_rng(), dev["y_cond"], dev["gt"],
+                dev.get("mask"), dev.get("cls"), dev.get("ref"))
+        t0 = time.time()
+        compiled = fn.lower(*args).compile()
+    else:
+        model, batch_np, _ = build(a.size, a.ngf, a.batch, remat=a.remat)
+        from joligen_tpu.parallel.mesh import quantize_batch
+        inp = model.set_input(batch_np)
+        inp = quantize_batch(inp, float_keys=("y_cond", "gt", "ref"),
+                             int_keys=("mask",))
+        dev = model.put_batch(inp)
+        if model._jit_train_step is None:
+            model._jit_train_step = model._make_train_step()
 
-    args = (model.states["G_A"], model.next_rng(), dev["y_cond"], dev["gt"],
-            dev.get("mask"), dev.get("cls"), dev.get("ref"))
+        args = (model.states["G_A"], model.next_rng(), dev["y_cond"],
+                dev["gt"], dev.get("mask"), dev.get("cls"), dev.get("ref"))
 
-    t0 = time.time()
-    lowered = model._jit_train_step.lower(*args)
-    compiled = lowered.compile()
+        t0 = time.time()
+        lowered = model._jit_train_step.lower(*args)
+        compiled = lowered.compile()
     print(f"# compile: {time.time() - t0:.1f}s", file=sys.stderr)
 
     cost = compiled.cost_analysis()
@@ -90,7 +120,7 @@ def main():
         for k, v in extra.items():
             print(f"#   {k}: {v:.3e}")
 
-    if a.trace:
+    if a.trace and a.workload == "palette":
         import numpy as np
         def drain():
             return float(np.asarray(jax.device_get(
