@@ -20,11 +20,70 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
+import functools
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
 def _pad(x, p, mode="reflect"):
+    """Spatial pad with a hand-written transpose.
+
+    jnp.pad(mode="reflect") forward lowers fine, but its autodiff
+    transpose (differentiating through concat+flip+slice) emitted ~19
+    unfused full-tensor slice/pad/add instructions per ResnetBlock in the
+    CUT train step's HLO (BASELINE.md GAN-step audit). The custom VJP
+    folds each border back in one fused pad+add pass per axis and keeps
+    the cotangent in the input dtype."""
     if p == 0:
         return x
-    mode = {"reflect": "reflect", "replicate": "edge", "zeros": "constant"}[mode]
-    return jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)), mode=mode)
+    m = {"reflect": "reflect", "replicate": "edge", "zeros": "constant"}[mode]
+    return jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)), mode=m)
+
+
+def _pad_fwd(x, p, mode):
+    # zero-sized residual only carries the input dtype for the cotangent
+    return _pad(x, p, mode), jnp.zeros((0,), x.dtype)
+
+
+def _fold_axis(ct, p, n, axis, mode):
+    """Fold the two p-wide borders of `ct` back onto the interior along
+    `axis` (length n interior). Returns the interior-sized array."""
+    sl = [slice(None)] * ct.ndim
+    sl[axis] = slice(p, n + p)
+    t = ct[tuple(sl)]
+    lo = [slice(None)] * ct.ndim
+    lo[axis] = slice(0, p)
+    hi = [slice(None)] * ct.ndim
+    hi[axis] = slice(n + p, n + 2 * p)
+    pad_cfg = [(0, 0)] * ct.ndim
+    if mode == "reflect":
+        # out row j (j<p) reads in row p-j; out row n+p+j reads n-2-j
+        a = jnp.flip(ct[tuple(lo)], axis)
+        pad_cfg[axis] = (1, n - p - 1)
+        t = t + jnp.pad(a, pad_cfg)
+        b = jnp.flip(ct[tuple(hi)], axis)
+        pad_cfg[axis] = (n - p - 1, 1)
+        t = t + jnp.pad(b, pad_cfg)
+    elif mode == "edge":
+        a = ct[tuple(lo)].sum(axis, keepdims=True)
+        pad_cfg[axis] = (0, n - 1)
+        t = t + jnp.pad(a, pad_cfg)
+        b = ct[tuple(hi)].sum(axis, keepdims=True)
+        pad_cfg[axis] = (n - 1, 0)
+        t = t + jnp.pad(b, pad_cfg)
+    return t
+
+
+def _pad_bwd(p, mode, res, ct):
+    ct = ct.astype(res.dtype)
+    if p == 0:
+        return (ct,)
+    m = {"reflect": "reflect", "replicate": "edge", "zeros": "constant"}[mode]
+    t = _fold_axis(ct, p, ct.shape[1] - 2 * p, 1, m)
+    dx = _fold_axis(t, p, ct.shape[2] - 2 * p, 2, m)
+    return (dx,)
+
+
+_pad.defvjp(_pad_fwd, _pad_bwd)
 
 
 class InstanceNorm(nn.Module):
