@@ -149,11 +149,9 @@ class ResnetBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic=True):
-        Conv = SeparableConv if self.mobile else (
-            lambda features, name: nn.Conv(features, (3, 3), padding="VALID",
-                                           dtype=self.dtype, name=name))
         h = _pad(x, 1, self.padding_type)
-        h = Conv(self.dim, name="conv1")(h) if self.mobile else \
+        h = SeparableConv(self.dim, dtype=self.dtype, name="conv1")(h) \
+            if self.mobile else \
             nn.Conv(self.dim, (3, 3), padding="VALID", dtype=self.dtype,
                     name="conv1")(h)
         h = make_norm(self.norm, self.dtype)(h)
@@ -161,7 +159,8 @@ class ResnetBlock(nn.Module):
         if self.dropout > 0:
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = _pad(h, 1, self.padding_type)
-        h = Conv(self.dim, name="conv2")(h) if self.mobile else \
+        h = SeparableConv(self.dim, dtype=self.dtype, name="conv2")(h) \
+            if self.mobile else \
             nn.Conv(self.dim, (3, 3), padding="VALID", dtype=self.dtype,
                     name="conv2")(h)
         h = make_norm(self.norm, self.dtype)(h)
