@@ -396,3 +396,39 @@ def test_gen_multi_dataset_b2b_config_video_holdout(tmp_path):
     cfg = json.load(open(os.path.join(out, "train_config.json")))
     assert cfg["G_netG"] == "vit_vid"
     assert cfg["data_temporal_number_frames"] == 2
+
+
+def test_profile_step_hlo_ranking_parser():
+    """tools/profile_step.py --hlo ranks ENTRY-level outputs only —
+    fusion-body values never touch HBM and must be excluded (the audit
+    methodology recorded in BASELINE.md)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "profile_step", os.path.join(REPO, "tools", "profile_step.py"))
+    ps = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ps)
+
+    assert ps._shape_bytes("bf16[16,256,256,64]") == 16 * 256 * 256 * 64 * 2
+    assert ps._shape_bytes("(bf16[2,2], f32[4])") == 2 * 2 * 2 + 4 * 4
+    assert ps._shape_bytes("f32[]") == 4  # scalar
+
+    fake = """
+HloModule m
+%fused_computation {
+  %big = f32[999,999,999]{2,1,0} add(...)
+}
+ENTRY %main.1 {
+  %p0 = bf16[16,256,256,64]{3,2,1,0} parameter(0)
+  %conv.1 = bf16[16,256,256,64]{3,2,1,0} convolution(%p0, %p0)
+  ROOT %tup = (bf16[16,128,128,128], f32[32]) tuple(%conv.1, %conv.1)
+}
+"""
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        ps._rank_entry_outputs(fake)
+    out = buf.getvalue()
+    assert "convolution" in out and "999" not in out

@@ -23,6 +23,78 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
+_DTYPE_BYTES = {"f64": 8, "f32": 4, "s32": 4, "u32": 4, "bf16": 2,
+                "f16": 2, "s16": 2, "u16": 2, "s8": 1, "u8": 1, "pred": 1,
+                "f8e4m3fn": 1, "f8e5m2": 1, "s64": 8, "u64": 8}
+
+
+def _shape_bytes(shape_str):
+    """Bytes of an HLO shape string like 'bf16[16,256,256,64]' or a tuple
+    '(bf16[...], f32[...])'. Layout annotations '{...}' must be stripped
+    by the caller's regex already."""
+    import re
+
+    total = 0
+    for dt, dims in re.findall(r"(\w+)\[([\d,]*)\]", shape_str):
+        if dt not in _DTYPE_BYTES:
+            continue
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        total += n * _DTYPE_BYTES[dt]
+    return total
+
+
+def _rank_entry_outputs(text, top=30):
+    """Rank ENTRY-computation instruction outputs by size.
+
+    Only ENTRY-level instruction outputs correspond to HBM buffers — values
+    inside a fusion body stay in VMEM/registers, so counting them would
+    overstate traffic (the mistake the first roofline audit made; see
+    BASELINE.md). Aggregates by opcode and prints the largest individual
+    outputs with their op metadata (source line) when present."""
+    import re
+    from collections import defaultdict
+
+    entry = None
+    for m in re.finditer(r"^ENTRY [^{]+\{$", text, re.M):
+        start = m.end()
+        depth = 1
+        i = start
+        while depth and i < len(text):
+            c = text[i]
+            if c == "{":
+                depth += 1
+            elif c == "}":
+                depth -= 1
+            i += 1
+        entry = text[start:i]
+        break
+    if entry is None:
+        print("# no ENTRY computation found", file=sys.stderr)
+        return
+
+    inst_re = re.compile(
+        r"^\s+(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*(\([^)]*\)|\w+\[[\d,]*\])"
+        r"[^ ]*\s+([\w\-]+)\(", re.M)
+    by_op = defaultdict(lambda: [0, 0])
+    rows = []
+    for name, shape, op in inst_re.findall(entry):
+        b = _shape_bytes(shape)
+        by_op[op][0] += b
+        by_op[op][1] += 1
+        if b > 1 << 20:
+            rows.append((b, name, op, shape))
+
+    print("# ENTRY output bytes by opcode (HBM-resident buffers):")
+    for op, (b, n) in sorted(by_op.items(), key=lambda kv: -kv[1][0])[:20]:
+        print(f"#   {op:<28} {b / 1e9:8.3f} GB  ({n} instrs)")
+    print(f"# top {top} largest ENTRY outputs:")
+    for b, name, op, shape in sorted(rows, reverse=True)[:top]:
+        print(f"#   {b / 1e6:9.1f} MB  {op:<24} {shape:<40} %{name}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=256)
@@ -34,6 +106,11 @@ def main():
     ap.add_argument("--ddim_steps", type=int, default=10)
     ap.add_argument("--trace", default=None,
                     help="directory for a jax.profiler trace (executes steps)")
+    ap.add_argument("--hlo", default=None,
+                    help="write compiled HLO text here and print a ranking "
+                         "of ENTRY-level instruction outputs by bytes (the "
+                         "buffers that actually touch HBM — fusion-internal "
+                         "values never leave VMEM)")
     a = ap.parse_args()
 
     import jax
@@ -119,6 +196,12 @@ def main():
         print("# large cost entries:")
         for k, v in extra.items():
             print(f"#   {k}: {v:.3e}")
+
+    if a.hlo:
+        text = compiled.as_text()
+        Path(a.hlo).write_text(text)
+        print(f"# HLO written to {a.hlo} ({len(text) / 1e6:.1f} MB)")
+        _rank_entry_outputs(text)
 
     if a.trace and a.workload == "palette":
         import numpy as np
