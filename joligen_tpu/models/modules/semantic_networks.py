@@ -71,9 +71,25 @@ class VGG16FCN8s(nn.Module):
     through zero-init score convs, fixed-bilinear transpose-conv upsampling
     with the reference crop offsets 5/9/31). The trunk loads ImageNet
     weights from vgg16_lpips.npz when present (tools/port_vgg16_weights.py),
-    fc6/fc7 head weights from the same file when ported with --with-head."""
+    fc6/fc7 head weights from the same file when ported with --with-head.
+
+    ``pad`` selects the padding scheme; both share ONE param tree, so
+    ported weights and checkpoints are interchangeable between them:
+
+    - "fcn": reference-exact (classifiers.py:123 ``F.pad(x, 99...)``,
+      VALID fc6, crop offsets 5/9/31) — the Caffe-era construction that
+      makes the crop arithmetic work for arbitrary sizes. At 256px input
+      the whole VGG trunk runs at 454x454 = 3.15x the pixels; the GAN-step
+      HLO audit showed those 454x454 buffers dominating HBM traffic.
+    - "same" (the ``--f_s_vgg_pad`` default): TPU-native — no outer pad,
+      SAME-padded fc6, SAME transpose-conv upsamples initialized from the
+      same bilinear kernels, skips fused by cropping the upsample to the
+      skip's size (ceil-mode pools guarantee upsample >= skip). Interior
+      math is identical; only border handling differs, which the trained
+      score convs absorb."""
     nclasses: int
     dtype: jnp.dtype = jnp.float32
+    pad: str = "fcn"
 
     @staticmethod
     def _bilinear_kernel(factor, channels):
@@ -93,7 +109,8 @@ class VGG16FCN8s(nn.Module):
         import jax
         w = self._bilinear_kernel(factor, x.shape[-1])
         return jax.lax.conv_transpose(
-            x, w.astype(x.dtype), strides=(factor, factor), padding="VALID",
+            x, w.astype(x.dtype), strides=(factor, factor),
+            padding="VALID" if self.pad == "fcn" else "SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
     @staticmethod
@@ -104,8 +121,9 @@ class VGG16FCN8s(nn.Module):
     def __call__(self, x):
         import jax
         n, H, W, _ = x.shape
-        h = jnp.pad(x.astype(self.dtype),
-                    ((0, 0), (99, 99), (99, 99), (0, 0)))
+        h = x.astype(self.dtype)
+        if self.pad == "fcn":
+            h = jnp.pad(h, ((0, 0), (99, 99), (99, 99), (0, 0)))
         widths = (64, 128, 256, 512, 512)
         pool3 = pool4 = None
 
@@ -126,8 +144,9 @@ class VGG16FCN8s(nn.Module):
                 pool3 = h
             elif bi == 3:
                 pool4 = h
-        h = nn.Conv(4096, (7, 7), padding="VALID", dtype=self.dtype,
-                    name="fc6")(h)
+        h = nn.Conv(4096, (7, 7),
+                    padding="VALID" if self.pad == "fcn" else "SAME",
+                    dtype=self.dtype, name="fc6")(h)
         h = nn.relu(h)
         h = nn.Conv(4096, (1, 1), dtype=self.dtype, name="fc7")(h)
         h = nn.relu(h)
@@ -138,15 +157,22 @@ class VGG16FCN8s(nn.Module):
                       kernel_init=nn.initializers.zeros,
                       bias_init=nn.initializers.zeros,
                       name="score_pool4")(0.01 * pool4)
-        fuse4 = up2 + self._crop(sp4, up2.shape[1], up2.shape[2], 5)
+        if self.pad == "fcn":
+            fuse4 = up2 + self._crop(sp4, up2.shape[1], up2.shape[2], 5)
+        else:
+            fuse4 = self._crop(up2, sp4.shape[1], sp4.shape[2], 0) + sp4
         up4 = self._upscore(fuse4, 2)
         sp3 = nn.Conv(self.nclasses, (1, 1), dtype=self.dtype,
                       kernel_init=nn.initializers.zeros,
                       bias_init=nn.initializers.zeros,
                       name="score_pool3")(0.0001 * pool3)
-        fuse3 = up4 + self._crop(sp3, up4.shape[1], up4.shape[2], 9)
+        if self.pad == "fcn":
+            fuse3 = up4 + self._crop(sp3, up4.shape[1], up4.shape[2], 9)
+        else:
+            fuse3 = self._crop(up4, sp3.shape[1], sp3.shape[2], 0) + sp3
         up8 = self._upscore(fuse3, 8)
-        return self._crop(up8, H, W, 31).astype(jnp.float32)
+        return self._crop(up8, H, W, 31 if self.pad == "fcn" else 0) \
+            .astype(jnp.float32)
 
 
 class _Affine(nn.Module):
@@ -339,6 +365,7 @@ def define_f(opt):
         return SamSegmenter(cfg)
     if net == "vgg":
         return VGG16FCN8s(nclasses=opt.f_s_semantic_nclasses,
-                          dtype=_dtype(opt))
+                          dtype=_dtype(opt),
+                          pad=getattr(opt, "f_s_vgg_pad", "same") or "same")
     return UNetSegmenter(nclasses=opt.f_s_semantic_nclasses, nf=opt.f_s_nf,
                          dtype=_dtype(opt))

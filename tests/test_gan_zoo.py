@@ -279,3 +279,42 @@ def test_segformer_generator_and_fs(fakeds, tmp_path):
     assert np.isfinite(losses["G_tot"]) and np.isfinite(losses["f_s"])
     out = m.inference(batch)
     assert out.shape == batch["A"].shape
+
+
+def test_vgg_fcn8s_same_pad_mode():
+    """TPU-native f_s_vgg_pad=same: no 99px outer pad (reference
+    classifiers.py:123), SAME fc6, crop-to-skip fusion. Must share the
+    exact param tree with the reference-exact 'fcn' mode (ported weights
+    and checkpoints interchangeable), produce input-sized logits at
+    non-power-of-two sizes, and carry gradients."""
+    import types
+
+    import jax
+    import jax.numpy as jnp
+
+    from joligen_tpu.models.modules.semantic_networks import (VGG16FCN8s,
+                                                              define_f)
+
+    # define_f default is the TPU-native mode
+    opt = types.SimpleNamespace(f_s_net="vgg", f_s_semantic_nclasses=3,
+                                f_s_nf=8)
+    net = define_f(opt)
+    assert net.pad == "same"
+
+    same = VGG16FCN8s(nclasses=2, pad="same")
+    fcn = VGG16FCN8s(nclasses=2, pad="fcn")
+    x32 = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    p_same = same.init(jax.random.PRNGKey(0), x32)
+    p_fcn = fcn.init(jax.random.PRNGKey(0), x32)
+    assert (jax.tree.map(jnp.shape, p_same)
+            == jax.tree.map(jnp.shape, p_fcn))
+
+    # odd, non-pow2 size: ceil pools (7 -> 4), upsample always >= skip
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 50, 50, 3))
+    out = same.apply(p_same, x)
+    assert out.shape == (2, 50, 50, 2)
+    assert out.dtype == jnp.float32
+
+    g = jax.grad(lambda p: jnp.sum(same.apply(p, x) ** 2))(p_same)
+    leaf = g["params"]["b0c0"]["kernel"]
+    assert bool(jnp.any(leaf != 0))
