@@ -193,12 +193,19 @@ def _measure(a, batch):
         best_dt = float("inf")
         for _ in range(3):
             reps = max(3, a.steps // 3)
+            # Depth-2 pipeline, the shape of a real serving queue: call
+            # N+1 is dispatched before call N's images are fetched, so
+            # the (testbed-tunnel-inflated) result transfer overlaps the
+            # next batch's device compute. EVERY output is still fetched
+            # inside the timed window — a host fetch per batch remains
+            # the honest completion barrier; only the ordering changes.
             t0 = time.perf_counter()
-            for _ in range(reps):
-                # fetch every batch: the serving contract delivers the
-                # images, and a host fetch is the only honest completion
-                # barrier through the tunnel
-                np.asarray(jax.device_get(call()))
+            pending = call()
+            for _ in range(reps - 1):
+                nxt = call()
+                np.asarray(jax.device_get(pending))
+                pending = nxt
+            np.asarray(jax.device_get(pending))
             best_dt = min(best_dt,
                           (time.perf_counter() - t0) / reps)
         rate = global_batch / best_dt / jax.device_count()
