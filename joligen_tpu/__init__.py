@@ -18,6 +18,21 @@ def _enable_compilation_cache():
                            os.path.join(os.path.dirname(__file__), "..",
                                         ".jax_cache"))
     try:
+        # key the cache by host CPU features: XLA:CPU AOT artifacts are
+        # machine-specific, and loading another host's entries risks SIGILL
+        # (cpu_aot_loader warnings observed when the repo moves machines)
+        import hashlib
+        import platform
+        tag = platform.machine()
+        try:
+            with open("/proc/cpuinfo") as f:
+                for line in f:
+                    if line.startswith("flags"):
+                        tag += hashlib.md5(line.encode()).hexdigest()[:8]
+                        break
+        except OSError:
+            pass
+        cache = os.path.join(cache, tag)
         import jax
         os.makedirs(cache, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", os.path.abspath(cache))

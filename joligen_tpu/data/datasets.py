@@ -46,6 +46,12 @@ class BaseDataset:
             grayscale=(getattr(opt, "model_input_nc", 3) == 1))
         self.use_domain_B = True
 
+    def _load_img(self, p):
+        # bound image loader so data_image_bits>8 keeps its depth
+        # (reference data/utils.py:4-14, base_dataset.py:92-95)
+        return load_image(self._resolve(p),
+                          int(getattr(self.opt, "data_image_bits", 8) or 8))
+
     def _resolve(self, p):
         if getattr(self.opt, "data_relative_paths", False):
             return os.path.join(self.root, p)
@@ -84,8 +90,8 @@ class UnalignedDataset(BaseDataset):
         pA = self.transform.sample_params()
         pB = self.transform.sample_params()
         return {
-            "A": self.transform.image(load_image(self._resolve(A_path)), pA),
-            "B": self.transform.image(load_image(self._resolve(B_path)), pB),
+            "A": self.transform.image(self._load_img(A_path), pA),
+            "B": self.transform.image(self._load_img(B_path), pB),
             "A_img_paths": A_path,
             "B_img_paths": B_path,
         }
@@ -142,7 +148,7 @@ class UnalignedLabeledMaskDataset(BaseDataset, _LabeledPathsMixin):
                 B_cls=None):
         p = self.transform.sample_params()
         out = {
-            "A": self.transform.image(load_image(self._resolve(A_path)), p),
+            "A": self.transform.image(self._load_img(A_path), p),
             "A_img_paths": A_path,
             "A_label_cls": np.int32(A_cls or 0),
         }
@@ -151,7 +157,7 @@ class UnalignedLabeledMaskDataset(BaseDataset, _LabeledPathsMixin):
                 load_mask(self._resolve(A_mask_path)), p)
         if B_path is not None:
             pB = self.transform.sample_params()
-            out["B"] = self.transform.image(load_image(self._resolve(B_path)), pB)
+            out["B"] = self.transform.image(self._load_img(B_path), pB)
             out["B_img_paths"] = B_path
             out["B_label_cls"] = np.int32(B_cls or 0)
             if B_mask_path:
@@ -201,6 +207,10 @@ class SelfSupervisedLabeledMaskDataset(UnalignedLabeledMaskDataset):
         if getattr(self.opt, "data_online_creation_rand_mask_A", True):
             noised = fill_mask_with_random(img, mask, -1)
         else:
+            # color fill otherwise (reference
+            # self_supervised_*_dataset.py:45-53 raises when NEITHER flag is
+            # set; defaulting to the color fill keeps default configs
+            # trainable instead of failing every sample)
             noised = fill_mask_with_color(img, mask)
         out.update({
             "A": noised,
@@ -250,10 +260,19 @@ class _OnlineMixin:
             output_dim=opt.data_crop_size,
             context_pixels=getattr(opt, "data_online_context_pixels", 0),
             load_size=getattr(opt, f"data_online_creation_load_size_{domain}", []),
+            load_size_keep_ratio=getattr(
+                opt, f"data_online_creation_load_size_keep_ratio_{domain}", False),
             select_cat=getattr(opt, "data_online_select_category", -1),
             fixed_mask_size=getattr(opt, "data_online_fixed_mask_size", -1),
+            fixed_mask_size_model=getattr(
+                opt, f"data_online_creation_mask_fixed_size_{domain}", -1),
+            fixed_mask_min_unmasked_border_model=getattr(
+                opt, f"data_online_creation_mask_min_unmasked_border_{domain}", 4),
             inverted_mask=getattr(opt, "data_inverted_mask", False),
             single_bbox=getattr(opt, "data_online_single_bbox", False),
+            random_bbox=getattr(opt, "data_online_random_bbox", False),
+            broaden_rect_aug=getattr(
+                opt, f"data_online_creation_mask_broaden_rect_aug_{domain}", False),
             rotation_state=rotation_state,
         )
         if getattr(opt, "data_refined_mask", False):
@@ -261,6 +280,9 @@ class _OnlineMixin:
             # base_diffusion_model.py:265-271); no-op without sam_vit.npz
             from ..utils.mask_generation import refine_mask_with_sam
             mask = refine_mask_with_sam(crop, mask)
+        if getattr(opt, "f_s_all_classes_as_one", False):
+            # reference unaligned_labeled_mask_online_dataset.py:146
+            mask = (mask > 0).astype(np.int32)
         return crop, mask, ref_bbox, cat
 
 
@@ -321,6 +343,10 @@ class SelfSupervisedLabeledMaskOnlineDataset(UnalignedLabeledMaskOnlineDataset):
         if getattr(self.opt, "data_online_creation_rand_mask_A", True):
             noised = fill_mask_with_random(img, mask, -1)
         else:
+            # color fill otherwise (reference
+            # self_supervised_*_dataset.py:45-53 raises when NEITHER flag is
+            # set; defaulting to the color fill keeps default configs
+            # trainable instead of failing every sample)
             noised = fill_mask_with_color(img, mask)
         out.update({"A": noised, "B": img, "B_img_paths": out["A_img_paths"],
                     "B_label_mask": mask.copy(), "B_label_cls": out["A_label_cls"],
@@ -347,7 +373,7 @@ class UnalignedLabeledMaskRefDataset(UnalignedLabeledMaskDataset):
     def _load_ref(self, img_path):
         ref_path = self.A_img_ref[img_path]
         from PIL import Image
-        ref = load_image(self._resolve(ref_path))
+        ref = self._load_img(ref_path)
         ref = ref_resize(ref, self.ref_size)
         return ref
 
@@ -382,7 +408,7 @@ class UnalignedLabeledMaskOnlineRefDataset(UnalignedLabeledMaskOnlineDataset):
             return None
         try:
             ref_path = self.A_img_ref[out["A_img_paths"]]
-            out["ref_A"] = ref_resize(load_image(self._resolve(ref_path)),
+            out["ref_A"] = ref_resize(self._load_img(ref_path),
                                       self.ref_size)
         except Exception as e:
             print(f"ref load failure {out['A_img_paths']}: {e}")
@@ -408,7 +434,7 @@ class SelfSupervisedLabeledMaskRefDataset(SelfSupervisedLabeledMaskDataset):
             return None
         try:
             ref_path = self.A_img_ref[out["A_img_paths"]]
-            out["ref_A"] = ref_resize(load_image(self._resolve(ref_path)),
+            out["ref_A"] = ref_resize(self._load_img(ref_path),
                                       self.ref_size)
         except Exception as e:
             print(f"ref load failure {out['A_img_paths']}: {e}")
@@ -434,7 +460,7 @@ class SelfSupervisedLabeledMaskOnlineRefDataset(
             return None
         try:
             ref_path = self.A_img_ref[out["A_img_paths"]]
-            out["ref_A"] = ref_resize(load_image(self._resolve(ref_path)),
+            out["ref_A"] = ref_resize(self._load_img(ref_path),
                                       self.ref_size)
         except Exception as e:
             print(f"ref load failure {out['A_img_paths']}: {e}")
@@ -477,7 +503,7 @@ class ColorizationDataset(BaseDataset):
         import cv2
         p = self.transform.sample_params()
         rgb = self.transform.image(
-            load_image(self._resolve(self.A_img_paths[index % self.A_size])), p)
+            self._load_img(self.A_img_paths[index % self.A_size]), p)
         u8 = ((rgb + 1.0) * 127.5).clip(0, 255).astype(np.uint8)
         lab = cv2.cvtColor(u8, cv2.COLOR_RGB2LAB).astype(np.float32)
         L = lab[:, :, :1] / 127.5 - 1.0             # L in [0,255] for cv2 8U
@@ -501,7 +527,7 @@ class NupletUnalignedLabeledMaskDataset(UnalignedLabeledMaskDataset):
             j = (index + i) % self.A_size
             p = self.transform.sample_params()
             frames.append(self.transform.image(
-                load_image(self._resolve(self.A_img_paths[j])), p))
+                self._load_img(self.A_img_paths[j]), p))
             if self.A_mask_paths[j]:
                 masks.append(self.transform.mask(
                     load_mask(self._resolve(self.A_mask_paths[j])), p))
@@ -512,7 +538,7 @@ class NupletUnalignedLabeledMaskDataset(UnalignedLabeledMaskDataset):
             j = random.randint(0, self.B_size - 1)
             pB = self.transform.sample_params()
             out["B"] = self.transform.image(
-                load_image(self._resolve(self.B_img_paths[j])), pB)
+                self._load_img(self.B_img_paths[j]), pB)
             if self.B_mask_paths and self.B_mask_paths[j]:
                 out["B_label_mask"] = self.transform.mask(
                     load_mask(self._resolve(self.B_mask_paths[j])), pB)
@@ -637,8 +663,8 @@ class AlignedDataset(BaseDataset):
         A_path = self.A_img_paths[index % self.A_size]
         B_path = self.B_img_paths[index % self.B_size]
         return {
-            "A": self.transform.image(load_image(self._resolve(A_path)), p),
-            "B": self.transform.image(load_image(self._resolve(B_path)), p),
+            "A": self.transform.image(self._load_img(A_path), p),
+            "B": self.transform.image(self._load_img(B_path), p),
             "A_img_paths": A_path, "B_img_paths": B_path,
         }
 
@@ -654,7 +680,7 @@ class SingleDataset(BaseDataset):
     def __getitem__(self, index):
         p = self.transform.sample_params()
         img = self.transform.image(
-            load_image(self._resolve(self.A_img_paths[index % self.A_size])), p)
+            self._load_img(self.A_img_paths[index % self.A_size]), p)
         return {"A": img, "B": img,
                 "A_img_paths": self.A_img_paths[index % self.A_size]}
 
@@ -779,7 +805,7 @@ class TemporalLabeledMaskOnlineDataset(BaseDataset, _OnlineMixin,
             if i == 0:
                 ref_bbox, cat = bbox, c
             frames.append(img)
-            masks.append(mask)
+            masks.append(self._post_mask(mask))
         gc = np.stack(contexts) if contexts else None
         return (np.stack(frames), np.stack(masks), ref_bbox, cat, step, gc)
 
@@ -790,11 +816,11 @@ class TemporalLabeledMaskOnlineDataset(BaseDataset, _OnlineMixin,
         data/base_dataset.py:1199)."""
         from PIL import Image
         from .transforms import load_image
-        img = load_image(self._resolve(img_path))
+        img = self._load_img(img_path)
         arr = np.asarray(img, np.uint8).copy()
-        cd = crop_dim or getattr(
+        cx0, cy0 = crop_coords[0], crop_coords[1]
+        cd = crop_coords[2] if len(crop_coords) >= 3 else crop_dim or getattr(
             self.opt, f"data_online_creation_crop_size_{domain}", 512)
-        cx0, cy0 = crop_coords
         cd = min(cd, arr.shape[0], arr.shape[1])
         arr[cy0:cy0 + cd, cx0:cx0 + cd] = 0
         small = np.asarray(Image.fromarray(arr).resize(
@@ -822,11 +848,24 @@ class TemporalLabeledMaskOnlineDataset(BaseDataset, _OnlineMixin,
             context_pixels=getattr(opt, "data_online_context_pixels", 0),
             load_size=getattr(
                 opt, f"data_online_creation_load_size_{domain}", []),
+            load_size_keep_ratio=getattr(
+                opt, f"data_online_creation_load_size_keep_ratio_{domain}", False),
             fixed_mask_size=getattr(opt, "data_online_fixed_mask_size", -1),
+            fixed_mask_size_model=getattr(
+                opt, f"data_online_creation_mask_fixed_size_{domain}", -1),
+            fixed_mask_min_unmasked_border_model=getattr(
+                opt, f"data_online_creation_mask_min_unmasked_border_{domain}", 4),
             inverted_mask=getattr(opt, "data_inverted_mask", False),
+            broaden_rect_aug=getattr(
+                opt, f"data_online_creation_mask_broaden_rect_aug_{domain}", False),
             crop_center=self.crop_center,
             **extra,
         )
+
+    def _post_mask(self, mask):
+        if getattr(self.opt, "f_s_all_classes_as_one", False):
+            return (np.asarray(mask) > 0).astype(np.int32)
+        return mask
 
     def __getitem__(self, index):
         a = self._load_clip(self.A_img_paths, self.A_mask_paths, "A")

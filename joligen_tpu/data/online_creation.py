@@ -3,12 +3,30 @@ annotated objects at load time.
 
 Behavioral rebuild of reference data/online_creation.py:259-1364
 (crop_image) — the heart of object insertion/removal: read a bbox .txt
-(lines ``cat x1 y1 x2 y2``), pick a bbox, expand it by mask_delta (pixels or
-ratio), jitter it by mask_random_offset, optionally square it, crop a
-``crop_dim`` window around it with ``crop_delta`` jitter plus
-``context_pixels`` margin, resize to ``output_dim``, and emit the synchronized
-label mask. All of this is ragged host-side work; the device sees only the
-fixed (output_dim, output_dim) result.
+(lines ``cat x1 y1 x2 y2``), rasterize every annotated bbox into the label
+mask after expanding each by mask_delta (pixels or ratio), jittering it by
+mask_random_offset and optionally squaring it, pick one reference bbox,
+crop a size-jittered ``crop_dim±crop_delta`` window around it with
+``context_pixels`` margin, resize to ``output_dim``, and emit the
+synchronized label mask. All of this is ragged host-side work; the device
+sees only the fixed (output_dim + 2*context, …) result.
+
+Covered reference behaviors (file:line in /root/reference):
+- multi-bbox masks + ref-bbox crop window (data/online_creation.py:429-646)
+- crop-size jitter crop_dim±crop_delta (data/online_creation.py:1043-1108)
+- load_size / load_size_keep_ratio with scaled pixel params
+  (data/online_creation.py:302-336)
+- random_bbox synthesis when no label exists (data/online_creation.py:381-391)
+- bbox_ref_id / single_bbox restriction (data/online_creation.py:417-424)
+- broaden_rect_aug detector-style bbox broadening
+  (data/online_creation.py:65-111,544-548)
+- min_crop_bbox_ratio crop enlargement (data/online_creation.py:1076-1082)
+- fixed_mask_size_model output-space square masks with
+  fixed_mask_min_unmasked_border_model (data/online_creation.py:1253-1283)
+  and border-driven crop enlargement when only the border is set
+  (data/online_creation.py:1084-1097)
+- return_meta crop provenance dict (data/online_creation.py:1345-1362)
+- pre-crop rotation with bbox reboxing (data/online_creation.py:616-746)
 """
 
 from __future__ import annotations
@@ -101,6 +119,40 @@ def _delta_for_cat(mask_delta, cat):
     return dx, dy
 
 
+def _broaden_rect(x1, y1, x2, y2, W, H, rng):
+    """Detector-style random rectangle broadening that always contains the
+    input bbox (reference online_creation.py:65-111): 20% unchanged, 35%
+    per-side expansion up to 0.75×, 25% area scaling up to 4×, 20% aspect
+    retargeting in [0.35, 2.85]."""
+    w = max(1.0, x2 - x1)
+    h = max(1.0, y2 - y1)
+    cx, cy = (x1 + x2) / 2.0, (y1 + y2) / 2.0
+    roll = rng.random()
+    if roll < 0.20:
+        nx1, ny1, nx2, ny2 = x1, y1, x2, y2
+    elif roll < 0.55:
+        nx1 = x1 - rng.uniform(0.0, 0.75) * w
+        nx2 = x2 + rng.uniform(0.0, 0.75) * w
+        ny1 = y1 - rng.uniform(0.0, 0.75) * h
+        ny2 = y2 + rng.uniform(0.0, 0.75) * h
+    elif roll < 0.80:
+        s = math.sqrt(rng.uniform(1.0, 4.0))
+        nx1, nx2 = cx - w * s / 2.0, cx + w * s / 2.0
+        ny1, ny2 = cy - h * s / 2.0, cy + h * s / 2.0
+    else:
+        target = rng.uniform(0.35, 2.85)
+        if target > w / h:
+            nw, nh = h * target, h
+        else:
+            nw, nh = w, w / target
+        nx1, nx2 = cx - nw / 2.0, cx + nw / 2.0
+        ny1, ny2 = cy - nh / 2.0, cy + nh / 2.0
+    nx1 = max(0.0, nx1); ny1 = max(0.0, ny1)
+    nx2 = min(float(W), nx2); ny2 = min(float(H), ny2)
+    # never shrink below the source bbox
+    return min(nx1, x1), min(ny1, y1), max(nx2, x2), max(ny2, y2)
+
+
 def crop_image(
     img_path,
     bbox_path,
@@ -112,27 +164,66 @@ def crop_image(
     output_dim=256,
     context_pixels=0,
     load_size=(),
+    load_size_keep_ratio=False,
     select_cat=-1,
     fixed_mask_size=-1,
+    fixed_mask_size_model=-1,
+    fixed_mask_min_unmasked_border_model=4,
     inverted_mask=False,
     single_bbox=False,
+    bbox_ref_id=-1,
     override_class=-1,
+    random_bbox=False,
+    min_crop_bbox_ratio=None,
+    broaden_rect_aug=False,
     get_crop_coordinates=False,
     crop_coordinates=None,
     crop_center=False,
     mask_delta_ratio=((),),
     rng=None,
     rotation_state=None,
+    return_meta=False,
 ):
     """Returns (crop float32 (D,D,C) in [-1,1], mask int32 (D,D,1),
-    ref_bbox [x1,y1,x2,y2] in crop coords, category int)."""
+    ref_bbox [x1,y1,x2,y2] in crop coords, category int) with
+    D = output_dim + 2*context_pixels; plus a crop-provenance meta dict
+    when ``return_meta`` is set. ``get_crop_coordinates`` instead returns
+    the reusable window ``(x0, y0, crop_size)``."""
     rng = rng or random
     img = load_image(img_path)
-    cats, bboxes = read_bbox_file(bbox_path)
+    src_w, src_h = img.size
+    if random_bbox and (bbox_path is None
+                        or not str(bbox_path).endswith(".txt")):
+        # synthesize one random box in source coordinates (reference
+        # online_creation.py:381-391)
+        rx1 = np.random.randint(0, src_w - 1)
+        ry1 = np.random.randint(0, src_h - 1)
+        rx2 = np.random.randint(rx1, min(rx1 + crop_dim, src_w))
+        ry2 = np.random.randint(ry1, min(ry1 + crop_dim, src_h))
+        cats = [1]
+        bboxes = np.asarray([[rx1, ry1, rx2, ry2]], dtype=np.float64)
+    else:
+        cats, bboxes = read_bbox_file(bbox_path)
 
+    eff_crop_dim = crop_dim
+    eff_crop_delta = crop_delta
+    eff_fixed_mask = fixed_mask_size
+    eff_mask_delta = [list(m) for m in mask_delta]
     if load_size:
         tw = int(load_size[0])
         th = int(load_size[1]) if len(load_size) > 1 else tw
+        if load_size_keep_ratio:
+            # aspect-preserving: the largest load_size side becomes the
+            # largest image side; every pixel-space parameter scales with
+            # it (reference online_creation.py:308-336)
+            scale = max(tw, th) / float(max(src_w, src_h))
+            tw = max(1, int(round(src_w * scale)))
+            th = max(1, int(round(src_h * scale)))
+            eff_crop_dim = max(1, int(round(crop_dim * scale)))
+            eff_crop_delta = max(0, int(round(crop_delta * scale)))
+            if fixed_mask_size > 0:
+                eff_fixed_mask = max(1, int(round(fixed_mask_size * scale)))
+            eff_mask_delta = [[v * scale for v in m] for m in eff_mask_delta]
         sx, sy = tw / img.size[0], th / img.size[1]
         img = img.resize((tw, th), Image.BICUBIC)
         bboxes = bboxes * np.array([sx, sy, sx, sy])
@@ -144,13 +235,13 @@ def crop_image(
     valid_arr = None
     angle = float(rotation_state.get("angle", 0.0)) if rotation_state else 0.0
     if abs(angle) > 1e-6:
-        src_w, src_h = img.size
+        rot_w, rot_h = img.size
         fill = 0 if img.mode == "L" else tuple([0] * len(img.getbands()))
         img = img.rotate(angle, Image.BICUBIC, expand=True, fillcolor=fill)
-        valid = Image.new("L", (src_w, src_h), 255).rotate(
+        valid = Image.new("L", (rot_w, rot_h), 255).rotate(
             angle, Image.NEAREST, expand=True, fillcolor=0)
         valid_arr = np.asarray(valid, dtype=np.uint8) > 0
-        bboxes = _rotate_bboxes_expand(bboxes, src_w, src_h, angle)
+        bboxes = _rotate_bboxes_expand(bboxes, rot_w, rot_h, angle)
         if not rotation_state.get("rebox_mask_after_rotation", False):
             bboxes = bboxes + np.array([-2.0, -2.0, 2.0, 2.0])  # bbox_pad
         bboxes = np.clip(
@@ -161,125 +252,222 @@ def crop_image(
 
     W, H = img.size
 
-    # ---- bbox selection
+    # ---- bbox selection: category filter, then optional restriction to a
+    # single (random or caller-chosen) bbox
     idx_all = list(range(len(cats)))
     if select_cat != -1:
         idx_all = [i for i in idx_all if cats[i] == select_cat]
         if not idx_all:
             raise ValueError(f"no bbox of category {select_cat} in {bbox_path}")
-    chosen = idx_all[0] if (single_bbox or len(idx_all) == 1) else rng.choice(idx_all)
-    cat = cats[chosen] if override_class == -1 else override_class
-    x1, y1, x2, y2 = bboxes[chosen]
+    if single_bbox and bbox_ref_id == -1:
+        bbox_ref_id = rng.randrange(len(idx_all))
+    if bbox_ref_id >= 0:
+        if bbox_ref_id >= len(idx_all):
+            raise ValueError(
+                f"bbox_ref_id {bbox_ref_id} out of range for {bbox_path}")
+        idx_all = [idx_all[bbox_ref_id]]
 
-    # ---- mask-level geometry: delta expansion, random offset, squaring
-    dx, dy = _delta_for_cat([list(m) for m in mask_delta], cats[chosen])
-    rdx, rdy = _delta_for_cat([list(m) for m in mask_delta_ratio], cats[chosen]) \
-        if any(len(m) for m in mask_delta_ratio) else (0.0, 0.0)
-    if rdx or rdy:
-        dx += rdx * (x2 - x1)
-        dy += rdy * (y2 - y1)
-    x1, x2 = x1 - dx, x2 + dx
-    y1, y2 = y1 - dy, y2 + dy
+    # ---- per-bbox mask geometry: broaden aug, delta expansion, random
+    # offset, squaring, fixed source-space size (reference loop
+    # online_creation.py:448-614); every surviving bbox lands in the mask
+    processed = []
+    for i in idx_all:
+        cat_i = cats[i] if override_class == -1 else override_class
+        x1, y1, x2, y2 = bboxes[i]
+        ox1, oy1, ox2, oy2 = x1, y1, x2, y2
+        if broaden_rect_aug:
+            x1, y1, x2, y2 = _broaden_rect(x1, y1, x2, y2, W, H, rng)
+        dx, dy = _delta_for_cat(eff_mask_delta, cats[i])
+        rdx, rdy = _delta_for_cat([list(m) for m in mask_delta_ratio], cats[i]) \
+            if any(len(m) for m in mask_delta_ratio) else (0.0, 0.0)
+        if rdx or rdy:
+            dx += rdx * (x2 - x1)
+            dy += rdy * (y2 - y1)
+        x1, x2 = x1 - dx, x2 + dx
+        y1, y2 = y1 - dy, y2 + dy
 
-    off = list(mask_random_offset) or [0.0]
-    ox = float(off[0]); oy = float(off[1]) if len(off) > 1 else ox
-    if ox > 0:
-        jit = (rng.random() * 2 - 1) * ox * (x2 - x1)
-        x1, x2 = x1 + jit, x2 + jit
-    if oy > 0:
-        jit = (rng.random() * 2 - 1) * oy * (y2 - y1)
-        y1, y2 = y1 + jit, y2 + jit
+        off = list(mask_random_offset) or [0.0]
+        ox = float(off[0]); oy = float(off[1]) if len(off) > 1 else ox
+        if ox > 0:
+            jit = (rng.random() * 2 - 1) * ox * (x2 - x1)
+            x1, x2 = x1 + jit, x2 + jit
+        if oy > 0:
+            jit = (rng.random() * 2 - 1) * oy * (y2 - y1)
+            y1, y2 = y1 + jit, y2 + jit
 
-    if mask_square:
-        side = max(x2 - x1, y2 - y1)
-        cx, cy = (x1 + x2) / 2, (y1 + y2) / 2
-        x1, x2 = cx - side / 2, cx + side / 2
-        y1, y2 = cy - side / 2, cy + side / 2
+        if mask_square:
+            side = max(x2 - x1, y2 - y1)
+            cx, cy = (x1 + x2) / 2, (y1 + y2) / 2
+            x1, x2 = cx - side / 2, cx + side / 2
+            y1, y2 = cy - side / 2, cy + side / 2
 
-    if fixed_mask_size > 0:
-        cx, cy = (x1 + x2) / 2, (y1 + y2) / 2
-        x1, x2 = cx - fixed_mask_size / 2, cx + fixed_mask_size / 2
-        y1, y2 = cy - fixed_mask_size / 2, cy + fixed_mask_size / 2
+        if eff_fixed_mask > 0:
+            cx, cy = (x1 + x2) / 2, (y1 + y2) / 2
+            x1, x2 = cx - eff_fixed_mask / 2, cx + eff_fixed_mask / 2
+            y1, y2 = cy - eff_fixed_mask / 2, cy + eff_fixed_mask / 2
 
-    x1 = max(0.0, x1); y1 = max(0.0, y1)
-    x2 = min(float(W), x2); y2 = min(float(H), y2)
+        x1 = max(0.0, x1); y1 = max(0.0, y1)
+        x2 = min(float(W), x2); y2 = min(float(H), y2)
+        processed.append({
+            "index": i, "cat": int(cat_i),
+            "xmin": x1, "ymin": y1, "xmax": x2, "ymax": y2,
+            "original_xmin": float(ox1), "original_ymin": float(oy1),
+            "original_xmax": float(ox2), "original_ymax": float(oy2),
+        })
 
-    # ---- crop window around the mask
-    eff_crop = min(crop_dim, min(W, H))
+    ref_i = 0 if len(processed) == 1 else rng.randrange(len(processed))
+    ref = processed[ref_i]
+    x1, y1, x2, y2 = ref["xmin"], ref["ymin"], ref["xmax"], ref["ymax"]
+    cat = ref["cat"]
+
+    # ---- crop window around the reference mask: size jittered in
+    # [crop_dim-delta, crop_dim+delta], floored so the (expanded) ref bbox
+    # plus context always fits (reference online_creation.py:1043-1108)
     bw, bh = x2 - x1, y2 - y1
-    # crop must contain the (expanded) bbox
-    eff_crop = int(max(eff_crop, bw + 2 * context_pixels, bh + 2 * context_pixels))
-    eff_crop = min(eff_crop, min(W, H))
+    out_total = output_dim + 2 * context_pixels
+    required = max(bw + 2 * context_pixels, bh + 2 * context_pixels, 1.0)
+    if min_crop_bbox_ratio:
+        required = max(required, round(max(bw, bh) * float(min_crop_bbox_ratio)))
+    if fixed_mask_size_model <= 0 and fixed_mask_min_unmasked_border_model > 0:
+        # leave at least `border` unmasked model pixels around the ref mask
+        # by enlarging the source crop (reference online_creation.py:1084-1097)
+        max_mask_out = out_total - 2 * int(fixed_mask_min_unmasked_border_model)
+        if max_mask_out < 1:
+            raise ValueError(
+                f"model mask border {fixed_mask_min_unmasked_border_model} "
+                f"is too large for output size {out_total}")
+        required = max(required,
+                       math.ceil(max(bw, bh) * out_total / max_mask_out))
+    crop_min = int(max(required, eff_crop_dim - eff_crop_delta))
+    crop_max = int(max(eff_crop_dim + eff_crop_delta, crop_min))
+    if crop_coordinates is not None and len(crop_coordinates) >= 3:
+        eff_crop = int(crop_coordinates[2])
+    elif crop_min >= crop_max or eff_crop_delta <= 0:
+        eff_crop = crop_min
+    else:
+        eff_crop = rng.randint(crop_min, crop_max)
+    # our host pipeline clips instead of zero-padding undersized frames
+    eff_crop = max(1, min(eff_crop, min(W, H)))
 
-    def _window_valid(wx0, wy0):
+    def _window_valid(wx0, wy0, eff):
         """No expand-fill pixels inside the crop+context window (reference
         online_creation.py:730-746 validate_crop_has_valid_source)."""
         if valid_arr is None:
             return True
         vx0, vy0 = wx0 - context_pixels, wy0 - context_pixels
-        vx1, vy1 = wx0 + eff_crop + context_pixels, wy0 + eff_crop + context_pixels
+        vx1, vy1 = wx0 + eff + context_pixels, wy0 + eff + context_pixels
         if vx0 < 0 or vy0 < 0 or vx1 > W or vy1 > H:
             return False
         region = valid_arr[vy0:vy1, vx0:vx1]
         return region.size > 0 and bool(np.all(region))
 
-    def _sample_window(jitter):
+    def _sample_window(jitter, eff):
         cx_center = (x1 + x2) / 2
         cy_center = (y1 + y2) / 2
-        wx0 = cx_center - eff_crop / 2
-        wy0 = cy_center - eff_crop / 2
+        wx0 = cx_center - eff / 2
+        wy0 = cy_center - eff / 2
         if jitter and not crop_center and crop_delta > 0:
             wx0 += rng.randint(-crop_delta, crop_delta)
             wy0 += rng.randint(-crop_delta, crop_delta)
-        wx0 = int(np.clip(wx0, 0, W - eff_crop))
-        wy0 = int(np.clip(wy0, 0, H - eff_crop))
-        # keep bbox inside the crop
-        wx0 = int(np.clip(wx0, x2 + context_pixels - eff_crop, x1 - context_pixels))
-        wy0 = int(np.clip(wy0, y2 + context_pixels - eff_crop, y1 - context_pixels))
-        wx0 = int(np.clip(wx0, 0, W - eff_crop))
-        wy0 = int(np.clip(wy0, 0, H - eff_crop))
+        wx0 = int(np.clip(wx0, 0, W - eff))
+        wy0 = int(np.clip(wy0, 0, H - eff))
+        # keep the ref bbox inside the crop
+        wx0 = int(np.clip(wx0, x2 + context_pixels - eff, x1 - context_pixels))
+        wy0 = int(np.clip(wy0, y2 + context_pixels - eff, y1 - context_pixels))
+        wx0 = int(np.clip(wx0, 0, W - eff))
+        wy0 = int(np.clip(wy0, 0, H - eff))
         return wx0, wy0
 
+    def _pick_window(eff):
+        """10 jittered draws, then centered; None if every window hits
+        rotation fill pixels."""
+        for _ in range(10):
+            wx0, wy0 = _sample_window(True, eff)
+            if _window_valid(wx0, wy0, eff):
+                return wx0, wy0
+        wx0, wy0 = _sample_window(False, eff)
+        if _window_valid(wx0, wy0, eff):
+            return wx0, wy0
+        return None
+
     if crop_coordinates is not None:
-        cx0, cy0 = crop_coordinates
+        cx0, cy0 = int(crop_coordinates[0]), int(crop_coordinates[1])
     else:
-        cx0, cy0 = _sample_window(jitter=True)
-        if not _window_valid(cx0, cy0):
-            for _ in range(9):  # re-jitter, then fall back to centered
-                cx0, cy0 = _sample_window(jitter=True)
-                if _window_valid(cx0, cy0):
-                    break
-            else:
-                cx0, cy0 = _sample_window(jitter=False)
-                if not _window_valid(cx0, cy0):
-                    # reference raises here too; dataset catches -> sample skipped
-                    raise ValueError(
-                        f"rotated crop contains fill pixels for {img_path}")
+        win = _pick_window(eff_crop)
+        if win is None:
+            # a jittered-up crop size can exceed the valid (non-fill) area
+            # of a rotated frame; retry at the smallest admissible size
+            # before rejecting the sample (the reference rejects outright)
+            small = max(1, min(crop_min, min(W, H)))
+            if small != eff_crop:
+                win = _pick_window(small)
+                if win is not None:
+                    eff_crop = small
+        if win is None:
+            # reference raises here too; dataset catches -> sample skipped
+            raise ValueError(
+                f"rotated crop contains fill pixels for {img_path}")
+        cx0, cy0 = win
 
     if get_crop_coordinates:
-        return (cx0, cy0)
+        return (cx0, cy0, eff_crop)
 
     crop = img.crop((cx0, cy0, cx0 + eff_crop, cy0 + eff_crop))
 
-    # ---- mask in crop coordinates
+    # ---- mask in crop coordinates: every processed bbox is rasterized
+    # with its own category (reference online_creation.py:429-431,551-560)
     mask = np.zeros((eff_crop, eff_crop), dtype=np.int32)
+    for pb in processed:
+        px1 = int(np.clip(pb["xmin"] - cx0, 0, eff_crop))
+        py1 = int(np.clip(pb["ymin"] - cy0, 0, eff_crop))
+        px2 = int(np.clip(pb["xmax"] - cx0, 0, eff_crop))
+        py2 = int(np.clip(pb["ymax"] - cy0, 0, eff_crop))
+        mask[py1:py2, px1:px2] = pb["cat"]
     mx1 = int(np.clip(x1 - cx0, 0, eff_crop))
     my1 = int(np.clip(y1 - cy0, 0, eff_crop))
     mx2 = int(np.clip(x2 - cx0, 0, eff_crop))
     my2 = int(np.clip(y2 - cy0, 0, eff_crop))
-    mask[my1:my2, mx1:mx2] = int(cat)
-    if inverted_mask:
-        mask = np.where(mask > 0, 0, 1).astype(np.int32)
 
     # ---- resize to model size
-    out_total = output_dim + 2 * context_pixels
     scale = out_total / eff_crop
     crop = crop.resize((out_total, out_total), Image.BICUBIC)
-    mask_img = Image.fromarray(mask.astype(np.uint8) if mask.max() < 256
-                               else mask.astype(np.int32), mode=None)
-    mask_img = Image.fromarray(mask.astype(np.uint8))
-    mask_img = mask_img.resize((out_total, out_total), Image.NEAREST)
-    mask = np.asarray(mask_img, dtype=np.int32)[:, :, None]
+    if fixed_mask_size_model > 0:
+        # output-space fixed square masks, positioned to keep at least
+        # `border` unmasked model pixels (reference online_creation.py:1253-1283)
+        border = int(fixed_mask_min_unmasked_border_model)
+        max_side = out_total - 2 * border
+        if max_side < 1:
+            raise ValueError(
+                f"fixed model mask border {border} is too large for "
+                f"output size {out_total}")
+        if fixed_mask_size_model > out_total:
+            raise ValueError(
+                f"fixed model mask size {fixed_mask_size_model} is larger "
+                f"than output size {out_total}")
+        mask = np.zeros((out_total, out_total), dtype=np.int32)
+        for pb in processed:
+            bx1 = int(round(np.clip(pb["xmin"] - cx0, 0, eff_crop) * scale))
+            by1 = int(round(np.clip(pb["ymin"] - cy0, 0, eff_crop) * scale))
+            bx2 = int(round(np.clip(pb["xmax"] - cx0, 0, eff_crop) * scale))
+            by2 = int(round(np.clip(pb["ymax"] - cy0, 0, eff_crop) * scale))
+            side = max(bx2 - bx1, by2 - by1, fixed_mask_size_model)
+            side = min(side, max_side)
+            ccx = (bx1 + bx2) / 2.0
+            ccy = (by1 + by2) / 2.0
+            bx1 = int(round(ccx - side / 2.0))
+            by1 = int(round(ccy - side / 2.0))
+            bx1 = min(max(bx1, border), out_total - border - side)
+            by1 = min(max(by1, border), out_total - border - side)
+            mask[by1:by1 + side, bx1:bx1 + side] = pb["cat"]
+        if inverted_mask:
+            mask = np.where(mask > 0, 0, 1).astype(np.int32)
+        mask = mask[:, :, None]
+    else:
+        if inverted_mask:
+            mask = np.where(mask > 0, 0, 1).astype(np.int32)
+        mask_img = Image.fromarray(mask.astype(np.uint8))
+        mask_img = mask_img.resize((out_total, out_total), Image.NEAREST)
+        mask = np.asarray(mask_img, dtype=np.int32)[:, :, None]
 
     arr = np.asarray(crop, dtype=np.float32) / 127.5 - 1.0
     if arr.ndim == 2:
@@ -287,6 +475,19 @@ def crop_image(
 
     ref_bbox = np.asarray(
         [mx1 * scale, my1 * scale, mx2 * scale, my2 * scale], dtype=np.float32)
+    if return_meta:
+        meta = {
+            "orig_width": int(src_w), "orig_height": int(src_h),
+            "loaded_width": int(W), "loaded_height": int(H),
+            "x_crop": int(cx0), "y_crop": int(cy0),
+            "crop_size": int(eff_crop),
+            "context_pixels": int(context_pixels),
+            "mask_broaden_rect_aug": bool(broaden_rect_aug),
+            "processed_bboxes": [dict(pb) for pb in processed],
+        }
+        if rotation_state is not None:
+            meta["rotation"] = dict(rotation_state)
+        return arr, mask, ref_bbox, int(cat), meta
     return arr, mask, ref_bbox, int(cat)
 
 

@@ -14,7 +14,18 @@ import numpy as np
 from PIL import Image
 
 
-def load_image(path):
+def load_image(path, img_bits=8):
+    """8-bit images are normalized to RGB; >8-bit imagery (12/16-bit
+    grayscale tiff/png, reference data/utils.py:4-14 +
+    base_dataset.py:513-523) keeps its native integer mode so the bit
+    depth survives until normalization."""
+    if img_bits > 8:
+        try:
+            with Image.open(path) as img:
+                return img.copy()
+        except Exception:
+            import tifffile  # multi-channel >8-bit (reference data/utils.py:5-9)
+            return Image.fromarray(tifffile.imread(path))
     img = Image.open(path)
     if img.mode != "RGB":
         img = img.convert("RGB")
@@ -51,6 +62,11 @@ class PairedTransform:
         self.affine_translate = float(getattr(opt, "dataaug_affine_translate",
                                               0.1) or 0.1)
         self.imgaug = bool(getattr(opt, "dataaug_imgaug", False))
+        self.image_bits = int(getattr(opt, "data_image_bits", 8) or 8)
+        # foreground-vs-background collapse (reference
+        # unaligned_labeled_mask_dataset.py:104-105)
+        self.mask_all_one = bool(getattr(opt, "f_s_all_classes_as_one",
+                                         False))
 
     def sample_params(self, rng=None):
         rng = rng or random
@@ -123,6 +139,18 @@ class PairedTransform:
         return img
 
     def image(self, img: Image.Image, params):
+        if self.image_bits > 8:
+            # >8-bit mono path (reference base_dataset.py:513-523): scale by
+            # 2**bits - 1 into [0,1], then normalize to [-1,1]; photometric
+            # augs are 8-bit-only upstream too
+            if img.mode not in ("I", "F"):
+                img = img.convert("I")
+            img = self._geo(img, params, Image.BICUBIC)
+            arr = np.asarray(img, dtype=np.float32)
+            arr = arr / float(2 ** self.image_bits - 1) * 2.0 - 1.0
+            if arr.ndim == 2:
+                arr = arr[:, :, None]
+            return arr
         if self.grayscale and img.mode != "L":
             img = img.convert("L")   # 1-channel configs (model_input_nc=1)
         img = self._geo(img, params, Image.BICUBIC)
@@ -150,6 +178,8 @@ class PairedTransform:
         arr = np.asarray(m, dtype=np.int32)
         if arr.ndim == 3:
             arr = arr[:, :, 0]
+        if self.mask_all_one:
+            arr = (arr > 0).astype(np.int32)
         return arr[:, :, None]  # (H, W, 1) int32
 
 

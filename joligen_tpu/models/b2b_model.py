@@ -70,6 +70,13 @@ class B2BModel(BaseModel):
         self.autoregressive = bool(getattr(opt, "alg_b2b_autoregressive", False))
         self.use_gt_prob = (float(getattr(opt, "alg_b2b_use_gt_prob", 0.1))
                             if (self.autoregressive and self.is_video) else 0.0)
+        self.minsnr = bool(getattr(opt, "alg_b2b_minsnr", False))
+        self.perceptual = [x for x in (getattr(
+            opt, "alg_b2b_perceptual_loss", [""]) or [""]) if x]
+        self.lambda_perceptual = float(
+            getattr(opt, "alg_b2b_lambda_perceptual", 1.0) or 1.0)
+        self._perc_mean = getattr(opt, "alg_b2b_dists_mean", None)
+        self._perc_std = getattr(opt, "alg_b2b_dists_std", None)
         self.degrade_prob = float(getattr(
             opt, "alg_b2b_ref_frame_degradation_prob", 0.0) or 0.0)
         self.degrade_std = float(getattr(
@@ -135,6 +142,8 @@ class B2BModel(BaseModel):
         if self.use_lora:
             from .lora import DEFAULT_TARGETS, init_lora
             self.lora_rank = int(getattr(opt, "alg_b2b_lora_rank", 8) or 8)
+            self.lora_dropout = float(
+                getattr(opt, "alg_b2b_lora_dropout", 0.05) or 0.0)
             self.lora_alpha = float(getattr(opt, "alg_b2b_lora_alpha", 16)
                                     or 16)
             targets = tuple(getattr(opt, "alg_b2b_lora_target_modules", None)
@@ -274,9 +283,23 @@ class B2BModel(BaseModel):
                         t_eps=self.t_eps, label_drop_prob=self.label_drop_prob,
                         mask_size=ms, use_gt_prob=self.use_gt_prob,
                         degrade_prob=self.degrade_prob,
-                        degrade_std=self.degrade_std)
+                        degrade_std=self.degrade_std,
+                        minsnr=self.minsnr)
                 loss = self.lambda_G * self._loss(v_pred, v_target, loss_mask)
                 aux = {}
+                if self.perceptual:
+                    # reference b2b_model.py:1175-1258: masked x-prediction
+                    # vs ground truth
+                    mb = (jnp.clip(mask.astype(gt.dtype), 0, 1)
+                          if mask is not None else None)
+                    pp = raw_x_pred * mb if mb is not None else raw_x_pred
+                    tt = gt * mb if mb is not None else gt
+                    terms = self.perceptual_terms(
+                        pp, tt, self.perceptual, self._perc_mean,
+                        self._perc_std)
+                    perc = self.lambda_perceptual * sum(terms.values())
+                    aux["G_perceptual"] = perc
+                    loss = loss + perc
                 if self.lambda_ref_copy > 0.0 and is_ref is not None:
                     # image-space copy loss on the autoregressive GT frame
                     num = jnp.sum(jnp.abs(raw_x_pred - gt) * is_ref)
@@ -290,11 +313,13 @@ class B2BModel(BaseModel):
                 from .lora import merge_lora
                 tx_l = self.txs["G_lora"]
 
-                def lora_loss(adapters, base, *a):
+                def lora_loss(adapters, base, rng, *a):
                     merged = merge_lora(jax.lax.stop_gradient(base), adapters,
                                         alpha=self.lora_alpha,
-                                        rank=self.lora_rank)
-                    return loss_fn(merged, *a)
+                                        rank=self.lora_rank,
+                                        dropout=self.lora_dropout,
+                                        rng=jax.random.fold_in(rng, 77))
+                    return loss_fn(merged, rng, *a)
 
                 def step(states, rng, gt, y_cond, mask, labels, frame_step,
                          global_context):

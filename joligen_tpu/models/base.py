@@ -60,6 +60,29 @@ class BaseModel:
     def get_current_losses(self):
         return dict(self.loss_log)
 
+    def perceptual_terms(self, pred, target, kinds, mean=None, std=None):
+        """Traceable LPIPS/DISTS perceptual distances for training losses
+        (reference alg_{cm,sc,b2b,cut}_perceptual_loss; cm_model.py:241-255).
+        5D video inputs fold frames into batch; 1-channel inputs tile."""
+        from ..utils.metrics import (dists_from_feats, lpips_from_feats,
+                                     vgg_feature_fn)
+        a, b = target, pred
+        if a.ndim == 5:
+            a = a.reshape((-1,) + a.shape[2:])
+            b = b.reshape((-1,) + b.shape[2:])
+        if a.shape[-1] == 1:
+            a = jnp.tile(a, (1, 1, 1, 3))
+            b = jnp.tile(b, (1, 1, 1, 3))
+        if getattr(self, "_perc_feats", None) is None:
+            self._perc_feats = vgg_feature_fn(a.shape[1:], mean=mean, std=std)
+        fa, fb = self._perc_feats(a), self._perc_feats(b)
+        out = {}
+        if "LPIPS" in kinds:
+            out["lpips"] = jnp.mean(lpips_from_feats(fa, fb))
+        if "DISTS" in kinds:
+            out["dists"] = jnp.mean(dists_from_feats(fa, fb))
+        return out
+
     # ---------------- checkpoint contract ----------------
     def _net_path(self, prefix, name, ema=False):
         suffix = "_ema" if ema else ""
@@ -114,6 +137,9 @@ class BaseModel:
         return traverse_util.unflatten_dict(out)
 
     def load_networks(self, prefix, load_optim=True, strict=True):
+        if getattr(self.opt, "model_load_no_strictness", False):
+            # reference base_model.py:1030-1040 load_state_dict(strict=False)
+            strict = False
         for name, state in self.states.items():
             path = self._net_path(prefix, name)
             if not os.path.exists(path):
@@ -171,10 +197,16 @@ class BaseModel:
                 self.real_stats = (mu, sigma, acts)
 
     def compute_metrics_test(self, dataloader_test, n_epoch="latest",
-                             n_iter=0, **infer_kwargs):
+                             n_iter=0, save_images=None, test_name="",
+                             **infer_kwargs):
         """Run inference over a test dataloader and compute the configured
-        metric list (reference compute_metrics_test, base_model.py:1791)."""
+        metric list (reference compute_metrics_test, base_model.py:1791).
+        ``save_images`` (default: opt.train_metrics_save_images) writes the
+        evaluated fake/real pairs under the experiment directory."""
         from ..utils.metrics import compute_metrics, fvd
+        if save_images is None:
+            save_images = bool(getattr(self.opt, "train_metrics_save_images",
+                                       False))
         metrics_list = list(getattr(self.opt, "train_metrics_list", ["FID"])
                             or ["FID"])
         nmax = int(getattr(self.opt, "train_nb_img_max_fid", 10 ** 9))
@@ -188,6 +220,20 @@ class BaseModel:
                 real_clips.append(real)
                 fake = fake.reshape((-1,) + fake.shape[2:])
                 real = real.reshape((-1,) + real.shape[2:])
+            if save_images and len(fakes) < 8:  # cap disk churn per eval
+                import os as _os
+
+                from ..utils.visualizer import tensor2im
+                from PIL import Image
+                d = _os.path.join(self.save_dir,
+                                  f"metrics_imgs_{test_name or 'test'}")
+                _os.makedirs(d, exist_ok=True)
+                base = sum(f.shape[0] for f in fakes)
+                for j in range(min(fake.shape[0], 8)):
+                    Image.fromarray(tensor2im(fake[j])).save(
+                        _os.path.join(d, f"{n_epoch}_{base + j}_fake.png"))
+                    Image.fromarray(tensor2im(real[j])).save(
+                        _os.path.join(d, f"{n_epoch}_{base + j}_real.png"))
             fakes.append(fake)
             reals.append(real)
             m = batch.get("B_label_mask")

@@ -37,6 +37,14 @@ class CMModel(BaseModel):
         self.is_ect = (self.ft_mode == "ect"
                        and getattr(opt, "alg_diffusion_ddpm_cm_ft", False))
         self.lambda_G = float(getattr(opt, "alg_diffusion_lambda_G", 1.0))
+        # optional perceptual terms on the consistency output
+        # (reference cm_model.py:61-82,241-255,377-401)
+        self.perceptual = [x for x in (getattr(
+            opt, "alg_cm_perceptual_loss", [""]) or [""]) if x]
+        self.lambda_perceptual = float(
+            getattr(opt, "alg_cm_lambda_perceptual", 1.0) or 1.0)
+        self._perc_mean = getattr(opt, "alg_cm_dists_mean", None)
+        self._perc_std = getattr(opt, "alg_cm_dists_std", None)
         self.use_ema = bool(getattr(opt, "train_G_ema", False))
         self.ema_beta = float(getattr(opt, "train_G_ema_beta", 0.999))
         self.total_steps = int(getattr(opt, "alg_cm_num_steps", 1000000))
@@ -88,7 +96,26 @@ class CMModel(BaseModel):
         if self.task == "inpainting" and mask is not None:
             out["mask"] = mask
         if self.conditional:
-            out["y_cond"] = batch["A"]
+            cond = batch["A"]
+            creation = getattr(self.opt, "alg_diffusion_cond_image_creation",
+                               "y_t") or "y_t"
+            if creation == "previous_frame" and np.asarray(
+                    batch["B"]).ndim == 5:
+                # cond frame k = gt frame k-1, blanked with prob 1-p
+                # (reference cm_model.py:283-300)
+                import numpy as _np
+                prev = _np.concatenate(
+                    [batch["B"][:, :1], batch["B"][:, :-1]], axis=1)
+                p_use = float(getattr(
+                    self.opt, "alg_diffusion_cond_prob_use_previous_frame",
+                    0.5) or 0.0)
+                if self.phase == "train" and p_use < 1.0:
+                    drop = _np.random.rand(prev.shape[0],
+                                           prev.shape[1]) >= p_use
+                    prev = _np.where(drop[:, :, None, None, None],
+                                     -_np.ones_like(prev), prev)
+                cond = prev.reshape(_np.asarray(batch["A"]).shape)
+            out["y_cond"] = cond
         return out
 
     def _apply(self, params, x, sigma, x_cond, train):
@@ -114,6 +141,11 @@ class CMModel(BaseModel):
                 pred_m, target_m = pred, target
             loss = jnp.mean(pseudo_huber_loss(pred_m, target_m) * w)
             losses = {"G_tot": loss * self.lambda_G}
+            if self.perceptual:
+                terms = self.perceptual_terms(pred_m, gt, self.perceptual,
+                                              self._perc_mean, self._perc_std)
+                losses["G_perceptual"] = self.lambda_perceptual * sum(
+                    terms.values())
             if self.with_gan:
                 g_gan = 0.0
                 for name, netD in self.netDs.items():

@@ -18,7 +18,8 @@ import numpy as np
 
 from .base import BaseModel
 from .gan_networks import define_D, define_F, define_G
-from .train_state import apply_updates, init_net_state, make_optimizer
+from .train_state import (apply_init_scheme, apply_updates, init_net_state,
+                          make_optimizer)
 from .modules.cut_networks import (
     gan_loss,
     monce_loss,
@@ -58,7 +59,67 @@ class CUTModel(BaseModel):
         self.mask_lambda = float(getattr(opt, "train_sem_mask_lambda", 1.0))
         self.out_mask = bool(getattr(opt, "train_mask_out_mask", False))
         self.lambda_out_mask = float(getattr(opt, "train_mask_lambda_out_mask", 10.0))
+        # semantic-family controls (reference base_model.py:240-340,
+        # base_gan_model.py:656-810)
+        self.sem_idt = bool(getattr(opt, "train_sem_idt", False))
+        self.mask_for_removal = bool(
+            getattr(opt, "train_mask_for_removal", False))
+        self.sem_net_output = bool(getattr(opt, "train_sem_net_output", False))
+        self.fs_threshold = float(
+            getattr(opt, "f_s_semantic_threshold", 1.0) or 1.0)
+        self.cls_threshold = float(
+            getattr(opt, "cls_semantic_threshold", 1.0) or 1.0)
+        self.mask_f_s_B = bool(getattr(opt, "train_mask_f_s_B", False))
+        self.no_train_f_s_A = bool(
+            getattr(opt, "train_mask_no_train_f_s_A", False))
+        self.disjoint_f_s = bool(
+            getattr(opt, "train_mask_disjoint_f_s", False))
+        if self.disjoint_f_s:   # reference base_model.py:304 forces B training
+            self.mask_f_s_B = True
+        self.cls_regression = bool(getattr(opt, "train_cls_regression", False))
+        self.cls_l1_regression = bool(
+            getattr(opt, "train_cls_l1_regression", False))
+        self.sem_cls_B = bool(getattr(opt, "train_sem_cls_B", False))
+        self.fs_weights = [float(w) for w in
+                           (getattr(opt, "f_s_class_weights", []) or [])]
+        self.cls_weights = [float(w) for w in
+                            (getattr(opt, "cls_class_weights", []) or [])]
+        self.out_mask_loss = (getattr(opt, "train_mask_loss_out_mask", "L1")
+                              or "L1")
+        self.charbonnier_eps = float(
+            getattr(opt, "train_mask_charbonnier_eps", 1e-6) or 1e-6)
         self.nce_layers = self._select_nce_layers(opt)
+
+        # supervised loss with aligned data (reference cut_model.py:141-155,
+        # 779-833): pixel L1/MSE plus LPIPS/DISTS perceptual terms on
+        # (fake_B, real_B)
+        self.mse_idt = bool(getattr(opt, "alg_cut_MSE_idt", False))
+        self.lambda_mse_idt = float(
+            getattr(opt, "alg_cut_lambda_MSE_idt", 1.0) or 1.0)
+        self.hdce_gamma = float(getattr(opt, "alg_cut_HDCE_gamma", 50) or 50)
+        # FastCUT flip-equivariance (reference cut_model.py:133-138,619-624)
+        self.flip_equivariance = bool(
+            getattr(opt, "alg_cut_flip_equivariance", False))
+        # one-sided label smoothing: real target 0.9 (reference loss.py:277-280)
+        self.d_label_smooth = (0.1 if getattr(opt, "dataaug_D_label_smooth",
+                                              False) else 0.0)
+        # contrastive D objective (reference loss.py:334-394)
+        self.contrastive_d = bool(
+            getattr(opt, "train_use_contrastive_loss_D", False))
+        # D_dropout: PatchGAN Ds run with active Dropout(0.5) during
+        # training (reference discriminators.py:58-101)
+        self.d_dropout = bool(getattr(opt, "D_dropout", False))
+        # temporal D cadence (reference base_gan_model.py:388,469,580:
+        # the expensive temporal D only computes every D_temporal_every
+        # iterations, on both the D and G sides)
+        self.d_temporal_every = int(getattr(opt, "D_temporal_every", 4) or 1)
+        self.supervised = [s for s in (getattr(
+            opt, "alg_cut_supervised_loss", [""]) or [""]) if s]
+        self.lambda_supervised = float(
+            getattr(opt, "alg_cut_lambda_supervised", 1.0) or 1.0)
+        self.lambda_perceptual = float(
+            getattr(opt, "alg_cut_lambda_perceptual", 1.0) or 1.0)
+        self._perc_feats = None
 
         # device-resident augmentation + APA (reference base_gan_model.py:82-90,
         # loss.py:199-232, util/diff_aug.py)
@@ -70,6 +131,12 @@ class CUTModel(BaseModel):
         self.apa_nimg = float(getattr(opt, "dataaug_APA_nimg", 50) or 50)
         self.d_noise = float(getattr(opt, "dataaug_D_noise", 0.0) or 0.0)
         self.apa_p = jnp.asarray(float(getattr(opt, "dataaug_APA_p", 0.0)))
+        # adaptive diffusion-noise D augmentation (reference loss.py:315-331 +
+        # projected_d/diffusion.py): intensity p adapts on the D real loss
+        self.d_diffusion = bool(getattr(opt, "dataaug_D_diffusion", False))
+        self.d_diffusion_every = int(
+            getattr(opt, "dataaug_D_diffusion_every", 4) or 4)
+        self.d_diff_p = jnp.asarray(0.0)
 
         size = opt.data_crop_size
         self.netG = define_G(opt)
@@ -79,10 +146,25 @@ class CUTModel(BaseModel):
         rngs = jax.random.split(self.next_rng(), 8)
         ex_img = jnp.zeros((1, size, size, opt.model_input_nc), jnp.float32)
 
+        # pix2pix-lineage weight init for every GAN net (reference
+        # gan_networks.py init_net with model_init_type/model_init_gain;
+        # frozen trunks are re-loaded afterwards so only heads keep it)
+        self._init_type = getattr(opt, "model_init_type", "normal") or "normal"
+        self._init_gain = float(getattr(opt, "model_init_gain", 0.02) or 0.02)
+
+        def scheme(state, key):
+            params = apply_init_scheme(key, state.params, self._init_type,
+                                       self._init_gain)
+            return state.replace(
+                params=params,
+                ema_params=(jax.tree.map(jnp.copy, params)
+                            if state.ema_params is not None else None))
+
         txG = make_optimizer(opt, getattr(opt, "train_G_lr", 2e-4))
         self.txs["G_A"] = txG
-        self.states["G_A"] = init_net_state(rngs[0], self.netG, (ex_img,),
-                                            txG, use_ema=self.use_ema)
+        self.states["G_A"] = scheme(
+            init_net_state(rngs[0], self.netG, (ex_img,), txG,
+                           use_ema=self.use_ema), rngs[0])
         if "segformer" in (opt.G_netG or ""):
             from .modules.segformer import load_mit_backbone
             st = self.states["G_A"]
@@ -98,7 +180,8 @@ class CUTModel(BaseModel):
                             jnp.int32) for f in feats]
         txF = make_optimizer(opt, getattr(opt, "train_G_lr", 2e-4))
         self.txs["F"] = txF
-        self.states["F"] = init_net_state(rngs[1], self.netF, (feats, ex_ids), txF)
+        self.states["F"] = scheme(
+            init_net_state(rngs[1], self.netF, (feats, ex_ids), txF), rngs[1])
 
         nf = int(getattr(opt, "data_temporal_number_frames", 2) or 2)
         ex_clip = jnp.zeros((1, nf, size, size, opt.model_input_nc),
@@ -114,10 +197,24 @@ class CUTModel(BaseModel):
             ex_d = (ex_clip if "temporal" in name
                     else ex_onehot if "mask" in name else ex_img)
             self.states[name] = init_net_state(rngs[2 + i], netD, (ex_d,), tx)
+            if any(t in name for t in ("basic", "n_layers", "pixel", "mask")):
+                # only the PatchGAN-family Ds get init_net in the reference
+                # (gan_networks.py:366-443); frozen-trunk Ds are excluded
+                self.states[name] = scheme(self.states[name], rngs[2 + i])
             if "projected" in name or "temporal" in name:
-                from .modules.projected_d import load_efficientnet_trunk
-                self.states[name] = self.states[name].replace(
-                    params=load_efficientnet_trunk(self.states[name].params))
+                if getattr(opt, "D_proj_network_type",
+                           "efficientnet") == "segformer" \
+                        and "temporal" not in name:
+                    from .modules.segformer import load_mit_backbone
+                    self.states[name] = self.states[name].replace(
+                        params=load_mit_backbone(
+                            self.states[name].params,
+                            node_name="feature_network"))
+                else:
+                    from .modules.projected_d import load_efficientnet_trunk
+                    self.states[name] = self.states[name].replace(
+                        params=load_efficientnet_trunk(
+                            self.states[name].params))
             if "vision_aided" in name:
                 from ..utils.clip_vit import load_clip_ref_encoder
                 self.states[name] = self.states[name].replace(
@@ -176,6 +273,13 @@ class CUTModel(BaseModel):
                     self.states["f_s"] = self.states["f_s"].replace(
                         params=load_vgg_fcn8s_trunk(
                             self.states["f_s"].params))
+                if self.disjoint_f_s:
+                    # two segmenters: f_s (domain A) + f_s_B (domain B)
+                    # (reference base_model.py:301-310)
+                    self.txs["f_s_B"] = tx
+                    self.states["f_s_B"] = init_net_state(
+                        jax.random.fold_in(rngs[7], 1), self.netf_s,
+                        (ex_img,), tx)
 
         pool_size = int(getattr(opt, "train_pool_size", 50))
         self.pool = ImagePool.create(
@@ -204,6 +308,10 @@ class CUTModel(BaseModel):
             out["cls_A"] = np.asarray(batch["A_label_cls"], np.int32)
         if "A_label_mask" in batch:
             out["mask_A"] = batch["A_label_mask"]
+        if "B_label_mask" in batch and (self.mask_f_s_B or self.sem_idt):
+            out["mask_B"] = batch["B_label_mask"]
+        if "B_label_cls" in batch and (self.sem_cls_B or self.sem_idt):
+            out["cls_B"] = np.asarray(batch["B_label_cls"], np.int32)
         if self.fs_is_sam and "A_ref_bbox" in batch:
             out["ref_bbox_A"] = np.asarray(batch["A_ref_bbox"], np.float32)
         return out
@@ -215,6 +323,42 @@ class CUTModel(BaseModel):
         (reference base_gan_model temporal fakes + temporal D)."""
         return "temporal" in self.netDs or any(
             "temporal" in n for n in self.netDs)
+
+    def _d_apply(self, name, netD, params, x, rng):
+        """Apply a D; PatchGAN Ds get live dropout when D_dropout."""
+        if self.d_dropout and any(t in name for t in ("basic", "n_layers",
+                                                      "mask")):
+            return netD.apply(params, x, deterministic=False,
+                              rngs={"dropout": rng})
+        return netD.apply(params, x)
+
+    def _ce(self, logits, labels, weights=None):
+        ce = _softmax_ce(logits, labels)
+        if weights:
+            w = jnp.asarray(weights, ce.dtype)[
+                jnp.clip(labels, 0, len(weights) - 1)]
+            ce = ce * w
+        return jnp.mean(ce)
+
+    def _cls_crit(self, pred, label):
+        """CE, or MSE/L1 regression when train_cls_regression
+        (reference base_model.py:246-252)."""
+        if self.cls_regression:
+            pv = pred.reshape(pred.shape[0], -1)[:, 0]
+            d = pv - label.astype(pv.dtype)
+            return (jnp.mean(jnp.abs(d)) if self.cls_l1_regression
+                    else jnp.mean(d * d))
+        return self._ce(pred, label, self.cls_weights)
+
+    def _out_mask_crit(self, a, b):
+        """L1 / MSE / Charbonnier out-of-mask identity criterion
+        (reference base_model.py:326-335)."""
+        d = a - b
+        if self.out_mask_loss == "MSE":
+            return jnp.mean(d * d)
+        if self.out_mask_loss == "Charbonnier":
+            return jnp.mean(jnp.sqrt(d * d + self.charbonnier_eps ** 2))
+        return jnp.mean(jnp.abs(d))
 
     @staticmethod
     def _fold(a):
@@ -236,16 +380,23 @@ class CUTModel(BaseModel):
                 fq, fk, self.nce_T, batch, self.num_patches,
                 self.include_all_neg)), 0.0
         hdce, src = src_hdce_loss(fq, fk, self.nce_T, batch,
-                                  self.num_patches, self.include_all_neg)
+                                  self.num_patches, self.include_all_neg,
+                                  gamma=self.hdce_gamma)
         return jnp.mean(hdce), jnp.mean(src)
 
-    def _nce_total(self, paramsG, paramsF, src_img, tgt_img, rng):
-        """calculate_NCE_loss (reference cut_model.py:889-926)."""
+    def _nce_total(self, paramsG, paramsF, src_img, tgt_img, rng,
+                   flipped=None):
+        """calculate_NCE_loss (reference cut_model.py:889-926). With
+        flip-equivariance, feat_q is flipped back (reference :869-871 — the
+        reference flips only q, matching upstream CUT)."""
         b = src_img.shape[0]
         feats_k = self.netG.apply(paramsG, src_img,
                                   extract_layer_ids=self.nce_layers)
         feats_q = self.netG.apply(paramsG, tgt_img,
                                   extract_layer_ids=self.nce_layers)
+        if flipped is not None:
+            feats_q = [jnp.where(flipped, f[:, :, ::-1, :], f)
+                       for f in feats_q]
         ids = sample_patch_ids(rng, feats_k, self.num_patches)
         fq = self.netF.apply(paramsF, feats_q, ids)
         fk = self.netF.apply(paramsF, feats_k, ids)
@@ -302,6 +453,14 @@ class CUTModel(BaseModel):
         real_A5, real_B5 = inp["real_A"], inp["real_B"]
         video = getattr(real_A5, "ndim", 4) == 5
         real_A, real_B = self._fold(real_A5), self._fold(real_B5)
+        flipped = None
+        if self.flip_equivariance:
+            # FastCUT: flip the whole forward with prob 0.5; NCE q-features
+            # are flipped back (reference cut_model.py:619-624,869-871)
+            rng, rng_flip = jax.random.split(rng)
+            flipped = jax.random.bernoulli(rng_flip)
+            real_A = jnp.where(flipped, real_A[:, :, ::-1, :], real_A)
+            real_B = jnp.where(flipped, real_B[:, :, ::-1, :], real_B)
         fake_B = self.netG.apply(paramsG, real_A)
         fake_clip = (fake_B.reshape(real_A5.shape[:2] + fake_B.shape[1:])
                      if video else None)
@@ -316,13 +475,28 @@ class CUTModel(BaseModel):
                 continue         # (reference base_gan_model.py:467)
             d_in = (fake_clip if ("temporal" in name and fake_clip
                                   is not None) else fake_for_D)
-            pred = netD.apply(d_params[name], d_in)
-            if self.gan_mode == "projected":
-                g_gan += -jnp.mean(pred)
-            elif self.gan_mode == "wgangp":
-                g_gan += -jnp.mean(pred)
+            rng, rng_d = jax.random.split(rng)
+
+            def g_term(d_in=d_in, name=name, netD=netD, rng_d=rng_d):
+                pred = self._d_apply(name, netD, d_params[name], d_in, rng_d)
+                if self.contrastive_d:
+                    # contrastive G objective (reference loss.py:392-394)
+                    from .modules.cut_networks import contrastive_gan_loss
+                    real_in = real_B5 if ("temporal" in name and fake_clip
+                                          is not None) else real_B
+                    pred_real = netD.apply(d_params[name], real_in)
+                    return contrastive_gan_loss(-pred_real, -pred)
+                if self.gan_mode in ("projected", "wgangp"):
+                    return -jnp.mean(pred)
+                return gan_loss(pred, True, self.gan_mode)
+
+            if "temporal" in name and self.d_temporal_every > 1 \
+                    and "_niter" in inp:
+                active = (inp["_niter"] % self.d_temporal_every) == 0
+                g_gan += jax.lax.cond(
+                    active, g_term, lambda: jnp.asarray(0.0, jnp.float32))
             else:
-                g_gan += gan_loss(pred, True, self.gan_mode)
+                g_gan += g_term()
         losses["G_GAN"] = g_gan * self.lambda_gan
 
         if fake_clip is not None and (getattr(self.opt,
@@ -334,31 +508,106 @@ class CUTModel(BaseModel):
             losses["G_temporal"] = lam_t * self._temporal_criterion(fake_clip)
 
         rng_nce, rng_idt = jax.random.split(rng)
-        nce, src = self._nce_total(paramsG, paramsF, real_A, fake_B, rng_nce)
+        nce, src = self._nce_total(paramsG, paramsF, real_A, fake_B, rng_nce,
+                                   flipped)
         losses["G_NCE"] = nce * self.lambda_nce
         if self.lambda_src > 0:
             losses["G_SRC"] = src * self.lambda_src
         idt_B = None
-        if self.nce_idt:
+        if self.nce_idt or self.mse_idt or self.sem_idt:
             idt_B = self.netG.apply(paramsG, real_B)
-            nce_y, _ = self._nce_total(paramsG, paramsF, real_B, idt_B, rng_idt)
+        if self.nce_idt:
+            nce_y, _ = self._nce_total(paramsG, paramsF, real_B, idt_B,
+                                       rng_idt, flipped)
             losses["G_NCE_Y"] = nce_y * self.lambda_nce
             losses["G_NCE"] = (losses["G_NCE"] + losses["G_NCE_Y"]) * 0.5
             losses.pop("G_NCE_Y")
+        if self.mse_idt:
+            # identity pixel loss (reference cut_model.py:309-310,771-777;
+            # criterionIdt is an L1 despite the flag name)
+            losses["G_MSE_idt"] = self.lambda_mse_idt * jnp.mean(
+                jnp.abs(real_B - idt_B))
+
+        if self.supervised:
+            # supervised loss with aligned data (reference cut_model.py:779-833)
+            sup = 0.0
+            if "MSE" in self.supervised:
+                sup += self.lambda_supervised * jnp.mean(
+                    (fake_B - real_B) ** 2)
+            elif "L1" in self.supervised:
+                sup += self.lambda_supervised * jnp.mean(
+                    jnp.abs(fake_B - real_B))
+            if "LPIPS" in self.supervised or "DISTS" in self.supervised:
+                from ..utils.metrics import (dists_from_feats,
+                                             lpips_from_feats,
+                                             vgg_feature_fn)
+                a, b = real_B, fake_B
+                if a.shape[-1] == 1:
+                    a = jnp.tile(a, (1, 1, 1, 3))
+                    b = jnp.tile(b, (1, 1, 1, 3))
+                if self._perc_feats is None:
+                    self._perc_feats = vgg_feature_fn(
+                        a.shape[1:],
+                        mean=getattr(self.opt, "alg_cut_dists_mean", None),
+                        std=getattr(self.opt, "alg_cut_dists_std", None))
+                fa, fb = self._perc_feats(a), self._perc_feats(b)
+                if "LPIPS" in self.supervised:
+                    sup += self.lambda_perceptual * jnp.mean(
+                        lpips_from_feats(fa, fb))
+                if "DISTS" in self.supervised:
+                    sup += self.lambda_perceptual * jnp.mean(
+                        dists_from_feats(fa, fb))
+            losses["G_supervised"] = sup
 
         if self.semantic_cls and "cls_A" in inp:
+            # gate: only push the G when CLS itself is good enough
+            # (reference base_gan_model.py:719-729)
+            gate = inp.get("_cls_gate", 1.0)
             logits = self.netCLS.apply(inp["_cls_params"], fake_B)
-            losses["G_sem_cls"] = self.cls_lambda * jnp.mean(
-                _softmax_ce(logits, inp["cls_A"]))
+            losses["G_sem_cls"] = gate * self.cls_lambda * self._cls_crit(
+                logits, inp["cls_A"])
+            if self.sem_idt and idt_B is not None and "cls_B" in inp:
+                logits_i = self.netCLS.apply(inp["_cls_params"], idt_B)
+                losses["G_sem_cls_idt"] = (gate * self.cls_lambda *
+                                           self._cls_crit(logits_i,
+                                                          inp["cls_B"]))
         if self.semantic_mask and "mask_A" in inp:
-            logits = self.netf_s.apply(inp["_fs_params"], fake_B)
-            losses["G_sem_mask"] = self.mask_lambda * jnp.mean(
-                _softmax_ce(logits, inp["mask_A"][..., 0]))
+            gate = inp.get("_fs_gate", 1.0)
+            fsB = inp.get("_fs_params_B", inp["_fs_params"])
+            logits = self.netf_s.apply(fsB, fake_B)
+            mask_A = self._fold(inp["mask_A"])[..., 0]
+            if self.mask_for_removal:
+                # object removal: push fake toward "no object anywhere"
+                # (reference base_gan_model.py:756-757)
+                label_fake = jnp.zeros_like(mask_A)
+            elif self.sem_net_output or any("mask" in n for n in self.netDs):
+                # target = f_s's own prediction on the source (reference
+                # base_gan_model.py:758-762)
+                pred_A = self.netf_s.apply(inp["_fs_params"], real_A)
+                label_fake = jax.lax.stop_gradient(
+                    jnp.argmax(pred_A, axis=-1))
+            else:
+                label_fake = mask_A
+            losses["G_sem_mask"] = gate * self.mask_lambda * self._ce(
+                logits, label_fake, self.fs_weights)
+            if self.sem_idt and idt_B is not None:
+                if self.mask_for_removal:
+                    label_idt = jnp.zeros_like(mask_A)
+                elif self.sem_net_output or "mask_B" not in inp:
+                    pred_B = self.netf_s.apply(fsB, real_B)
+                    label_idt = jax.lax.stop_gradient(
+                        jnp.argmax(pred_B, axis=-1))
+                else:
+                    label_idt = self._fold(inp["mask_B"])[..., 0]
+                logits_i = self.netf_s.apply(fsB, idt_B)
+                losses["G_sem_mask_idt"] = (gate * self.mask_lambda *
+                                            self._ce(logits_i, label_idt,
+                                                     self.fs_weights))
             if self.out_mask:
                 m = jnp.clip(self._fold(inp["mask_A"]).astype(fake_B.dtype),
                              0, 1)
-                losses["G_out_mask"] = self.lambda_out_mask * jnp.mean(
-                    jnp.abs(fake_B * (1 - m) - real_A * (1 - m)))
+                losses["G_out_mask"] = self.lambda_out_mask * \
+                    self._out_mask_crit(fake_B * (1 - m), real_A * (1 - m))
 
         total = sum(losses.values())
         return total, (losses, fake_B, idt_B, fake_clip)
@@ -367,21 +616,73 @@ class CUTModel(BaseModel):
         txG, txF = self.txs["G_A"], self.txs["F"]
         d_names = list(self.netDs.keys())
 
-        def step(states, pool, apa_p, rng, inp):
+        def step(states, pool, apa_p, d_diff_p, rng, inp):
             from ..parallel.mesh import dequantize_on_device
             inp = dict(inp)
             for key in ("real_A", "real_B"):
                 inp[key] = dequantize_on_device(inp[key], "image")
-            if "mask_A" in inp:
-                inp["mask_A"] = dequantize_on_device(inp["mask_A"], "label")
+            for mkey in ("mask_A", "mask_B"):
+                if mkey in inp:
+                    inp[mkey] = dequantize_on_device(inp[mkey], "label")
             rngs = jax.random.split(rng, 8)
             d_params = {n: jax.lax.stop_gradient(states[n].params)
                         for n in d_names}
             inp = dict(inp)
+            states = dict(states)
+            if self.semantic_cls and "cls_A" in inp:
+                def cls_loss(p):
+                    l = self._cls_crit(self.netCLS.apply(
+                        p, self._fold(inp["real_A"])), inp["cls_A"])
+                    if self.sem_cls_B and "cls_B" in inp:
+                        # reference base_model.py:1511-1520
+                        l = l + self._cls_crit(self.netCLS.apply(
+                            p, self._fold(inp["real_B"])), inp["cls_B"])
+                    return l
+                cl, cgrads = jax.value_and_grad(cls_loss)(states["CLS"].params)
+                states["CLS"] = apply_updates(states["CLS"], cgrads,
+                                              self.txs["CLS"])
+                losses_heads = {"CLS": cl}
+                inp["_cls_gate"] = (cl <= self.cls_threshold).astype(
+                    jnp.float32)
+            else:
+                losses_heads = {}
+            if self.semantic_mask and "mask_A" in inp and not self.fs_is_sam:
+                fs_argnums = (0, 1) if self.disjoint_f_s else (0,)
+
+                def fs_loss(p, pB):
+                    l = 0.0
+                    if not self.no_train_f_s_A:
+                        l = l + self._ce(
+                            self.netf_s.apply(p, self._fold(inp["real_A"])),
+                            self._fold(inp["mask_A"])[..., 0],
+                            self.fs_weights)
+                    if self.mask_f_s_B and "mask_B" in inp:
+                        # reference base_model.py:1479-1495
+                        pb = pB if self.disjoint_f_s else p
+                        l = l + self._ce(
+                            self.netf_s.apply(pb, self._fold(inp["real_B"])),
+                            self._fold(inp["mask_B"])[..., 0],
+                            self.fs_weights)
+                    return l
+
+                pB0 = (states["f_s_B"].params if self.disjoint_f_s
+                       else states["f_s"].params)
+                fl, fgrads = jax.value_and_grad(fs_loss, argnums=fs_argnums)(
+                    states["f_s"].params, pB0)
+                states["f_s"] = apply_updates(states["f_s"], fgrads[0],
+                                              self.txs["f_s"])
+                if self.disjoint_f_s:
+                    states["f_s_B"] = apply_updates(
+                        states["f_s_B"], fgrads[1], self.txs["f_s_B"])
+                losses_heads["f_s"] = fl
+                inp["_fs_gate"] = (fl <= self.fs_threshold).astype(jnp.float32)
             if self.semantic_cls:
                 inp["_cls_params"] = jax.lax.stop_gradient(states["CLS"].params)
             if self.semantic_mask:
                 inp["_fs_params"] = jax.lax.stop_gradient(states["f_s"].params)
+                if self.disjoint_f_s:
+                    inp["_fs_params_B"] = jax.lax.stop_gradient(
+                        states["f_s_B"].params)
                 if self.fs_is_sam:
                     # f_s_net=sam: the GT label mask is SAM's prediction on
                     # real_A, prompted by the ref bbox (reference
@@ -391,6 +692,7 @@ class CUTModel(BaseModel):
                         boxes=inp.get("ref_bbox_A"))
                     inp["mask_A"] = (logits[..., 1:2] > 0).astype(jnp.int32)
 
+            inp["_niter"] = states["G_A"].step
             # --- G + F group
             (gtot, (losses, fake_B, idt_B, fake_clip)), grads = \
                 jax.value_and_grad(
@@ -398,7 +700,6 @@ class CUTModel(BaseModel):
                                                 inp),
                     argnums=(0, 1), has_aux=True)(
                         states["G_A"].params, states["F"].params)
-            states = dict(states)
             states["G_A"] = apply_updates(states["G_A"], grads[0], txG,
                                           self.ema_beta)
             states["F"] = apply_updates(states["F"], grads[1], txF)
@@ -422,6 +723,36 @@ class CUTModel(BaseModel):
                     rngs[4], real_in.shape, real_in.dtype)
                 fake_in = fake_in + self.d_noise * jax.random.normal(
                     rngs[5], fake_in.shape, fake_in.dtype)
+            if self.d_diffusion:
+                # adaptive diffusion-noise augmentation of D inputs
+                # (reference projected_d/diffusion.py:84-160): per-image
+                # q-sample at a t whose range and probability grow with the
+                # adapted intensity p
+                from ..ops.schedules import make_beta_schedule
+                t_min, t_max = 10, 1000
+                gbar = np.sqrt(np.cumprod(
+                    1.0 - make_beta_schedule("linear", t_max, 1e-4, 2e-2)))
+                gbar = jnp.asarray(np.concatenate([[1.0], gbar]), jnp.float32)
+
+                def _qsample(x, key):
+                    k1, k2, k3 = jax.random.split(key, 3)
+                    b = x.shape[0]
+                    t_cur = t_min + d_diff_p * (t_max - t_min)
+                    # weights prop. to t, masked beyond the current horizon
+                    ar = jnp.arange(1, t_max + 1, dtype=jnp.float32)
+                    logw = jnp.where(ar <= t_cur, jnp.log(ar), -jnp.inf)
+                    t = jax.random.categorical(k1, logw[None], axis=-1,
+                                               shape=(b,)) + 1
+                    frac = jnp.minimum(d_diff_p * 64.0, 48.0) / 64.0
+                    use = jax.random.uniform(k2, (b,)) < frac
+                    t = jnp.where(use, t, 0)
+                    g = jnp.take(gbar, t)[:, None, None, None].astype(x.dtype)
+                    eps = jax.random.normal(k3, x.shape, x.dtype)
+                    return g * x + jnp.sqrt(1.0 - g * g) * eps
+
+                ka, kb = jax.random.split(jax.random.fold_in(rngs[4], 7))
+                real_in = _qsample(real_in, ka)
+                fake_in = _qsample(fake_in, kb)
             real_in = self._augment(rngs[2], real_in)
             fake_in = self._augment(rngs[3], fake_in)
             if self.apa:
@@ -452,19 +783,58 @@ class CUTModel(BaseModel):
                     d_real = real_B5 if temporal else real_in
                     d_fake = fake_clip_sg if temporal else fake_in
 
-                def d_loss(p, d_real=d_real, d_fake=d_fake):
-                    logits_real = netD.apply(p, d_real)
-                    lr = gan_loss(logits_real, True, self.gan_mode)
-                    lf = gan_loss(netD.apply(p, d_fake), False,
-                                  self.gan_mode)
-                    return 0.5 * (lr + lf), logits_real
+                def d_loss(p, d_real=d_real, d_fake=d_fake, n=n):
+                    kr = jax.random.fold_in(rngs[5], (hash(n) % 997) * 2)
+                    kf = jax.random.fold_in(rngs[5], (hash(n) % 997) * 2 + 1)
+                    logits_real = self._d_apply(n, netD, p, d_real, kr)
+                    logits_fake = self._d_apply(n, netD, p, d_fake, kf)
+                    if self.contrastive_d:
+                        # reference loss.py:377-390
+                        from .modules.cut_networks import contrastive_gan_loss
+                        lr = contrastive_gan_loss(logits_real, logits_fake)
+                        lf = contrastive_gan_loss(-logits_fake, -logits_real)
+                    else:
+                        lr = gan_loss(logits_real, True, self.gan_mode,
+                                      smooth=self.d_label_smooth)
+                        lf = gan_loss(logits_fake, False, self.gan_mode)
+                    return 0.5 * (lr + lf), (logits_real, lr)
 
-                (dl, logits_real), dgrads = jax.value_and_grad(
-                    d_loss, has_aux=True)(states[n].params)
-                if apa_logits_real is None:
-                    apa_logits_real = logits_real
-                states[n] = apply_updates(states[n], dgrads, self.txs[n])
+                def d_update():
+                    (dl, (logits_real, d_loss_real)), dgrads = \
+                        jax.value_and_grad(d_loss, has_aux=True)(
+                            states[n].params)
+                    return (apply_updates(states[n], dgrads, self.txs[n]),
+                            dl, logits_real, d_loss_real)
+
+                if "temporal" in n and self.d_temporal_every > 1:
+                    # reference base_gan_model.py:388: the temporal D only
+                    # trains every D_temporal_every iterations; the skipped
+                    # branch does no D compute at all
+                    active = (inp["_niter"] % self.d_temporal_every) == 0
+                    zero = jnp.asarray(0.0, jnp.float32)
+
+                    def d_update_slim():
+                        st, dl, _, _ = d_update()
+                        return st, dl
+
+                    states[n], dl = jax.lax.cond(
+                        active, d_update_slim, lambda: (states[n], zero))
+                else:
+                    states[n], dl, logits_real, d_loss_real = d_update()
+                    if apa_logits_real is None:
+                        apa_logits_real = logits_real
+                        first_d_loss_real = d_loss_real
                 losses[f"D_{n}"] = dl
+
+            if self.d_diffusion and apa_logits_real is not None:
+                # p adaptation by the D real-loss heuristic (reference
+                # loss.py:315-331, amortized per step instead of every
+                # `dataaug_D_diffusion_every` steps)
+                adj = jnp.sign(first_d_loss_real - 0.9)
+                d_diff_p = jnp.clip(
+                    d_diff_p + adj * real_B.shape[0] / (100.0 * 1000.0),
+                    0.0, 1.0)
+                losses["D_diff_p"] = d_diff_p
 
             if self.apa and apa_logits_real is not None:
                 # p adaptation from the D-real logit sign heuristic
@@ -475,29 +845,44 @@ class CUTModel(BaseModel):
                 apa_p = jnp.clip(apa_p + adjust * step_sz, 0.0, 1.0)
                 losses["APA_p"] = apa_p
 
-            # --- semantic heads train on real data (base_model.py:1442-1520)
-            if self.semantic_cls and "cls_A" in inp:
-                def cls_loss(p):
-                    logits = self.netCLS.apply(p, inp["real_A"])
-                    return jnp.mean(_softmax_ce(logits, inp["cls_A"]))
-                cl, cgrads = jax.value_and_grad(cls_loss)(states["CLS"].params)
-                states["CLS"] = apply_updates(states["CLS"], cgrads,
-                                              self.txs["CLS"])
-                losses["CLS"] = cl
-            if self.semantic_mask and "mask_A" in inp \
-                    and not self.fs_is_sam:
-                def fs_loss(p):
-                    logits = self.netf_s.apply(p, inp["real_A"])
-                    return jnp.mean(_softmax_ce(logits, inp["mask_A"][..., 0]))
-                fl, fgrads = jax.value_and_grad(fs_loss)(states["f_s"].params)
-                states["f_s"] = apply_updates(states["f_s"], fgrads,
-                                              self.txs["f_s"])
-                losses["f_s"] = fl
+            # semantic heads were updated before the G group (gates)
+            losses.update(losses_heads)
 
-            return states, pool, apa_p, losses
+            return states, pool, apa_p, d_diff_p, losses
 
         donate = (0, 1) if getattr(self.opt, "tpu_donate", True) else ()
         return jax.jit(step, donate_argnums=donate)
+
+    def compute_miou(self, batch):
+        """Soft mIoU of f_s on the current batch (reference
+        base_model.py:1379-1416; probabilities instead of the reference's
+        log-probabilities, which make the soft IoU ill-defined)."""
+        if not self.semantic_mask or self.fs_is_sam:
+            return {}
+        inp = self.set_input(batch)
+        dev = self.put_batch(inp)
+        fs = self.states["f_s"].params
+        fsB = self.states.get("f_s_B", self.states["f_s"]).params
+
+        def iou(logits, target):
+            pred = jax.nn.softmax(logits.astype(jnp.float32), -1)
+            onehot = jax.nn.one_hot(
+                jnp.clip(target, 0, pred.shape[-1] - 1), pred.shape[-1])
+            inter = jnp.sum(pred * onehot)
+            union = jnp.sum(pred + onehot) - inter
+            return float(inter / jnp.maximum(union, 1e-8))
+
+        real_A = self._fold(jnp.asarray(dev["real_A"]))
+        mask_A = self._fold(jnp.asarray(dev["mask_A"]))[..., 0]
+        out = {"miou_real_A": iou(self.netf_s.apply(fs, real_A), mask_A)}
+        if "B_label_mask" in batch:
+            real_B = self._fold(jnp.asarray(dev["real_B"]))
+            mask_B = self._fold(jnp.asarray(
+                self.put_batch({"m": batch["B_label_mask"]})["m"]))[..., 0]
+            out["miou_real_B"] = iou(self.netf_s.apply(fsB, real_B), mask_B)
+        fake_B = self.netG.apply(self.states["G_A"].params, real_A)
+        out["miou_fake_B"] = iou(self.netf_s.apply(fsB, fake_B), mask_A)
+        return out
 
     def prepare_batch(self, batch):
         """Host work + upload, separable so train.py overlaps transfers
@@ -505,14 +890,16 @@ class CUTModel(BaseModel):
         from ..parallel.mesh import quantize_batch
         inp = self.set_input(batch)
         inp = quantize_batch(inp, float_keys=("real_A", "real_B"),
-                             int_keys=("mask_A",))
+                             int_keys=("mask_A", "mask_B"))
         return self.put_batch(inp)
 
     def optimize_prepared(self, dev):
         if self._jit_step is None:
             self._jit_step = self._make_step()
-        self.states, self.pool, self.apa_p, losses = self._jit_step(
-            self.states, self.pool, self.apa_p, self.next_rng(), dev)
+        (self.states, self.pool, self.apa_p, self.d_diff_p,
+         losses) = self._jit_step(
+            self.states, self.pool, self.apa_p, self.d_diff_p,
+            self.next_rng(), dev)
         self.loss_log = losses  # device scalars, lazy host sync
         return self.loss_log
 

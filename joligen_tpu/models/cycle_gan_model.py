@@ -11,7 +11,8 @@ import numpy as np
 
 from .base import BaseModel
 from .gan_networks import define_D, define_G
-from .train_state import apply_updates, init_net_state, make_optimizer
+from .train_state import (apply_init_scheme, apply_updates, init_net_state,
+                          make_optimizer)
 from .modules.cut_networks import gan_loss
 from .modules.image_pool import ImagePool
 
@@ -30,6 +31,9 @@ class CycleGANModel(BaseModel):
         self.diff_policy = getattr(opt, "dataaug_diff_aug_policy", "") or ""
         self.diff_prob = float(getattr(opt, "dataaug_diff_aug_proba", 0.5))
         self.d_noise = float(getattr(opt, "dataaug_D_noise", 0.0) or 0.0)
+        # one-sided label smoothing (reference loss.py:277-280)
+        self.d_label_smooth = (0.1 if getattr(opt, "dataaug_D_label_smooth",
+                                              False) else 0.0)
 
         size = opt.data_crop_size
         self.netG_A = define_G(opt)
@@ -43,8 +47,16 @@ class CycleGANModel(BaseModel):
                 [("G_A", self.netG_A), ("G_B", self.netG_B)]):
             tx = make_optimizer(opt, getattr(opt, "train_G_lr", 2e-4))
             self.txs[name] = tx
-            self.states[name] = init_net_state(rngs[i], net, (ex,), tx,
-                                               use_ema=self.use_ema)
+            st = init_net_state(rngs[i], net, (ex,), tx,
+                                use_ema=self.use_ema)
+            params = apply_init_scheme(
+                rngs[i], st.params,
+                getattr(opt, "model_init_type", "normal") or "normal",
+                float(getattr(opt, "model_init_gain", 0.02) or 0.02))
+            self.states[name] = st.replace(
+                params=params,
+                ema_params=(jax.tree.map(jnp.copy, params)
+                            if st.ema_params is not None else None))
         self.d_names = []
         k = 2
         for dom, ds in (("A", self.netDs_A), ("B", self.netDs_B)):
@@ -53,6 +65,15 @@ class CycleGANModel(BaseModel):
                 tx = make_optimizer(opt, getattr(opt, "train_D_lr", 2e-4))
                 self.txs[sname] = tx
                 self.states[sname] = init_net_state(rngs[k], netD, (ex,), tx)
+                if any(t in name for t in ("basic", "n_layers", "pixel",
+                                           "mask")):
+                    self.states[sname] = self.states[sname].replace(
+                        params=apply_init_scheme(
+                            rngs[k], self.states[sname].params,
+                            getattr(opt, "model_init_type", "normal")
+                            or "normal",
+                            float(getattr(opt, "model_init_gain", 0.02)
+                                  or 0.02)))
                 if "projected" in name or "temporal" in name:
                     from .modules.projected_d import load_efficientnet_trunk
                     self.states[sname] = self.states[sname].replace(
@@ -162,7 +183,8 @@ class CycleGANModel(BaseModel):
                                            pooled)
 
                 def d_loss(p, real=real, pooled=pooled_aug):
-                    lr = gan_loss(netD.apply(p, real), True, self.gan_mode)
+                    lr = gan_loss(netD.apply(p, real), True, self.gan_mode,
+                                  smooth=self.d_label_smooth)
                     lf = gan_loss(netD.apply(p, pooled), False, self.gan_mode)
                     return 0.5 * (lr + lf)
 

@@ -38,6 +38,7 @@ def define_inner_G(opt):
             dropout=0.0,
             tanh=False,
             attn_norm=getattr(opt, "G_unet_mha_attn_norm", "group"),
+            freq_space=getattr(opt, "train_feat_wavelet", False),
             remat=getattr(opt, "tpu_remat", False),
             dtype=dtype,
         )
@@ -49,7 +50,9 @@ def define_inner_G(opt):
             nb_mask_input=opt.G_attn_nb_mask_input,
             ngf=opt.G_ngf, n_blocks=opt.G_nblocks,
             cond_embed_dim=opt.alg_diffusion_cond_embed_dim,
-            norm=opt.G_norm, padding_type=opt.G_padding_type, dtype=dtype)
+            norm=opt.G_norm, padding_type=opt.G_padding_type,
+            freq_space=getattr(opt, "train_feat_wavelet", False),
+            dtype=dtype)
     if netG == "unet_vid":
         from .modules.unet_vid import UNetVid
         return UNetVid(

@@ -22,7 +22,10 @@ def define_G(opt):
             n_blocks=opt.G_nblocks, norm=opt.G_norm,
             padding_type=opt.G_padding_type,
             dropout=0.5 if opt.G_dropout else 0.0,
-            mobile="mobile" in netG, dtype=dtype)
+            mobile="mobile" in netG,
+            freq_space=getattr(opt, "train_feat_wavelet", False),
+            use_spectral=getattr(opt, "G_spectral", False),
+            dtype=dtype)
     if netG in ("resnet_attn", "mobile_resnet_attn"):
         return ResnetGeneratorAttn(
             out_channels=opt.model_output_nc,
@@ -30,7 +33,10 @@ def define_G(opt):
             nb_mask_input=opt.G_attn_nb_mask_input,
             ngf=opt.G_ngf, n_blocks=opt.G_nblocks, norm=opt.G_norm,
             padding_type=opt.G_padding_type,
-            mobile="mobile" in netG, dtype=dtype)
+            mobile="mobile" in netG,
+            freq_space=getattr(opt, "train_feat_wavelet", False),
+            use_spectral=getattr(opt, "G_spectral", False),
+            dtype=dtype)
     if netG in ("unet_mha", "uvit"):
         from .modules.unet_mha import UNetMHA
         return UNetMHA(
@@ -46,6 +52,7 @@ def define_G(opt):
             num_head_channels=opt.G_unet_mha_num_head_channels,
             norm=opt.G_unet_mha_norm_layer,
             group_size=opt.G_unet_mha_group_norm_size,
+            freq_space=getattr(opt, "train_feat_wavelet", False),
             tanh=True, dtype=dtype)
     if "segformer" in netG:  # segformer_attn_conv
         from .modules.segformer import SegformerGeneratorAttn
@@ -81,18 +88,40 @@ def define_D(opt, names=None):
     names = names if names is not None else list(opt.D_netDs)
     ds = {}
     for name in names:
-        if name == "basic":
+        if name in ("basic", "n_layers"):
+            # the reference pins basic at 3 layers and only n_layers reads
+            # D_n_layers (gan_networks.py:356-377); honoring D_n_layers for
+            # both (default 3) keeps reference configs identical while
+            # letting small-resolution configs shrink the PatchGAN
             ds["D_B_" + name] = NLayerDiscriminator(
-                ndf=opt.D_ndf, n_layers=opt.D_n_layers, norm=opt.D_norm,
+                ndf=opt.D_ndf,
+                n_layers=opt.D_n_layers,
+                norm=opt.D_norm,
                 antialias=not getattr(opt, "D_no_antialias", False),
+                use_dropout=getattr(opt, "D_dropout", False),
+                use_spectral=getattr(opt, "D_spectral", False),
+                freq_space=getattr(opt, "train_feat_wavelet", False),
                 dtype=dtype)
         elif name == "pixel":
             ds["D_B_" + name] = PixelDiscriminator(
                 ndf=opt.D_ndf, norm=opt.D_norm, dtype=dtype)
         elif name == "projected_d":
-            from .modules.projected_d import ProjectedDiscriminator
+            from .modules.projected_d import (_LITE0_STAGES, _LITE3_STAGES,
+                                              ProjectedDiscriminator)
+            ptype = getattr(opt, "D_proj_network_type",
+                            "efficientnet") or "efficientnet"
+            if ptype in ("vitbase", "vitsmall", "vitclip16", "siglip",
+                         "dinov2_vitb14"):
+                raise NotImplementedError(
+                    f"D_proj_network_type={ptype}: use D_netDs vision_aided "
+                    "(frozen CLIP tower) or sam for ViT-feature "
+                    "discriminators in this framework")
             ds["D_B_" + name] = ProjectedDiscriminator(
-                interp=getattr(opt, "D_proj_interp", -1), dtype=dtype)
+                interp=getattr(opt, "D_proj_interp", -1),
+                network_type=ptype,
+                trunk_stages=(_LITE3_STAGES if ptype == "depth"
+                              else _LITE0_STAGES),
+                dtype=dtype)
         elif name == "temporal":
             from .modules.projected_d import TemporalProjectedDiscriminator
             ds["D_B_" + name] = TemporalProjectedDiscriminator(
@@ -135,7 +164,13 @@ def define_D(opt, names=None):
                 antialias=not getattr(opt, "D_no_antialias", False),
                 dtype=dtype)
         else:
-            raise NotImplementedError(f"discriminator {name}")
+            # torchvision-template classifier D (reference
+            # gan_networks.py:383-393 TORCH_MODEL_CLASSES)
+            from .modules.semantic_networks import ResNetTemplate
+            if name in ResNetTemplate._CFG:
+                ds["D_B_" + name] = ResNetTemplate(nclasses=1, variant=name)
+            else:
+                raise NotImplementedError(f"discriminator {name}")
     return ds
 
 

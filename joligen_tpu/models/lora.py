@@ -68,13 +68,25 @@ def init_lora(rng, params, rank=8, targets=DEFAULT_TARGETS):
     return adapters
 
 
-def merge_lora(params, adapters, alpha=16.0, rank=8):
-    """Base params + scaled adapter deltas (traced into the step)."""
+def merge_lora(params, adapters, alpha=16.0, rank=8, dropout=0.0, rng=None):
+    """Base params + scaled adapter deltas (traced into the step).
+
+    ``dropout`` implements alg_b2b_lora_dropout (reference
+    b2b_model.py:312,464-466 via peft): peft drops the adapter-input
+    activations; in this merged-weight formulation the equivalent
+    expectation-preserving form drops whole input rows of the A factor
+    per step (inverted dropout). Only active when ``rng`` is given."""
     scale = alpha / max(1, rank)
     flat = dict(traverse_util.flatten_dict(params["params"]))
-    for path, ab in adapters.items():
+    for i, (path, ab) in enumerate(sorted(adapters.items())):
+        a = ab["a"]
+        if dropout and dropout > 0.0 and rng is not None:
+            key = jax.random.fold_in(rng, i)
+            keep = jax.random.bernoulli(
+                key, 1.0 - dropout, a.shape[:-1] + (1,)).astype(a.dtype)
+            a = a * keep / (1.0 - dropout)
         # batched matmul handles both rank-2 and stacked rank-3 factors
-        delta = jnp.matmul(ab["a"], ab["b"]) * scale
+        delta = jnp.matmul(a, ab["b"]) * scale
         flat[path] = flat[path] + delta.astype(flat[path].dtype)
     return {"params": traverse_util.unflatten_dict(flat)}
 

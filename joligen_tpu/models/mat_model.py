@@ -38,6 +38,19 @@ class MATModel(BaseModel):
         self.truncation_psi = float(getattr(opt, "alg_mat_truncation_psi",
                                             1.0) or 1.0)
         self.ema_kimg = float(getattr(opt, "alg_mat_ema_kimg", 10.0) or 10.0)
+        self.ema_rampup = float(getattr(opt, "alg_mat_ema_rampup", 0.05)
+                                or 0.0)
+        # StyleGAN noise injection modes (reference mat_model.py:736,795)
+        self.noise_mode_train = (getattr(opt, "alg_mat_noise_mode_train",
+                                         "random") or "random")
+        self.noise_mode_eval = (getattr(opt, "alg_mat_noise_mode_eval",
+                                        "const") or "const")
+        self.mask_class_cond = bool(
+            getattr(opt, "alg_mat_mask_class_conditioning", False))
+        self.motion_keep_prob = float(
+            getattr(opt, "alg_mat_motion_prob_use_previous_frames", 1.0)
+            if getattr(opt, "alg_mat_motion_prob_use_previous_frames", None)
+            is not None else 1.0)
         base = max(16, int(getattr(opt, "G_ngf", 64)))
         size = opt.data_crop_size
         cout = opt.model_output_nc
@@ -45,10 +58,17 @@ class MATModel(BaseModel):
         self.num_frames = int(getattr(opt, "data_temporal_number_frames", 1)
                               or 1)
 
-        self.netG = MATGenerator(base=base, out_channels=cout,
-                                 w_dim=self.w_dim, z_dim=self.z_dim,
-                                 frames=(self.num_frames if self.motion
-                                         else 1))
+        self.netG = MATGenerator(
+            base=base, out_channels=cout,
+            w_dim=self.w_dim, z_dim=self.z_dim,
+            frames=(self.num_frames if self.motion else 1),
+            motion_heads=int(getattr(
+                opt, "alg_mat_motion_num_attention_heads", 4) or 4),
+            motion_blocks=int(getattr(
+                opt, "alg_mat_motion_num_transformer_blocks", 1) or 1),
+            motion_max_frames=int(getattr(
+                opt, "alg_mat_motion_max_frames", 25) or 25),
+            mask_class=self.mask_class_cond)
         self.netD = MATDiscriminator(base=max(16, int(getattr(opt, "D_ndf",
                                                               64))))
 
@@ -63,12 +83,31 @@ class MATModel(BaseModel):
         ex_z = jnp.zeros((1, self.z_dim), jnp.float32)
 
         txG = make_optimizer(opt, getattr(opt, "train_G_lr", 2e-3))
+        tf_lr = float(getattr(opt, "alg_mat_transformer_lr", 0) or 0)
+        if tf_lr > 0:
+            # separate LR for transformer/motion params (reference
+            # mat_model.py:378-402 param groups)
+            import optax
+            tx_tf = make_optimizer(opt, tf_lr)
+
+            def label(params):
+                def lab(path):
+                    names = "/".join(str(k) for k in path).lower()
+                    return ("tf" if ("tran" in names or "motion" in names
+                                     or "attn" in names) else "base")
+                from flax import traverse_util
+                flat = traverse_util.flatten_dict(params)
+                return traverse_util.unflatten_dict(
+                    {k: lab(k) for k in flat})
+            txG = optax.multi_transform({"base": txG, "tf": tx_tf}, label)
         txD = make_optimizer(opt, getattr(opt, "train_D_lr", 2e-3))
         self.txs = {"G_A": txG, "D": txD}
+        ex_mc = (jnp.zeros_like(ex_mask) if self.mask_class_cond else None)
         self.states["G_A"] = init_net_state(
             self.next_rng(), self.netG, (ex_img, ex_mask, ex_z), txG,
             use_ema=True,
-            init_kwargs={"rng": jax.random.PRNGKey(0)})
+            init_kwargs={"rng": jax.random.PRNGKey(0),
+                         "mask_class": ex_mc})
         ex_d = (jnp.zeros((1, size, size, cout), jnp.float32)
                 if self.motion else ex_img)
         ex_dm = (jnp.ones((1, size, size, 1), jnp.float32)
@@ -92,9 +131,25 @@ class MATModel(BaseModel):
         label_mask = batch.get("B_label_mask")
         if label_mask is None:
             label_mask = batch.get("A_label_mask")
-        m = np.clip(np.asarray(label_mask, np.float32), 0.0, 1.0)
+        ids = np.asarray(label_mask, np.float32)
+        m = np.clip(ids, 0.0, 1.0)
         mask_keep = 1.0 - m            # MAT: 1 = known pixel
-        return {"real": real, "mask": mask_keep}
+        if np.asarray(real).ndim == 5 and mask_keep.shape[1] > 1:
+            # motion finetune: only the LAST frame carries the hole; earlier
+            # frames are conditioning (reference mat_model.py:575-583), and
+            # alg_mat_motion_prob_use_previous_frames drops that
+            # conditioning per sample (reference :439-470)
+            mask_keep = mask_keep.copy()
+            mask_keep[:, :-1] = 1.0
+            if self.phase == "train" and self.motion_keep_prob < 1.0:
+                drop = (np.random.rand(mask_keep.shape[0])
+                        >= self.motion_keep_prob)
+                mask_keep[drop, :-1] = 0.0
+        out = {"real": real, "mask": mask_keep}
+        if self.mask_class_cond:
+            # class ids inside the hole, 0 elsewhere (reference :585-620)
+            out["mask_class"] = ids * m
+        return out
 
     # ------------------------------------------------------------------
     def _pcp(self, a, b):
@@ -115,13 +170,24 @@ class MATModel(BaseModel):
         """EMA halflife ema_kimg kimg with warmup ramp (reference
         mat_model.py ema_kimg / ema_rampup=0.05)."""
         nimg = (step.astype(jnp.float32) + 1.0) * batch
-        halflife = jnp.minimum(self.ema_kimg * 1000.0, nimg * 0.05)
+        halflife = self.ema_kimg * 1000.0
+        if self.ema_rampup > 0:
+            halflife = jnp.minimum(halflife, nimg * self.ema_rampup)
         return 0.5 ** (batch / jnp.maximum(halflife, 1e-8))
+
+    def _noise_rng(self, rng, mode):
+        """StyleGAN noise-injection mode -> NoiseInject rng
+        (reference mat_model.py:736,795: random | const | none)."""
+        if mode == "none":
+            return None
+        if mode == "const":
+            return jax.random.PRNGKey(0)
+        return rng
 
     def _make_step(self, batch_size):
         txG, txD = self.txs["G_A"], self.txs["D"]
 
-        def step(states, w_avg, rng, real, mask):
+        def step(states, w_avg, rng, real, mask, mask_class):
             rngs = jax.random.split(rng, 4)
             z = jax.random.normal(rngs[0], (real.shape[0], self.z_dim))
 
@@ -130,10 +196,12 @@ class MATModel(BaseModel):
                 return (a.reshape((-1,) + a.shape[2:]) if a.ndim == 5 else a)
 
             def g_loss(pG):
-                fake, stg1, w = self.netG.apply(pG, real, mask, z,
-                                                rng=rngs[1],
-                                                return_stg1=True,
-                                                return_w=True)
+                fake, stg1, w = self.netG.apply(
+                    pG, real, mask, z,
+                    rng=self._noise_rng(rngs[1], self.noise_mode_train),
+                    mask_class=mask_class,
+                    return_stg1=True,
+                    return_w=True)
                 lg, lg1 = self.netD.apply(
                     jax.lax.stop_gradient(states["D"].params), fold(fake),
                     fold(mask), fold(stg1))
@@ -200,7 +268,7 @@ class MATModel(BaseModel):
             self._jit_step = self._make_step(dev["real"].shape[0])
         self.states, self.w_avg, losses = self._jit_step(
             self.states, self.w_avg, self.next_rng(), dev["real"],
-            dev["mask"])
+            dev["mask"], dev.get("mask_class"))
         self.loss_log = losses  # device scalars, lazy host sync
         return self.loss_log
 
@@ -218,14 +286,17 @@ class MATModel(BaseModel):
             else state.params
         key = ("infer", dev["real"].shape, psi)
         if key not in self._jit_infer:
-            def run(p, rng, real, mask, w_avg):
+            def run(p, rng, real, mask, mask_class, w_avg):
                 z = jax.random.normal(rng, (real.shape[0], self.z_dim))
                 # truncation: w = lerp(w_avg, w, psi) via mapping override
-                fake = self.netG.apply(p, real, mask, z, rng=None)
+                fake = self.netG.apply(
+                    p, real, mask, z,
+                    rng=self._noise_rng(rng, self.noise_mode_eval),
+                    mask_class=mask_class)
                 return fake
             self._jit_infer[key] = jax.jit(run)
         rng = (jax.random.PRNGKey(seed) if seed is not None
                else self.next_rng())
         fake = self._jit_infer[key](params, rng, dev["real"], dev["mask"],
-                                    self.w_avg)
+                                    dev.get("mask_class"), self.w_avg)
         return np.asarray(jax.device_get(fake))

@@ -68,7 +68,8 @@ def b2b_training_outputs(apply_fn, params, rng, y0, y_cond=None, mask=None,
                          labels=None, num_classes=1, noise_scale=1.0,
                          P_mean=-0.8, P_std=0.8, uniform_mix_prob=0.1,
                          t_eps=5e-2, label_drop_prob=0.0, mask_size=None,
-                         use_gt_prob=0.0, degrade_prob=0.0, degrade_std=0.0):
+                         use_gt_prob=0.0, degrade_prob=0.0, degrade_std=0.0,
+                         minsnr=False):
     """Returns (v_pred, v_target, loss_mask, x_pred).
 
     Image (4D) and video (5D) paths (b2b_generator.py b2b_forward + forward).
@@ -120,6 +121,15 @@ def b2b_training_outputs(apply_fn, params, rng, y0, y_cond=None, mask=None,
     raw_x_pred = apply_fn(params, z_in, t_model, labels_d, mask_size)
     x_pred = raw_x_pred * m + (1.0 - m) * y0 if m is not None else raw_x_pred
     v_pred = (x_pred - z) / denom
+    if minsnr:
+        # min-SNR-gamma weighting for the v objective (alg_b2b_minsnr; the
+        # reference's own branch references an undefined weight and crashes
+        # — this is the evident intent, Hang et al. 2023 with gamma=5;
+        # SNR(t) = (t/(1-t))^2 for z_t = t*y0 + (1-t)*eps)
+        snr = (tb / jnp.maximum(1.0 - tb, t_eps)) ** 2
+        w = jnp.minimum(snr, 5.0) / (snr + 1.0)
+        v_pred = v_pred * w
+        v_target = v_target * w
     # is_ref indicator for the ref-copy loss (zeros when not autoregressive)
     if video and use_gt_prob > 0.0:
         is_ref_b = _bcast(is_ref.astype(y0.dtype), y0.ndim)

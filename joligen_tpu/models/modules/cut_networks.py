@@ -151,6 +151,17 @@ def src_hdce_loss(feat_q, feat_k, nce_T=0.07, batch=1, num_patches=256,
     return hdce, src.reshape(-1)
 
 
+def contrastive_gan_loss(pred_true, pred_false):
+    """Contrastive GAN objective (reference loss.py:142-169
+    ContrastiveLoss): each `true` logit is classified against the pool of
+    every `false` logit with cross-entropy, i.e.
+    mean_i [logsumexp(t_i, f_0..f_M) - t_i]."""
+    t = pred_true.reshape(-1).astype(jnp.float32)
+    f = pred_false.reshape(-1).astype(jnp.float32)
+    lse_f = jax.scipy.special.logsumexp(f)
+    return jnp.mean(jnp.logaddexp(t, lse_f) - t)
+
+
 # ----------------------------- GAN losses ---------------------------------
 
 def gan_loss(pred, target_is_real, mode="lsgan", smooth=0.0):

@@ -295,6 +295,8 @@ class Decoder(nn.Module):
     out_channels: int = 3
     frames: int = 1
     motion_heads: int = 4
+    motion_blocks: int = 1
+    motion_max_frames: int = 25
 
     @nn.compact
     def __call__(self, h, feats, ws, rng=None):
@@ -314,7 +316,8 @@ class Decoder(nn.Module):
                 bf, hh, ww, c = h.shape
                 h5 = h.reshape(bf // self.frames, self.frames, hh, ww, c)
                 h5 = MotionModule(num_heads=self.motion_heads,
-                                  num_transformer_blocks=1,
+                                  num_transformer_blocks=self.motion_blocks,
+                                  max_len=self.motion_max_frames,
                                   name=f"motion{i}")(h5)
                 h = h5.reshape(bf, hh, ww, c)
             img = ToRGB(self.out_channels, name=f"rgb{i}")(h, ws, img)
@@ -330,15 +333,22 @@ class MATGenerator(nn.Module):
     c_dim: int = 0
     out_channels: int = 3
     frames: int = 1   # >1 = video finetuning (motion modules in the decoder)
+    motion_heads: int = 4
+    motion_blocks: int = 1
+    motion_max_frames: int = 25
+    mask_class: bool = False   # alg_mat_mask_class_conditioning
 
     @nn.compact
-    def __call__(self, img, mask, z, c=None, rng=None, return_stg1=False,
-                 return_w=False):
+    def __call__(self, img, mask, z, c=None, rng=None, mask_class=None,
+                 return_stg1=False, return_w=False):
         video = img.ndim == 5
         if video:
             b, f = img.shape[:2]
             img = img.reshape((b * f,) + img.shape[2:])
             mask = mask.reshape((b * f,) + mask.shape[2:])
+            if mask_class is not None:
+                mask_class = mask_class.reshape((b * f,)
+                                                + mask_class.shape[2:])
             z = jnp.repeat(z, f, axis=0)   # one latent per sequence
         mask = jnp.clip(mask.astype(img.dtype), 0.0, 1.0)
         w = MappingNet(w_dim=self.w_dim, c_dim=self.c_dim,
@@ -346,12 +356,21 @@ class MATGenerator(nn.Module):
         r1, r2 = (jax.random.split(rng) if rng is not None else (None, None))
         stg1 = FirstStage(base=self.base, w_dim=self.w_dim,
                           name="first_stage")(img, mask, w, r1)
-        x = jnp.concatenate([stg1 * (1 - mask) + img * mask,
-                             mask.astype(img.dtype)], axis=-1)
+        parts = [stg1 * (1 - mask) + img * mask, mask.astype(img.dtype)]
+        if self.mask_class:
+            # per-pixel class-id channel inside the hole (reference
+            # mat_model.py:585-620 mask_class_channels)
+            mc = (mask_class if mask_class is not None
+                  else jnp.zeros_like(mask))
+            parts.append(mc.astype(img.dtype))
+        x = jnp.concatenate(parts, axis=-1)
         h, feats = Encoder(base=self.base, name="encoder")(x)
         out = Decoder(base=self.base, levels=4,
                       out_channels=self.out_channels,
                       frames=(self.frames if video else 1),
+                      motion_heads=self.motion_heads,
+                      motion_blocks=self.motion_blocks,
+                      motion_max_frames=self.motion_max_frames,
                       name="decoder")(h, feats, w, r2)
         out = out * (1 - mask) + img * mask
         if video:

@@ -189,6 +189,7 @@ class ProjectedDiscriminator(nn.Module):
     interp: int = -1        # resize input to this size first (224 typical)
     proj_ch: int = 64
     trunk_stages: tuple = _LITE0_STAGES
+    network_type: str = "efficientnet"   # D_proj_network_type
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -199,9 +200,15 @@ class ProjectedDiscriminator(nn.Module):
             x = jax.image.resize(
                 x, (x.shape[0], self.interp, self.interp, x.shape[-1]),
                 "bilinear")
-        feats = EfficientNetLiteTrunk(stages=self.trunk_stages,
-                                      dtype=self.dtype,
-                                      name="feature_network")(x)
+        if self.network_type == "segformer":
+            # Segformer MiT feature pyramid as the frozen projector trunk
+            # (reference gan_networks.py:396-416 D_proj_network_type)
+            from .segformer import MiTBackbone
+            feats = MiTBackbone(dtype=self.dtype, name="feature_network")(x)
+        else:
+            feats = EfficientNetLiteTrunk(stages=self.trunk_stages,
+                                          dtype=self.dtype,
+                                          name="feature_network")(x)
         feats = [sg(f) for f in feats]      # frozen trunk
         projs = FRandomProj(self.proj_ch, dtype=self.dtype, name="proj")(feats)
         logits = []

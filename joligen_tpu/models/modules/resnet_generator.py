@@ -175,7 +175,17 @@ class ResnetEncoder(nn.Module):
     padding_type: str = "reflect"
     dropout: float = 0.0
     mobile: bool = False
+    use_spectral: bool = False   # G_spectral (reference :427-486)
     dtype: jnp.dtype = jnp.float32
+
+    def _conv(self, feat, kernel, strides, padding, name):
+        if self.use_spectral:
+            from .spectral import SNConv
+            return SNConv(feat, (kernel, kernel), strides=strides,
+                          padding=(0 if padding == "VALID" else padding),
+                          dtype=self.dtype, name=name)
+        return nn.Conv(feat, (kernel, kernel), strides=strides,
+                       padding=padding, dtype=self.dtype, name=name)
 
     @nn.compact
     def __call__(self, x, extract_layer_ids=None, deterministic=True):
@@ -187,15 +197,13 @@ class ResnetEncoder(nn.Module):
 
         h = tap(x)  # layer id 0 = input (reference Sequential index 0 is pad)
         h = _pad(x, 3, self.padding_type)
-        h = nn.Conv(self.ngf, (7, 7), padding="VALID", dtype=self.dtype,
-                    name="stem")(h)
+        h = self._conv(self.ngf, 7, 1, "VALID", "stem")(h)
         h = make_norm(self.norm, self.dtype)(h)
         h = tap(nn.relu(h))
         mult = 1
         for i in range(self.n_downsampling):
             mult *= 2
-            h = nn.Conv(self.ngf * mult, (3, 3), strides=2, padding=1,
-                        dtype=self.dtype, name=f"down{i}")(h)
+            h = self._conv(self.ngf * mult, 3, 2, 1, f"down{i}")(h)
             h = make_norm(self.norm, self.dtype)(h)
             h = tap(nn.relu(h))
         for i in range(self.n_blocks):
@@ -216,7 +224,18 @@ class ResnetDecoder(nn.Module):
     norm: str = "instance"
     padding_type: str = "reflect"
     tanh: bool = True
+    freq_space: bool = False
+    use_spectral: bool = False
     dtype: jnp.dtype = jnp.float32
+
+    def _conv(self, feat, kernel, padding, name):
+        if self.use_spectral:
+            from .spectral import SNConv
+            return SNConv(feat, (kernel, kernel), strides=1,
+                          padding=(0 if padding == "VALID" else padding),
+                          dtype=self.dtype, name=name)
+        return nn.Conv(feat, (kernel, kernel), padding=padding,
+                       dtype=self.dtype, name=name)
 
     @nn.compact
     def __call__(self, h):
@@ -224,13 +243,17 @@ class ResnetDecoder(nn.Module):
         for i in range(self.n_downsampling):
             from ...ops.resize import nearest_up2
             h = nearest_up2(h)
-            h = nn.Conv(self.ngf * mult // (2 ** (i + 1)), (3, 3), padding=1,
-                        dtype=self.dtype, name=f"up{i}")(h)
+            h = self._conv(self.ngf * mult // (2 ** (i + 1)), 3, 1,
+                           f"up{i}")(h)
             h = make_norm(self.norm, self.dtype)(h)
             h = nn.relu(h)
+        if self.freq_space:
+            # back to pixel space before the full-resolution head conv
+            # (reference resnet_generator.py:526-532 iwt placement)
+            from ...ops.upfirdn2d import inverse_haar_transform
+            h = inverse_haar_transform(h.astype(jnp.float32)).astype(h.dtype)
         h = _pad(h, 3, self.padding_type)
-        h = nn.Conv(self.out_channels, (7, 7), padding="VALID",
-                    dtype=self.dtype, name="head")(h)
+        h = self._conv(self.out_channels, 7, "VALID", "head")(h)
         if self.tanh:
             h = jnp.tanh(h)
         return h.astype(jnp.float32)
@@ -245,17 +268,26 @@ class ResnetGenerator(nn.Module):
     padding_type: str = "reflect"
     dropout: float = 0.0
     mobile: bool = False
+    freq_space: bool = False
+    use_spectral: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        self.encoder = ResnetEncoder(self.ngf, self.n_blocks, 2, self.norm,
-                                     self.padding_type, self.dropout,
-                                     self.mobile, self.dtype)
-        self.decoder = ResnetDecoder(self.out_channels, self.ngf, 2,
-                                     self.norm, self.padding_type, True,
-                                     self.dtype)
+        self.encoder = ResnetEncoder(
+            self.ngf, self.n_blocks, 2, self.norm, self.padding_type,
+            self.dropout, self.mobile, use_spectral=self.use_spectral,
+            dtype=self.dtype)
+        self.decoder = ResnetDecoder(
+            self.out_channels, self.ngf, 2, self.norm, self.padding_type,
+            tanh=True, freq_space=self.freq_space,
+            use_spectral=self.use_spectral, dtype=self.dtype)
 
     def __call__(self, x, deterministic=True, extract_layer_ids=None):
+        if self.freq_space:
+            # train_feat_wavelet: the trunk runs in Haar frequency space
+            # (reference resnet_generator.py:419-426,497-501)
+            from ...ops.upfirdn2d import haar_transform
+            x = haar_transform(x)
         if extract_layer_ids is not None:
             _, feats = self.encoder(x, extract_layer_ids, deterministic)
             return feats
@@ -275,21 +307,31 @@ class ResnetGeneratorAttn(nn.Module):
     norm: str = "instance"
     padding_type: str = "reflect"
     mobile: bool = False
+    freq_space: bool = False
+    use_spectral: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        self.encoder = ResnetEncoder(self.ngf, self.n_blocks, 2, self.norm,
-                                     self.padding_type, 0.0, self.mobile,
-                                     self.dtype)
+        self.encoder = ResnetEncoder(
+            self.ngf, self.n_blocks, 2, self.norm, self.padding_type, 0.0,
+            self.mobile, use_spectral=self.use_spectral, dtype=self.dtype)
         n_content = self.nb_mask_attn - self.nb_mask_input
         self.content_decoder = ResnetDecoder(
             self.out_channels * n_content, self.ngf, 2, self.norm,
-            self.padding_type, True, self.dtype)
+            self.padding_type, tanh=True, freq_space=self.freq_space,
+            use_spectral=self.use_spectral, dtype=self.dtype)
         self.attn_decoder = ResnetDecoder(
             self.nb_mask_attn, self.ngf, 2, self.norm, self.padding_type,
-            False, self.dtype)
+            tanh=False, freq_space=self.freq_space,
+            use_spectral=self.use_spectral, dtype=self.dtype)
 
     def __call__(self, x, deterministic=True, extract_layer_ids=None):
+        x_pix = x
+        if self.freq_space:
+            # train_feat_wavelet (reference resnet_generator.py:421-426):
+            # trunk in Haar space; attention blending stays in pixel space
+            from ...ops.upfirdn2d import haar_transform
+            x = haar_transform(x)
         if extract_layer_ids is not None:
             _, feats = self.encoder(x, extract_layer_ids, deterministic)
             return feats
@@ -297,7 +339,7 @@ class ResnetGeneratorAttn(nn.Module):
         n_content = self.nb_mask_attn - self.nb_mask_input
         contents = self.content_decoder(h)
         att = jax.nn.softmax(self.attn_decoder(h), axis=-1)
-        inp = x[..., :3]
+        inp = x_pix[..., :3]
         out = 0.0
         for i in range(n_content):
             ci = contents[..., i * self.out_channels:(i + 1) * self.out_channels]
@@ -322,13 +364,20 @@ class ResnetGeneratorAttnDiff(nn.Module):
     cond_embed_dim: int = 256
     norm: str = "instance"
     padding_type: str = "reflect"
+    freq_space: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, emb=None, deterministic=True,
                  extract_layer_ids=None):
+        x_pix = x
+        if self.freq_space:
+            # train_feat_wavelet (reference resnet_generator_diff.py mirrors
+            # resnet_generator.py:421-426)
+            from ...ops.upfirdn2d import haar_transform
+            x = haar_transform(x)
         enc = ResnetEncoder(self.ngf, self.n_blocks, 2, self.norm,
-                            self.padding_type, 0.0, False, self.dtype,
+                            self.padding_type, 0.0, False, dtype=self.dtype,
                             name="encoder")
         if extract_layer_ids is not None:
             _, feats = enc(x, extract_layer_ids, deterministic)
@@ -348,13 +397,16 @@ class ResnetGeneratorAttnDiff(nn.Module):
         n_content = self.nb_mask_attn - self.nb_mask_input
         contents = ResnetDecoder(
             self.out_channels * n_content, self.ngf, 2, self.norm,
-            self.padding_type, False, self.dtype, name="content_decoder")(h)
+            self.padding_type, tanh=False, freq_space=self.freq_space,
+            dtype=self.dtype,
+            name="content_decoder")(h)
         att = jax.nn.softmax(
             ResnetDecoder(self.nb_mask_attn, self.ngf, 2, self.norm,
-                          self.padding_type, False, self.dtype,
+                          self.padding_type, tanh=False,
+                          freq_space=self.freq_space, dtype=self.dtype,
                           name="attn_decoder")(h).astype(jnp.float32),
             axis=-1).astype(x.dtype)
-        inp = x[..., : self.out_channels]
+        inp = x_pix[..., : self.out_channels]
         out = 0.0
         for i in range(n_content):
             ci = contents[..., i * self.out_channels:(i + 1) * self.out_channels]

@@ -42,8 +42,11 @@ class SCDenoiser(nn.Module):
 
 
 def sc_training_outputs(apply_fn, params, rng, y0, y_cond=None, mask=None,
-                        num_timesteps=128, bootstrap_ratio=0.125):
-    """Returns (v_pred, v_target) (sc_generator.py:137-216)."""
+                        num_timesteps=128, bootstrap_ratio=0.125,
+                        return_x=False):
+    """Returns (v_pred, v_target), plus the one-step x-prediction
+    x_t + (1-t)·v_pred when ``return_x`` (for perceptual losses)
+    (sc_generator.py:137-216)."""
     b = y0.shape[0]
     log2_sections = int(math.log2(num_timesteps))
     r_dt, r_t, r_n, r_mode = jax.random.split(rng, 4)
@@ -81,6 +84,9 @@ def sc_training_outputs(apply_fn, params, rng, y0, y_cond=None, mask=None,
     v_target = jnp.where(use_bootstrap, v_boot, v_flow)
 
     v_pred = apply_fn(params, x_t, t, dt_base, y_cond)
+    if return_x:
+        x_pred = x_t + (1.0 - t_full) * v_pred
+        return v_pred, jax.lax.stop_gradient(v_target), x_pred
     return v_pred, jax.lax.stop_gradient(v_target)
 
 

@@ -53,31 +53,53 @@ def _norm(kind: str, group_size: int):
     return GroupNorm32(num_groups=group_size)
 
 
+def _to_pixel(x, freq_space):
+    if freq_space:
+        from ...ops.upfirdn2d import inverse_haar_transform
+        return inverse_haar_transform(x)
+    return x
+
+
+def _to_freq(x, freq_space):
+    if freq_space:
+        from ...ops.upfirdn2d import haar_transform
+        return haar_transform(x)
+    return x
+
+
 class Upsample(nn.Module):
     out_channel: int
     use_conv: bool = True
+    freq_space: bool = False   # resample in pixel space (reference :82-96)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         from ...ops.resize import nearest_up2
+        x = _to_pixel(x, self.freq_space)
         x = nearest_up2(x)
         if self.use_conv:
-            x = nn.Conv(self.out_channel, (3, 3), padding=1, dtype=self.dtype)(x)
-        return x
+            ch = self.out_channel // 4 if self.freq_space else self.out_channel
+            x = nn.Conv(ch, (3, 3), padding=1, dtype=self.dtype)(x)
+        return _to_freq(x, self.freq_space)
 
 
 class Downsample(nn.Module):
     out_channel: int
     use_conv: bool = True
+    freq_space: bool = False   # resample in pixel space (reference :106-140)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        x = _to_pixel(x, self.freq_space)
         if self.use_conv:
-            return nn.Conv(self.out_channel, (3, 3), strides=2, padding=1,
-                           dtype=self.dtype)(x)
-        return nn.avg_pool(x, (2, 2), strides=(2, 2))
+            ch = self.out_channel // 4 if self.freq_space else self.out_channel
+            x = nn.Conv(ch, (3, 3), strides=2, padding=1,
+                        dtype=self.dtype)(x)
+        else:
+            x = nn.avg_pool(x, (2, 2), strides=(2, 2))
+        return _to_freq(x, self.freq_space)
 
 
 class ResBlock(nn.Module):
@@ -89,6 +111,7 @@ class ResBlock(nn.Module):
     use_scale_shift_norm: bool = True
     up: bool = False
     down: bool = False
+    freq_space: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -96,13 +119,21 @@ class ResBlock(nn.Module):
         h = _norm(self.norm, self.group_size)(x)
         h = nn.silu(h)
 
-        if self.up:
+        def _resample(t, up):
+            # freq-space resamples happen in pixel space (reference
+            # unet_generator_attn.py:82-96,131-140 wavelet Up/Downsample)
             from ...ops.resize import nearest_up2
-            h = nearest_up2(h)
-            x = nearest_up2(x)
+            t = _to_pixel(t, self.freq_space)
+            t = (nearest_up2(t) if up
+                 else nn.avg_pool(t, (2, 2), strides=(2, 2)))
+            return _to_freq(t, self.freq_space)
+
+        if self.up:
+            h = _resample(h, True)
+            x = _resample(x, True)
         elif self.down:
-            h = nn.avg_pool(h, (2, 2), strides=(2, 2))
-            x = nn.avg_pool(x, (2, 2), strides=(2, 2))
+            h = _resample(h, False)
+            x = _resample(x, False)
 
         h = nn.Conv(self.out_channel, (3, 3), padding=1, dtype=self.dtype,
                     name="in_conv")(h)
@@ -224,12 +255,14 @@ class UNetMHA(nn.Module):
     resblock_updown: bool = True
     transformer_blocks: int = 0   # >0 = UViT: transformer middle stack
     attn_norm: str = "group"      # "instance" = reference-exact attention norm
+    freq_space: bool = False      # train_feat_wavelet: trunk in Haar space
     remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def _block_args(self):
         return dict(norm=self.norm, group_size=self.group_size,
                     use_scale_shift_norm=self.use_scale_shift_norm,
+                    freq_space=self.freq_space,
                     dtype=self.dtype)
 
     @nn.compact
@@ -244,6 +277,10 @@ class UNetMHA(nn.Module):
             emb = jnp.ones((x.shape[0], self.cond_embed_dim), dtype=self.dtype)
         emb = emb.astype(self.dtype)
         x = x.astype(self.dtype)
+        if self.freq_space:
+            # train_feat_wavelet: the whole trunk runs on the Haar bands
+            # (reference unet_generator_attn.py:465-472,672,692)
+            x = _to_freq(x, True)
 
         Res = nn.remat(ResBlock, static_argnums=(2,)) if self.remat else ResBlock
         Attn = nn.remat(AttentionBlock) if self.remat else AttentionBlock
@@ -268,7 +305,8 @@ class UNetMHA(nn.Module):
                 if self.resblock_updown:
                     h = Res(out_channel=ch, down=True, **args)(h, emb, deterministic)
                 else:
-                    h = Downsample(ch, dtype=self.dtype)(h)
+                    h = Downsample(ch, freq_space=self.freq_space,
+                                   dtype=self.dtype)(h)
                 hs.append(h)
                 ds *= 2
 
@@ -304,16 +342,20 @@ class UNetMHA(nn.Module):
                     if self.resblock_updown:
                         h = Res(out_channel=ch, up=True, **args)(h, emb, deterministic)
                     else:
-                        h = Upsample(ch, dtype=self.dtype)(h)
+                        h = Upsample(ch, freq_space=self.freq_space,
+                                     dtype=self.dtype)(h)
                     ds //= 2
 
         h = _norm(self.norm, self.group_size)(h)
+        out_ch = self.out_channel * 4 if self.freq_space else self.out_channel
         if self.tanh:
-            out = nn.Conv(self.out_channel, (3, 3), padding=1, dtype=self.dtype,
+            out = nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype,
                           name="out_proj")(h)
+            out = _to_pixel(out, self.freq_space)
             return jnp.tanh(out).astype(jnp.float32)
         h = nn.silu(h)
-        out = nn.Conv(self.out_channel, (3, 3), padding=1, dtype=self.dtype,
+        out = nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype,
                       kernel_init=zeros_init, bias_init=zeros_init,
                       name="out_proj")(h)
+        out = _to_pixel(out, self.freq_space)
         return out.astype(jnp.float32)

@@ -175,6 +175,15 @@ class PaletteModel(BaseModel):
             # cond frame k = gt frame k-1 (first frame conditions on itself)
             prev = np.concatenate([batch["B"][:, :1], batch["B"][:, :-1]],
                                   axis=1)
+            p_use = float(getattr(
+                self.opt, "alg_diffusion_cond_prob_use_previous_frame", 0.5)
+                or 0.0)
+            if self.phase == "train" and p_use < 1.0:
+                # classifier-free-style frame dropout: blank (-1) cond with
+                # prob 1-p (reference palette_model.py:415-428)
+                drop = np.random.rand(prev.shape[0], prev.shape[1]) >= p_use
+                prev = np.where(drop[:, :, None, None, None],
+                                -np.ones_like(prev), prev)
             cond = (prev.reshape(cond.shape) if not self.is_video
                     else prev)
         out = {"y_cond": cond, "gt": gt}
@@ -281,8 +290,14 @@ class PaletteModel(BaseModel):
         inp = quantize_batch(inp, float_keys=("y_cond", "gt", "ref"),
                              int_keys=("mask",))
         dev = self.put_batch(inp)
-        method = sampling_method or self.sampling_method
-        steps = num_steps or getattr(self.opt, "alg_palette_ddim_num_steps", 10)
+        # test-time overrides (reference palette_model.py:628-646)
+        method = (sampling_method
+                  or getattr(self.opt, "alg_palette_sampling_method_test", "")
+                  or self.sampling_method)
+        steps_test = int(getattr(self.opt, "alg_palette_sampling_steps_test",
+                                 0) or 0)
+        steps = num_steps or (steps_test if steps_test > 0 else 0) or \
+            getattr(self.opt, "alg_palette_ddim_num_steps", 10)
         eta = eta if eta is not None else getattr(self.opt, "alg_palette_ddim_eta", 0.5)
         use_ema = self.use_ema if use_ema is None else use_ema
 

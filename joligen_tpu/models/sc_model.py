@@ -18,6 +18,13 @@ class SCModel(BaseModel):
         super().__init__(opt, phase)
         self.task = getattr(opt, "alg_diffusion_task", "inpainting")
         self.lambda_G = float(getattr(opt, "alg_diffusion_lambda_G", 1.0))
+        # optional perceptual terms (reference sc_model.py:41-66,214-220)
+        self.perceptual = [x for x in (getattr(
+            opt, "alg_sc_perceptual_loss", [""]) or [""]) if x]
+        self.lambda_perceptual = float(
+            getattr(opt, "alg_sc_lambda_perceptual", 1.0) or 1.0)
+        self._perc_mean = getattr(opt, "alg_sc_dists_mean", None)
+        self._perc_std = getattr(opt, "alg_sc_dists_std", None)
         self.use_ema = bool(getattr(opt, "train_G_ema", False))
         self.ema_beta = float(getattr(opt, "train_G_ema_beta", 0.999))
         self.denoise_timesteps = [int(x) for x in
@@ -65,15 +72,31 @@ class SCModel(BaseModel):
             tx = self.txs["G_A"]
 
             def loss_fn(params, rng, gt, y_cond, mask):
-                v_pred, v_target = sc_training_outputs(
-                    self._apply, params, rng, gt, y_cond=y_cond, mask=mask)
-                return self.lambda_G * jnp.mean((v_pred - v_target) ** 2)
+                if self.perceptual:
+                    v_pred, v_target, x_pred = sc_training_outputs(
+                        self._apply, params, rng, gt, y_cond=y_cond,
+                        mask=mask, return_x=True)
+                else:
+                    v_pred, v_target = sc_training_outputs(
+                        self._apply, params, rng, gt, y_cond=y_cond,
+                        mask=mask)
+                loss = self.lambda_G * jnp.mean((v_pred - v_target) ** 2)
+                aux = {}
+                if self.perceptual:
+                    terms = self.perceptual_terms(
+                        x_pred, gt, self.perceptual, self._perc_mean,
+                        self._perc_std)
+                    perc = self.lambda_perceptual * sum(terms.values())
+                    aux["G_perceptual"] = perc
+                    loss = loss + perc
+                return loss, aux
 
             def step(state, rng, gt, y_cond, mask):
-                loss, grads = jax.value_and_grad(loss_fn)(
-                    state.params, rng, gt, y_cond, mask)
+                (loss, aux), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(state.params, rng, gt, y_cond,
+                                           mask)
                 return apply_updates(state, grads, tx, self.ema_beta), \
-                    {"G_tot": loss}
+                    dict({"G_tot": loss}, **aux)
 
             self._jit_step = jax.jit(step, donate_argnums=(0,))
         self.states["G_A"], losses = self._jit_step(

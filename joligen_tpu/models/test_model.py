@@ -19,9 +19,13 @@ class TestModel(BaseModel):
         size = opt.data_crop_size
         ex = jnp.zeros((1, size, size, opt.model_input_nc), jnp.float32)
         tx = make_optimizer(opt, 1e-4)
-        self.txs["G_A"] = tx
-        self.states["G_A"] = init_net_state(self.next_rng(), self.netG,
-                                            (ex,), tx)
+        # reference models/test_model.py:24-33: checkpoints are loaded as
+        # [epoch]_net_G<model_suffix>.pth
+        name = "G" + (getattr(opt, "model_suffix", "") or "_A")
+        self._g_name = name
+        self.txs[name] = tx
+        self.states[name] = init_net_state(self.next_rng(), self.netG,
+                                           (ex,), tx)
         self._jit = None
 
     def optimize_parameters(self, batch):
@@ -30,7 +34,7 @@ class TestModel(BaseModel):
 
     def inference(self, batch, use_ema=True, **kwargs):
         dev = self.put_batch({"A": batch["A"]})
-        state = self.states["G_A"]
+        state = self.states[self._g_name]
         params = state.ema_params if (use_ema and state.ema_params
                                       is not None) else state.params
         if self._jit is None:

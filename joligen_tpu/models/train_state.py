@@ -13,6 +13,7 @@ from __future__ import annotations
 from typing import Any, Optional
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 import optax
 from flax import struct
@@ -135,6 +136,46 @@ def make_optimizer(opt, lr, iter_size=None):
     if iter_size and iter_size > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=int(iter_size))
     return tx
+
+
+def apply_init_scheme(rng, params, init_type, init_gain=0.02):
+    """Re-draw every Dense/Conv kernel with the pix2pix-lineage weight-init
+    scheme and zero the biases (reference models/modules/utils.py:33-76
+    init_weights: normal | xavier | kaiming | orthogonal, applied by
+    init_net to every GAN G/D/F/E). Norm scales are left untouched (the
+    reference only re-inits BatchNorm affines, which our norms do not
+    use)."""
+    if not init_type or init_type == "default":
+        return params
+    from flax import traverse_util
+    flat = traverse_util.flatten_dict(params)
+    out = {}
+    for i, (k, v) in enumerate(sorted(flat.items())):
+        name = k[-1]
+        sub = jax.random.fold_in(rng, i)
+        if name == "kernel" and getattr(v, "ndim", 0) >= 2:
+            shape = v.shape
+            fan_in = int(np.prod(shape[:-1]))
+            fan_out = int(shape[-1])
+            if init_type == "normal":
+                w = init_gain * jax.random.normal(sub, shape)
+            elif init_type == "xavier":
+                std = init_gain * np.sqrt(2.0 / (fan_in + fan_out))
+                w = std * jax.random.normal(sub, shape)
+            elif init_type == "kaiming":
+                w = np.sqrt(2.0 / fan_in) * jax.random.normal(sub, shape)
+            elif init_type == "orthogonal":
+                w = jax.nn.initializers.orthogonal(scale=init_gain)(
+                    sub, shape, jnp.float32)
+            else:
+                raise NotImplementedError(
+                    f"initialization method [{init_type}] is not implemented")
+            out[k] = w.astype(v.dtype)
+        elif name == "bias":
+            out[k] = jnp.zeros_like(v)
+        else:
+            out[k] = v
+    return traverse_util.unflatten_dict(out)
 
 
 def init_net_state(rng, module, example_inputs, tx, use_ema=False,

@@ -114,11 +114,13 @@ def haar_transform(x):
 
 
 def inverse_haar_transform(x):
-    """Inverse of :func:`haar_transform`."""
+    """Inverse of :func:`haar_transform` (exact round trip: our up=2 FIR
+    overlaps two taps per axis, contributing a global x4 that is divided
+    back out)."""
     c = x.shape[-1] // 4
     ll, lh, hl, hh = (x[..., i * c:(i + 1) * c] for i in range(4))
     ll_f, lh_f, hl_f, hh_f = _haar_filters()
     out = 0.0
     for band, f in ((ll, ll_f), (lh, -lh_f), (hl, -hl_f), (hh, hh_f)):
         out = out + upfirdn2d(band, jnp.asarray(f), up=2, padding=(1, 0, 1, 0))
-    return out
+    return out * 0.25

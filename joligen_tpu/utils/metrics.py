@@ -316,6 +316,77 @@ class _VGGish(nn.Module):
         return feats
 
 
+def vgg_feature_fn(shape, mean=None, std=None):
+    """Build a pure, jit-traceable ``feats(x) -> [stage features]`` over the
+    VGG16 trunk for perceptual losses/metrics; ported weights when
+    ``vgg16_lpips.npz`` is present, fixed-seed random features otherwise.
+    ``shape`` is (H, W, C) with C == 3. The returned function is safe to
+    close over inside a jitted training step (params become constants)."""
+    net = _VGGish()
+    path = os.path.join(WEIGHTS_DIR, "vgg16_lpips.npz")
+    ported = os.path.exists(path)
+    if ported:
+        raw = np.load(path)
+        params = jax.tree.map(jnp.asarray,
+                              {"params": {k: {"kernel": raw[f"{k}/kernel"],
+                                              "bias": raw[f"{k}/bias"]}
+                                          for k in sorted({n.split("/")[0]
+                                                           for n in raw.files})}})
+    else:
+        params = net.init(jax.random.PRNGKey(0),
+                          jnp.zeros((1,) + tuple(shape), jnp.float32))
+
+    if mean is None:
+        mean = (0.485, 0.456, 0.406)
+    if std is None:
+        std = (0.229, 0.224, 0.225)
+    mean = jnp.asarray(mean, jnp.float32)
+    std = jnp.asarray(std, jnp.float32)
+
+    def prep(x):
+        if not ported:
+            return x
+        # real VGG16 expects ImageNet-normalized input (reference
+        # models/vgg_perceptual_loss.py preprocessing)
+        x = (x + 1.0) / 2.0
+        return (x - mean) / std
+
+    def feats(x):
+        return net.apply(params, prep(x))
+
+    return feats
+
+
+def lpips_from_feats(fa, fb):
+    """LPIPS distance per sample from per-stage features: unit-normalize
+    channels, mean squared difference per stage, averaged over stages
+    (reference uses the lpips package, models/base_model.py:26)."""
+    d = 0.0
+    for x, y in zip(fa, fb):
+        xn = x / jnp.sqrt(jnp.sum(x ** 2, -1, keepdims=True) + 1e-10)
+        yn = y / jnp.sqrt(jnp.sum(y ** 2, -1, keepdims=True) + 1e-10)
+        d = d + jnp.mean(jnp.sum((xn - yn) ** 2, axis=-1), axis=(1, 2))
+    return d / len(fa)
+
+
+def dists_from_feats(fa, fb, c1=1e-6, c2=1e-6):
+    """DISTS structure+texture similarity distance per sample (piq DISTS,
+    reference cut_model.py:318): per stage and channel, SSIM-style mean
+    (structure) and covariance (texture) terms, uniformly weighted."""
+    vals = 0.0
+    for x, y in zip(fa, fb):
+        mx = jnp.mean(x, axis=(1, 2))
+        my = jnp.mean(y, axis=(1, 2))
+        vx = jnp.var(x, axis=(1, 2))
+        vy = jnp.var(y, axis=(1, 2))
+        cxy = jnp.mean((x - mx[:, None, None]) * (y - my[:, None, None]),
+                       axis=(1, 2))
+        s = (2 * mx * my + c1) / (mx ** 2 + my ** 2 + c1)
+        t = (2 * cxy + c2) / (vx + vy + c2)
+        vals = vals + jnp.mean((s + t) / 2.0, axis=-1)
+    return 1.0 - vals / len(fa)
+
+
 class LPIPS:
     """Normalized feature-space distance averaged over VGG stages."""
 
@@ -323,40 +394,10 @@ class LPIPS:
         self._fn = None
 
     def _build(self, shape):
-        net = _VGGish()
-        path = os.path.join(WEIGHTS_DIR, "vgg16_lpips.npz")
-        ported = os.path.exists(path)
-        if ported:
-            raw = np.load(path)
-            params = jax.tree.map(jnp.asarray,
-                                  {"params": {k: {"kernel": raw[f"{k}/kernel"],
-                                                  "bias": raw[f"{k}/bias"]}
-                                              for k in sorted({n.split("/")[0]
-                                                               for n in raw.files})}})
-        else:
-            params = net.init(jax.random.PRNGKey(0),
-                              jnp.zeros((1,) + shape, jnp.float32))
-
-        def prep(x):
-            if not ported:
-                return x
-            # real VGG16 expects ImageNet-normalized input (reference
-            # models/vgg_perceptual_loss.py preprocessing)
-            x = (x + 1.0) / 2.0
-            mean = jnp.array([0.485, 0.456, 0.406])
-            std = jnp.array([0.229, 0.224, 0.225])
-            return (x - mean) / std
+        feats = vgg_feature_fn(shape)
 
         def run(a, b):
-            a, b = prep(a), prep(b)
-            fa = net.apply(params, a)
-            fb = net.apply(params, b)
-            d = 0.0
-            for x, y in zip(fa, fb):
-                xn = x / jnp.sqrt(jnp.sum(x ** 2, -1, keepdims=True) + 1e-10)
-                yn = y / jnp.sqrt(jnp.sum(y ** 2, -1, keepdims=True) + 1e-10)
-                d = d + jnp.mean(jnp.sum((xn - yn) ** 2, axis=-1), axis=(1, 2))
-            return d / 5.0
+            return lpips_from_feats(feats(a), feats(b))
 
         self._fn = jax.jit(run)
 

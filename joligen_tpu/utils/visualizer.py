@@ -137,11 +137,23 @@ class Visualizer:
 
     def save_images(self, visuals, epoch):
         """visuals: dict name -> NHWC array. Writes PNGs + refreshes
-        index.html, and mirrors each image to visdom when enabled."""
+        index.html, and mirrors each image to visdom when enabled.
+        output_num_images caps the per-call batch rows rendered; the HTML
+        gallery refreshes at most every output_update_html_freq calls
+        (reference visualizer options)."""
         html = not getattr(self.opt, "output_no_html", False)
+        self._html_calls = getattr(self, "_html_calls", 0) + 1
+        display_freq = max(1, getattr(self.opt, "output_display_freq", 1)
+                           or 1)
+        html_every = max(1, int(getattr(self.opt, "output_update_html_freq",
+                                        display_freq) or display_freq)
+                         // display_freq)
+        nmax = int(getattr(self.opt, "output_num_images", 0) or 0)
         if html:
             from PIL import Image
         for name, arr in visuals.items():
+            if nmax > 0 and getattr(arr, "ndim", 0) >= 4:
+                arr = arr[:nmax]
             img = tensor2im(arr)
             if html:
                 fn = f"epoch{epoch:03d}_{name}.png"
@@ -149,7 +161,7 @@ class Visualizer:
             if self.visdom is not None and not self.visdom.dead:
                 self.visdom.image(f"img_{name}", img,
                                   f"{self.opt.name} {name} (epoch {epoch})")
-        if html:
+        if html and self._html_calls % html_every == 0:
             self._write_html()
 
     def _write_html(self):

@@ -78,9 +78,7 @@ def inference(args):
                 ip, bp, crop_delta=0, crop_center=True,
                 crop_dim=getattr(opt, "data_online_creation_crop_size_A", 512),
                 output_dim=size, crop_coordinates=crop_coords)
-            cdim = min(getattr(opt, "data_online_creation_crop_size_A", 512),
-                       min(orig.shape[0], orig.shape[1]))
-            windows.append((crop_coords[0], crop_coords[1], cdim))
+            windows.append((crop_coords[0], crop_coords[1], crop_coords[2]))
         else:
             from PIL import Image
             crop = to_m1p1(np.asarray(Image.fromarray(orig).resize(

@@ -13,6 +13,12 @@ if "host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=2"
     ).strip()
 
+# Exported so SPAWNED children (server train jobs, subprocess CLI tests)
+# also land on CPU — joligen_tpu.__init__._respect_platform_env applies it
+# at config level in every child even though sitecustomize force-selects
+# the TPU plugin after env parsing.
+os.environ["JAX_PLATFORMS"] = "cpu"
+
 # The machine's sitecustomize force-selects the axon TPU platform
 # (jax_platforms="axon,cpu") even when JAX_PLATFORMS=cpu is exported, so the
 # override must happen at the config level after import.

@@ -111,3 +111,62 @@ def test_b2b_t_sampling():
     assert (t >= 0).all() and (t <= 1).all()
     # logistic-normal with mean -0.8 concentrates below 0.5
     assert 0.25 < t.mean() < 0.45
+
+
+def test_cm_perceptual_loss(tmp_path):
+    """alg_cm_perceptual_loss LPIPS/DISTS terms (reference
+    cm_model.py:61-82,377-401)."""
+    from joligen_tpu.models import create_model
+    m = create_model(_opt("cm", tmp_path,
+                          alg_cm_perceptual_loss=["LPIPS", "DISTS"],
+                          alg_cm_lambda_perceptual=0.3))
+    losses = m.optimize_parameters(_batch())
+    assert "G_perceptual" in losses and np.isfinite(losses["G_perceptual"])
+    assert losses["G_perceptual"] != 0.0
+
+
+def test_sc_perceptual_loss(tmp_path):
+    from joligen_tpu.models import create_model
+    m = create_model(_opt("sc", tmp_path,
+                          alg_sc_perceptual_loss=["LPIPS"],
+                          alg_sc_lambda_perceptual=0.3))
+    losses = m.optimize_parameters(_batch())
+    assert "G_perceptual" in losses and np.isfinite(losses["G_perceptual"])
+
+
+def test_b2b_minsnr_and_perceptual(tmp_path):
+    """alg_b2b_minsnr weighting (sound implementation of the
+    upstream-broken flag) and b2b perceptual terms."""
+    from joligen_tpu.models import create_model
+    m = create_model(_opt("b2b", tmp_path, alg_b2b_minsnr=True,
+                          alg_b2b_perceptual_loss=["DISTS"],
+                          alg_b2b_lambda_perceptual=0.2))
+    losses = m.optimize_parameters(_batch())
+    assert np.isfinite(losses["G_tot"])
+    assert "G_perceptual" in losses and np.isfinite(losses["G_perceptual"])
+
+
+def test_lora_dropout_changes_merge():
+    import jax
+    import jax.numpy as jnp
+
+    from joligen_tpu.models.lora import init_lora, merge_lora
+
+    params = {"params": {"blk": {"q": {"kernel": jnp.zeros((8, 8))}}}}
+    ad = init_lora(jax.random.PRNGKey(0), params, rank=4, targets=("q",))
+    # give b nonzero values so the delta is visible
+    path = list(ad.keys())[0]
+    ad[path]["b"] = jnp.ones_like(ad[path]["b"])
+    m0 = merge_lora(params, ad, rank=4)["params"]["blk"]["q"]["kernel"]
+    m1 = merge_lora(params, ad, rank=4, dropout=0.5,
+                    rng=jax.random.PRNGKey(1))["params"]["blk"]["q"]["kernel"]
+    m2 = merge_lora(params, ad, rank=4, dropout=0.5,
+                    rng=jax.random.PRNGKey(2))["params"]["blk"]["q"]["kernel"]
+    assert not np.allclose(np.asarray(m1), np.asarray(m2))
+    assert not np.allclose(np.asarray(m0), np.asarray(m1))
+    # expectation preserved within sampling noise
+    ms = [merge_lora(params, ad, rank=4, dropout=0.5,
+                     rng=jax.random.PRNGKey(s))["params"]["blk"]["q"]["kernel"]
+          for s in range(64)]
+    np.testing.assert_allclose(np.mean([np.asarray(m) for m in ms], axis=0),
+                               np.asarray(m0), atol=np.abs(m0).mean())

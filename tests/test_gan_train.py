@@ -133,3 +133,135 @@ def test_nce_losses_sane():
     l_rand = float(jnp.mean(patch_nce_loss(q, k, 0.07, 2)))
     assert l_same < l_rand
     assert np.isfinite(float(jnp.mean(monce_loss(q, k, 0.07, 2, 16))))
+
+
+def test_cut_pix2pix_aligned_supervised(fakeds, tmp_path):
+    """pix2pix-style CUT on the aligned dataset with the supervised
+    L1+LPIPS+DISTS loss (reference tests/test_run_pix2pix_gan.py,
+    cut_model.py:141-155,779-833)."""
+    from joligen_tpu.data import create_dataloader, create_dataset
+    from joligen_tpu.models import create_model
+
+    opt = _opt(fakeds, tmp_path, data_dataset_mode="aligned",
+               alg_cut_supervised_loss=["L1", "LPIPS", "DISTS"],
+               alg_cut_lambda_supervised=2.0,
+               alg_cut_lambda_perceptual=0.5)
+    ds = create_dataset(opt, "train")
+    batch = next(iter(create_dataloader(opt, ds)))
+    m = create_model(opt)
+    losses = m.optimize_parameters(batch)
+    assert "G_supervised" in losses and np.isfinite(losses["G_supervised"])
+    assert losses["G_supervised"] > 0
+    assert np.isfinite(losses["G_tot"])
+
+
+def test_cut_extras_flip_idt_smooth_contrastive(fakeds, tmp_path):
+    """FastCUT flip-equivariance, MSE identity loss, HDCE gamma, D label
+    smoothing, adaptive D diffusion aug, and the contrastive D objective
+    (reference cut_model.py:51-155,619-624; loss.py:142-169,277-331)."""
+    from joligen_tpu.data import create_dataloader, create_dataset
+    from joligen_tpu.models import create_model
+
+    opt = _opt(fakeds, tmp_path,
+               alg_cut_nce_loss="SRC_hDCE", alg_cut_lambda_SRC=0.05,
+               alg_cut_HDCE_gamma=10, alg_cut_HDCE_gamma_min=10,
+               alg_cut_MSE_idt=True, alg_cut_lambda_MSE_idt=0.5,
+               alg_cut_flip_equivariance=True,
+               dataaug_D_label_smooth=True,
+               dataaug_D_diffusion=True)
+    ds = create_dataset(opt, "train")
+    batch = next(iter(create_dataloader(opt, ds)))
+    m = create_model(opt)
+    losses = m.optimize_parameters(batch)
+    assert "G_MSE_idt" in losses and np.isfinite(losses["G_MSE_idt"])
+    assert "D_diff_p" in losses
+    assert np.isfinite(losses["G_tot"])
+
+    opt2 = _opt(fakeds, tmp_path, train_use_contrastive_loss_D=True)
+    ds2 = create_dataset(opt2, "train")
+    batch2 = next(iter(create_dataloader(opt2, ds2)))
+    m2 = create_model(opt2)
+    losses2 = m2.optimize_parameters(batch2)
+    assert np.isfinite(losses2["G_tot"])
+    assert np.isfinite(losses2["D_D_B_basic"])
+
+
+def test_contrastive_gan_loss_math():
+    import jax.numpy as jnp
+
+    from joligen_tpu.models.modules.cut_networks import contrastive_gan_loss
+
+    # separable logits -> small loss; inverted -> large
+    good = contrastive_gan_loss(jnp.full((4,), 8.0), jnp.full((4,), -8.0))
+    bad = contrastive_gan_loss(jnp.full((4,), -8.0), jnp.full((4,), 8.0))
+    assert float(good) < 0.01 < float(bad)
+
+
+def test_cut_semantic_mask_extras(fakeds, tmp_path):
+    """Semantic-family controls: disjoint f_s (A/B nets), f_s on B, sem idt,
+    mask-for-removal targets, class weights, Charbonnier out-mask, gating
+    thresholds (reference base_model.py:240-340, base_gan_model.py:656-810)."""
+    from joligen_tpu.data import create_dataloader, create_dataset
+    from joligen_tpu.models import create_model
+
+    opt = _opt(fakeds, tmp_path,
+               data_dataset_mode="unaligned_labeled_mask",
+               train_semantic_mask=True, f_s_semantic_nclasses=2,
+               f_s_net="unet",
+               train_mask_disjoint_f_s=True, train_sem_idt=True,
+               train_mask_out_mask=True,
+               train_mask_loss_out_mask="Charbonnier",
+               f_s_class_weights=[1, 3],
+               f_s_semantic_threshold=100.0)
+    ds = create_dataset(opt, "train")
+    batch = next(iter(create_dataloader(opt, ds)))
+    m = create_model(opt)
+    assert "f_s_B" in m.states
+    losses = m.optimize_parameters(batch)
+    for k in ("f_s", "G_sem_mask", "G_sem_mask_idt", "G_out_mask"):
+        assert k in losses and np.isfinite(losses[k]), k
+
+    # removal mode: G pushed toward empty masks; tight gate zeroes sem loss
+    opt2 = _opt(fakeds, tmp_path,
+                data_dataset_mode="unaligned_labeled_mask",
+                train_semantic_mask=True, f_s_semantic_nclasses=2,
+                train_mask_for_removal=True,
+                train_mask_no_train_f_s_A=True, train_mask_f_s_B=True,
+                f_s_semantic_threshold=1e-9)
+    ds2 = create_dataset(opt2, "train")
+    batch2 = next(iter(create_dataloader(opt2, ds2)))
+    m2 = create_model(opt2)
+    losses2 = m2.optimize_parameters(batch2)
+    assert losses2["G_sem_mask"] == 0.0  # gated off by the tight threshold
+
+
+def test_cut_cls_regression_and_B(fakeds, tmp_path):
+    """CLS as a regressor (MSE / L1) and B-side CLS training
+    (reference base_model.py:246-252,1511-1520)."""
+    from joligen_tpu.data import create_dataloader, create_dataset
+    from joligen_tpu.models import create_model
+
+    opt = _opt(fakeds, tmp_path, train_semantic_cls=True,
+               cls_semantic_nclasses=1, cls_nf=8,
+               train_cls_regression=True, train_cls_l1_regression=True,
+               train_sem_cls_B=True, cls_semantic_threshold=100.0)
+    ds = create_dataset(opt, "train")
+    batch = next(iter(create_dataloader(opt, ds)))
+    m = create_model(opt)
+    losses = m.optimize_parameters(batch)
+    assert "CLS" in losses and np.isfinite(losses["CLS"])
+    assert "G_sem_cls" in losses and np.isfinite(losses["G_sem_cls"])
+
+
+def test_all_classes_as_one(tmp_path):
+    """f_s_all_classes_as_one collapses every category to foreground=1
+    (reference unaligned_labeled_mask_dataset.py:104-105)."""
+    from joligen_tpu.data import create_dataset
+
+    root = str(tmp_path / "ds")
+    make_fake(root, n=4, size=32, nclasses=3)
+    opt = _opt(root, tmp_path, data_dataset_mode="unaligned_labeled_mask",
+               f_s_all_classes_as_one=True)
+    ds = create_dataset(opt, "train")
+    s = ds[0]
+    assert set(np.unique(s["A_label_mask"])) <= {0, 1}

@@ -117,3 +117,59 @@ def test_mat_train_and_infer(fakeds, tmp_path):
     keep = ~(np.asarray(batch["B_label_mask"])[..., 0] > 0)
     diff = np.abs(fake - np.asarray(batch["B"], np.float32)).max(axis=-1)
     assert diff[keep].max() < 1e-4
+
+
+def test_mat_knobs_mask_class_noise_tf_lr(fakeds, tmp_path):
+    """alg_mat_mask_class_conditioning (extra class-id channel),
+    noise modes, ema_rampup, transformer_lr param groups, motion knobs
+    (reference mat_model.py:47-125,378-470,585-620,736,795,927)."""
+    from joligen_tpu.data import create_dataloader, create_dataset
+    from joligen_tpu.models import create_model
+
+    opt = TrainOptions().parse_cli([
+        "--dataroot", fakeds, "--model_type", "mat",
+        "--data_dataset_mode", "unaligned_labeled_mask",
+        "--data_relative_paths",
+        "--data_crop_size", "32", "--data_load_size", "32",
+        "--G_ngf", "16", "--D_ndf", "16",
+        "--alg_mat_z_dim", "32", "--alg_mat_w_dim", "32",
+        "--alg_mat_mask_class_conditioning", "--f_s_semantic_nclasses", "3",
+        "--alg_mat_noise_mode_train", "const",
+        "--alg_mat_noise_mode_eval", "none",
+        "--alg_mat_ema_rampup", "0.1",
+        "--alg_mat_transformer_lr", "1e-4",
+        "--train_batch_size", "1",
+        "--checkpoints_dir", str(tmp_path), "--name", "matk"])
+    opt.steps_per_epoch = 2
+    ds = create_dataset(opt, "train")
+    batch = next(iter(create_dataloader(opt, ds)))
+    m = create_model(opt)
+    inp = m.set_input(batch)
+    assert "mask_class" in inp
+    losses = m.optimize_parameters(batch)
+    assert np.isfinite(losses["G_tot"]) and np.isfinite(losses["D_tot"])
+    out = m.inference(batch)
+    assert out.shape == batch["B"].shape and np.isfinite(out).all()
+
+
+def test_mat_motion_knob_plumbing():
+    """Motion decoder honors heads/blocks/max_frames
+    (reference mat_model.py:271-276)."""
+    import jax
+    import jax.numpy as jnp
+
+    from joligen_tpu.models.modules.mat import MATGenerator
+
+    g = MATGenerator(base=16, w_dim=32, z_dim=32, frames=2,
+                     motion_heads=2, motion_blocks=2, motion_max_frames=8)
+    img = jnp.zeros((1, 2, 32, 32, 3))
+    mask = jnp.ones((1, 2, 32, 32, 1))
+    z = jnp.zeros((1, 32))
+    params = g.init(jax.random.PRNGKey(0), img, mask, z,
+                    rng=jax.random.PRNGKey(1))
+    out = g.apply(params, img, mask, z, rng=jax.random.PRNGKey(2))
+    assert out.shape == img.shape
+    flat = jax.tree_util.tree_leaves_with_path(params)
+    names = {jax.tree_util.keystr(p) for p, _ in flat}
+    assert any("motion0" in n and "block1" in n for n in names) or \
+        any("motion0" in n for n in names)

@@ -231,3 +231,84 @@ def test_palette_imagebind_ref_conditioning(fakeds, tmp_path, monkeypatch):
         m2.states["G_A"].params["params"]["freezenet_imagebind"]
         ["cls_token"]))
     np.testing.assert_allclose(got, flat["cls_token"], rtol=1e-6)
+
+
+def test_palette_pix2pix_aligned(tmp_path):
+    """Palette with task=pix2pix on the aligned dataset: no mask, the
+    conditioning image is domain A (reference
+    tests/test_run_pix2pix_diffusion.py)."""
+    import numpy as np
+
+    from joligen_tpu.data import create_dataloader, create_dataset
+    from joligen_tpu.models import create_model
+    from joligen_tpu.options import TrainOptions
+    from tools.make_fake_dataset import make as make_fake
+
+    root = str(tmp_path / "ds")
+    make_fake(root, n=4, size=32)
+    opt = TrainOptions().parse_cli([
+        "--dataroot", root, "--model_type", "palette",
+        "--data_dataset_mode", "aligned", "--data_relative_paths",
+        "--data_crop_size", "16", "--data_load_size", "16",
+        "--G_netG", "unet_mha", "--G_ngf", "8",
+        "--G_unet_mha_channel_mults", "1", "2",
+        "--G_unet_mha_res_blocks", "1", "1", "--G_unet_mha_attn_res", "4",
+        "--G_diff_n_timestep_train", "20", "--G_diff_n_timestep_test", "5",
+        "--alg_diffusion_task", "pix2pix",
+        "--train_batch_size", "2",
+        "--checkpoints_dir", str(tmp_path), "--name", "p2p",
+        "--data_num_threads", "2"])
+    opt.steps_per_epoch = 2
+    ds = create_dataset(opt, "train")
+    batch = next(iter(create_dataloader(opt, ds)))
+    m = create_model(opt)
+    loss = m.optimize_parameters(batch)["G_tot"]
+    assert np.isfinite(loss)
+    out = m.inference(batch)
+    assert out.shape == batch["B"].shape
+
+
+def test_palette_previous_frame_dropout_and_test_overrides(fakeds, tmp_path):
+    """alg_diffusion_cond_prob_use_previous_frame blanks conditioning
+    frames (reference palette_model.py:415-428) and
+    alg_palette_sampling_{method,steps}_test override inference defaults
+    (reference :628-646)."""
+    from joligen_tpu.models import create_model
+
+    opt = _opt(fakeds, tmp_path,
+               alg_diffusion_cond_image_creation="previous_frame",
+               alg_diffusion_cond_prob_use_previous_frame=0.0,
+               alg_palette_sampling_method_test="ddim",
+               alg_palette_sampling_steps_test=3)
+    m = create_model(opt)
+    b, f, s = 2, 3, 16
+    rng = np.random.RandomState(0)
+    batch = {
+        "A": rng.randn(b, f, s, s, 3).astype(np.float32).clip(-1, 1),
+        "B": rng.randn(b, f, s, s, 3).astype(np.float32).clip(-1, 1),
+        "B_label_mask": rng.randint(0, 2, (b, f, s, s, 1)).astype(np.int32),
+    }
+    inp = m.set_input(batch)
+    # p_use=0 -> every conditioning frame blanked to -1
+    assert np.allclose(np.asarray(inp["y_cond"]), -1.0)
+    out = m.inference(batch)
+    assert out.shape[-3:] == (s, s, 3) and np.isfinite(out).all()
+
+
+def test_metrics_save_images(fakeds, tmp_path):
+    """train_metrics_save_images writes evaluated fake/real pairs
+    (reference train.py:379,491)."""
+    import os
+
+    from joligen_tpu.data import create_dataloader, create_dataset
+    from joligen_tpu.models import create_model
+
+    opt = _opt(fakeds, tmp_path, train_metrics_save_images=True,
+               train_metrics_list=["PSNR"])
+    m = create_model(opt)
+    ds = create_dataset(opt, "test")
+    dl = create_dataloader(opt, ds, shuffle=False, batch_size=2)
+    m.compute_metrics_test(dl, test_name="tA")
+    d = os.path.join(m.save_dir, "metrics_imgs_tA")
+    assert os.path.isdir(d) and any(
+        f.endswith("_fake.png") for f in os.listdir(d))

@@ -252,3 +252,39 @@ def test_sequence_parallel_video_train(vidds, tmp_path):
     assert np.isfinite(l0)
     fake = m.inference(batch, sampling_method="ddim", num_steps=2)
     assert fake.shape[1] == 4 and np.isfinite(fake).all()
+
+
+def test_temporal_d_cadence(tmp_path):
+    """D_temporal_every: the temporal projected D trains (and contributes
+    to G) only every N iterations (reference base_gan_model.py:388,469,580).
+    Off-cadence steps report a zero temporal-D loss."""
+    import numpy as np
+
+    from joligen_tpu.models import create_model
+    from joligen_tpu.options import TrainOptions
+
+    opt = TrainOptions().parse_cli([
+        "--dataroot", "/tmp/none", "--model_type", "cut",
+        "--data_dataset_mode", "temporal_labeled_mask_online",
+        "--data_crop_size", "16", "--data_load_size", "16",
+        "--data_temporal_number_frames", "2",
+        "--G_netG", "resnet", "--G_nblocks", "2", "--G_ngf", "8",
+        "--D_netDs", "temporal", "basic", "--D_ndf", "8",
+        "--D_n_layers", "2", "--D_temporal_every", "2",
+        "--train_batch_size", "1",
+        "--checkpoints_dir", str(tmp_path), "--name", "t"])
+    opt.steps_per_epoch = 4
+    m = create_model(opt)
+    rng = np.random.RandomState(0)
+    b, f, s = 1, 2, 16
+    batch = {
+        "A": rng.randn(b, f, s, s, 3).astype(np.float32).clip(-1, 1),
+        "B": rng.randn(b, f, s, s, 3).astype(np.float32).clip(-1, 1),
+        "A_label_mask": rng.randint(0, 2, (b, f, s, s, 1)).astype(np.int32),
+    }
+    dvals = []
+    for _ in range(4):
+        losses = m.optimize_parameters(batch)
+        dvals.append(float(losses["D_D_B_temporal"]))
+    assert any(v == 0.0 for v in dvals), dvals   # skipped iterations
+    assert any(v != 0.0 for v in dvals), dvals   # active iterations

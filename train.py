@@ -88,7 +88,10 @@ def launch_training(opt):
 
     if getattr(opt, "train_continue", False):
         try:
-            model.load_networks(getattr(opt, "train_epoch", "latest") or "latest")
+            load_prefix = ("iter_%d" % opt.train_load_iter
+                           if getattr(opt, "train_load_iter", 0) > 0
+                           else getattr(opt, "train_epoch", "latest") or "latest")
+            model.load_networks(load_prefix)
             print("resumed from checkpoint")
         except FileNotFoundError:
             print("no checkpoint to resume from; starting fresh")
@@ -198,6 +201,12 @@ def launch_training(opt):
                     fake = model.inference(data)
                     vis = {"real_A": data["A"], "fake_B": fake,
                            "real_B": data["B"]}
+                    if getattr(opt, "output_display_diff_fake_real", False):
+                        # reference visualizer: |fake - real| panel
+                        import numpy as _np
+                        vis["diff_real_fake"] = _np.abs(
+                            _np.asarray(fake, _np.float32)
+                            - _np.asarray(data["B"], _np.float32)) - 1.0
                     visualizer.save_images(vis, epoch)
                 except Exception as e:  # visuals must never kill training
                     print(f"visuals failed: {e}")
@@ -212,6 +221,17 @@ def launch_training(opt):
                     f"{k}: {v:.3f}" for k, v in acc.items()), flush=True)
                 visualizer.log_metrics(epoch, total_iters, acc)
 
+            if (getattr(opt, "train_mask_compute_miou", False)
+                    and hasattr(model, "compute_miou")
+                    and total_iters % max(
+                        batch, (getattr(opt, "train_mask_miou_every", 1000)
+                                // batch) * batch) == 0):
+                # reference train.py:437-444
+                miou = model.compute_miou(data)
+                print("mIoU: " + " ".join(
+                    f"{k}: {v:.3f}" for k, v in miou.items()), flush=True)
+                visualizer.log_metrics(epoch, total_iters, miou)
+
             if compute_metrics and metric_loaders and total_iters % max(
                     batch, (metrics_every // batch) * batch) == 0:
                 for name, ml in metric_loaders:
@@ -222,7 +242,11 @@ def launch_training(opt):
                     visualizer.log_metrics(epoch, total_iters, m)
 
             if total_iters % max(batch, (opt.train_save_latest_freq // batch) * batch) == 0:
-                model.save_networks("latest")
+                # reference train.py:350-356: save_by_iter keeps per-iter
+                # snapshots instead of overwriting latest
+                model.save_networks("iter_%d" % total_iters
+                                    if getattr(opt, "train_save_by_iter",
+                                               False) else "latest")
 
             if stop["now"]:
                 print("signal received: saving latest and exiting")
@@ -237,6 +261,15 @@ def launch_training(opt):
         model.save_networks("latest")
         if epoch % max(1, opt.train_save_epoch_freq) == 0:
             model.save_networks(str(epoch))
+        if getattr(opt, "train_export_jit", False) and opt.model_type not in (
+                "palette", "cm", "cm_gan", "sc", "b2b"):
+            # export the compiled-forward artifact next to the checkpoint
+            # (reference base_model.py:870-938 exports on save for GAN Gs)
+            try:
+                from joligen_tpu.utils.export import export_generator
+                export_generator(model)
+            except Exception as e:
+                print(f"export on save failed: {e}")
         model.update_learning_rate()
         print(f"end of epoch {epoch} \t time: {time.time() - epoch_t0:.1f}s")
 
