@@ -68,7 +68,9 @@ class MATModel(BaseModel):
                 opt, "alg_mat_motion_num_transformer_blocks", 1) or 1),
             motion_max_frames=int(getattr(
                 opt, "alg_mat_motion_max_frames", 25) or 25),
-            mask_class=self.mask_class_cond)
+            mask_class=self.mask_class_cond,
+            style_mixing_prob=float(getattr(
+                opt, "alg_mat_style_mixing_prob", 0.0) or 0.0))
         self.netD = MATDiscriminator(base=max(16, int(getattr(opt, "D_ndf",
                                                               64))))
 
@@ -200,6 +202,7 @@ class MATModel(BaseModel):
                     pG, real, mask, z,
                     rng=self._noise_rng(rngs[1], self.noise_mode_train),
                     mask_class=mask_class,
+                    mix_rng=rngs[3],
                     return_stg1=True,
                     return_w=True)
                 lg, lg1 = self.netD.apply(

@@ -299,18 +299,29 @@ class Decoder(nn.Module):
     motion_max_frames: int = 25
 
     @nn.compact
-    def __call__(self, h, feats, ws, rng=None):
+    def __call__(self, h, feats, ws, rng=None, ws2=None, mix_from=None):
         rngs = jax.random.split(rng, 2 * self.levels) if rng is not None \
             else [None] * (2 * self.levels)
+
+        def w_at(layer_idx):
+            # StyleGAN-style style mixing: layers >= the crossover index use
+            # the second latent's w (reference mat_model.py:705-716)
+            if ws2 is None or mix_from is None:
+                return ws
+            use2 = (layer_idx >= mix_from)
+            return jnp.where(use2, ws2, ws)
+
         img = None
         for i in range(self.levels):
             ch = min(self.base * (2 ** (self.levels - 1 - i)), 512)
-            h = StyleConv(ch, up=True, name=f"up{i}a")(h, ws, rngs[2 * i])
+            h = StyleConv(ch, up=True, name=f"up{i}a")(h, w_at(3 * i),
+                                                       rngs[2 * i])
             skip = feats.get(self.levels - 2 - i)
             if skip is not None:
                 h = h + EqualConv(ch, kernel=1, act=False,
                                   name=f"skip{i}")(skip)
-            h = StyleConv(ch, name=f"up{i}b")(h, ws, rngs[2 * i + 1])
+            h = StyleConv(ch, name=f"up{i}b")(h, w_at(3 * i + 1),
+                                              rngs[2 * i + 1])
             if self.frames > 1:
                 from .motion import MotionModule
                 bf, hh, ww, c = h.shape
@@ -320,7 +331,8 @@ class Decoder(nn.Module):
                                   max_len=self.motion_max_frames,
                                   name=f"motion{i}")(h5)
                 h = h5.reshape(bf, hh, ww, c)
-            img = ToRGB(self.out_channels, name=f"rgb{i}")(h, ws, img)
+            img = ToRGB(self.out_channels, name=f"rgb{i}")(h, w_at(3 * i + 2),
+                                                           img)
         return img
 
 
@@ -337,10 +349,11 @@ class MATGenerator(nn.Module):
     motion_blocks: int = 1
     motion_max_frames: int = 25
     mask_class: bool = False   # alg_mat_mask_class_conditioning
+    style_mixing_prob: float = 0.0   # alg_mat_style_mixing_prob
 
     @nn.compact
     def __call__(self, img, mask, z, c=None, rng=None, mask_class=None,
-                 return_stg1=False, return_w=False):
+                 mix_rng=None, return_stg1=False, return_w=False):
         video = img.ndim == 5
         if video:
             b, f = img.shape[:2]
@@ -351,8 +364,27 @@ class MATGenerator(nn.Module):
                                                 + mask_class.shape[2:])
             z = jnp.repeat(z, f, axis=0)   # one latent per sequence
         mask = jnp.clip(mask.astype(img.dtype), 0.0, 1.0)
-        w = MappingNet(w_dim=self.w_dim, c_dim=self.c_dim,
-                       name="mapping")(z, c)
+        mapping = MappingNet(w_dim=self.w_dim, c_dim=self.c_dim,
+                             name="mapping")
+        w = mapping(z, c)
+        # style mixing (training only — mix_rng given): with prob p, decoder
+        # layers past a random crossover use a second latent's w (reference
+        # mat_model.py:705-716; applied to the refinement decoder — the
+        # first stage keeps the primary w)
+        ws2 = mix_from = None
+        if self.style_mixing_prob > 0 and mix_rng is not None:
+            n_style_layers = 3 * 4   # decoder: 2 convs + ToRGB per level
+            r_z, r_p, r_c = jax.random.split(mix_rng, 3)
+            if video:
+                # one second latent per sequence, shared across frames
+                z2 = jnp.repeat(jax.random.normal(
+                    r_z, (b, z.shape[-1]), z.dtype), f, axis=0)
+            else:
+                z2 = jax.random.normal(r_z, z.shape, z.dtype)
+            ws2 = mapping(z2, c)
+            do = jax.random.uniform(r_p, ()) < self.style_mixing_prob
+            cut = jax.random.randint(r_c, (), 1, n_style_layers)
+            mix_from = jnp.where(do, cut, n_style_layers)
         r1, r2 = (jax.random.split(rng) if rng is not None else (None, None))
         stg1 = FirstStage(base=self.base, w_dim=self.w_dim,
                           name="first_stage")(img, mask, w, r1)
@@ -371,7 +403,8 @@ class MATGenerator(nn.Module):
                       motion_heads=self.motion_heads,
                       motion_blocks=self.motion_blocks,
                       motion_max_frames=self.motion_max_frames,
-                      name="decoder")(h, feats, w, r2)
+                      name="decoder")(h, feats, w, r2, ws2=ws2,
+                                      mix_from=mix_from)
         out = out * (1 - mask) + img * mask
         if video:
             out = out.reshape((b, f) + out.shape[1:])

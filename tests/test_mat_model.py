@@ -173,3 +173,36 @@ def test_mat_motion_knob_plumbing():
     names = {jax.tree_util.keystr(p) for p, _ in flat}
     assert any("motion0" in n and "block1" in n for n in names) or \
         any("motion0" in n for n in names)
+
+
+def test_mat_style_mixing():
+    """alg_mat_style_mixing_prob: decoder layers past a random crossover
+    use a second latent's w (reference mat_model.py:705-716). With prob=1
+    and a fixed primary z, varying only the mixing rng changes the output
+    hole content; without mix_rng the output is deterministic."""
+    import jax
+    import jax.numpy as jnp
+
+    from joligen_tpu.models.modules.mat import MATGenerator
+
+    g = MATGenerator(base=16, w_dim=32, z_dim=32, style_mixing_prob=1.0)
+    img = jax.random.uniform(jax.random.PRNGKey(0), (1, 32, 32, 3),
+                             minval=-1, maxval=1)
+    mask = jnp.ones((1, 32, 32, 1)).at[:, 8:24, 8:24].set(0.0)
+    z = jax.random.normal(jax.random.PRNGKey(1), (1, 32))
+    params = g.init(jax.random.PRNGKey(2), img, mask, z,
+                    rng=jax.random.PRNGKey(3))
+    base = g.apply(params, img, mask, z, rng=None)
+    m1 = g.apply(params, img, mask, z, rng=None,
+                 mix_rng=jax.random.PRNGKey(10))
+    m2 = g.apply(params, img, mask, z, rng=None,
+                 mix_rng=jax.random.PRNGKey(11))
+    hole = (np.asarray(1.0 - mask)[0, :, :, 0] > 0)
+    assert not np.allclose(np.asarray(m1)[0][hole],
+                           np.asarray(m2)[0][hole]), \
+        "mixing rng had no effect"
+    assert not np.allclose(np.asarray(base)[0][hole],
+                           np.asarray(m1)[0][hole])
+    # known pixels still pass through untouched
+    np.testing.assert_allclose(np.asarray(m1)[0][~hole],
+                               np.asarray(img)[0][~hole], atol=1e-5)
