@@ -217,8 +217,10 @@ class CUTModel(BaseModel):
                             self.states[name].params))
             if "vision_aided" in name:
                 from ..utils.clip_vit import load_clip_ref_encoder
+                from ..utils.dinov2 import load_dino_into
                 self.states[name] = self.states[name].replace(
-                    params=load_clip_ref_encoder(self.states[name].params))
+                    params=load_dino_into(load_clip_ref_encoder(
+                        self.states[name].params)))
             if "depth" in name:
                 from ..utils.midas import load_midas_encoder_into_projected
                 self.states[name] = self.states[name].replace(

@@ -81,9 +81,10 @@ class CycleGANModel(BaseModel):
                             self.states[sname].params))
                 if "vision_aided" in name:
                     from ..utils.clip_vit import load_clip_ref_encoder
+                    from ..utils.dinov2 import load_dino_into
                     self.states[sname] = self.states[sname].replace(
-                        params=load_clip_ref_encoder(
-                            self.states[sname].params))
+                        params=load_dino_into(load_clip_ref_encoder(
+                            self.states[sname].params)))
                 if "depth" in name:
                     from ..utils.midas import load_midas_encoder_into_projected
                     self.states[sname] = self.states[sname].replace(

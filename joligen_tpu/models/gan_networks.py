@@ -127,15 +127,31 @@ def define_D(opt, names=None):
             ds["D_B_" + name] = TemporalProjectedDiscriminator(
                 interp=getattr(opt, "D_proj_interp", -1), dtype=dtype)
         elif name == "vision_aided":
-            # frozen CLIP backbone + trainable heads; ported weights swap in
-            # from clip_vitb16.npz post-init (see cut_model)
+            # frozen vision towers + trainable heads; ported weights swap
+            # in post-init (see cut_model). D_vision_aided_backbones picks
+            # the ensemble (reference vision-aided-gan "clip+dino+swin");
+            # swin is not ported and is skipped
             from .modules.vision_aided_d import VisionAidedDiscriminator
             from ..utils.clip_vit import clip_weights_path
-            if clip_weights_path() is None:
+            spec = (getattr(opt, "D_vision_aided_backbones",
+                            "clip+dino+swin") or "clip").lower()
+            bks = []
+            for tok in spec.split("+"):
+                tok = tok.strip()
+                if tok.startswith("clip"):
+                    bks.append("clip")
+                elif tok.startswith("dino"):
+                    bks.append("dino")
+                elif tok:
+                    print(f"vision_aided D: backbone '{tok}' not ported — "
+                          "skipped (available: clip, dino)")
+            bks = tuple(dict.fromkeys(bks)) or ("clip",)
+            if clip_weights_path() is None and "clip" in bks:
                 print("vision_aided D: clip_vitb16.npz not found in "
                       "JOLIGEN_TPU_WEIGHTS_DIR — using frozen random CLIP "
                       "features (port with tools/port_clip_weights.py)")
-            ds["D_B_" + name] = VisionAidedDiscriminator(dtype=dtype)
+            ds["D_B_" + name] = VisionAidedDiscriminator(backbones=bks,
+                                                         dtype=dtype)
         elif name == "depth":
             # projected D over the frozen MiDaS (lite3) encoder (reference
             # projected_d projector type depth); midas_small.npz swaps in

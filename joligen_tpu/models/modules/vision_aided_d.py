@@ -71,32 +71,51 @@ def load_sam_encoder(params, node_name="freezenet_sam"):
 
 
 class VisionAidedDiscriminator(nn.Module):
+    """Frozen vision towers + trainable patch/global heads per backbone
+    (reference vision_aided_d.py: the vision-aided-gan CLIP/DINO/Swin
+    ensemble; D_vision_aided_backbones picks the members — clip and dino
+    towers are ported here, swin is not and is skipped with a notice)."""
     head_ch: int = 128
+    backbones: tuple = ("clip",)
     dtype: jnp.dtype = jnp.float32
+
+    def _head(self, emb, tokens, tag):
+        h = tokens.astype(self.dtype)
+        h = nn.Conv(self.head_ch, (3, 3), padding=1, dtype=self.dtype,
+                    name=f"patch0{tag}")(h)
+        h = nn.leaky_relu(h, 0.2)
+        h = nn.Conv(self.head_ch, (3, 3), strides=2, padding=1,
+                    dtype=self.dtype, name=f"patch1{tag}")(h)
+        h = nn.leaky_relu(h, 0.2)
+        patch_logits = nn.Conv(1, (1, 1), dtype=self.dtype,
+                               name=f"patch_out{tag}")(h)
+        g = nn.Dense(self.head_ch, dtype=self.dtype, name=f"glob0{tag}")(
+            emb.astype(self.dtype))
+        g = nn.leaky_relu(g, 0.2)
+        glob_logit = nn.Dense(1, dtype=self.dtype, name=f"glob_out{tag}")(g)
+        return jnp.concatenate(
+            [patch_logits.reshape(tokens.shape[0], -1), glob_logit], axis=1)
 
     @nn.compact
     def __call__(self, x):
-        """x: (B,H,W,C) in [-1,1] -> (B, P) patch+global logits."""
-        from ...utils.clip_vit import CLIPVisualViT, preprocess
+        """x: (B,H,W,C) in [-1,1] -> (B, P) concatenated per-backbone
+        patch+global logits."""
         if x.shape[-1] == 1:
             x = jnp.tile(x, (1, 1, 1, 3))
-        emb, tokens = CLIPVisualViT(return_tokens=True,
-                                    name="freezenet_clip")(
-            preprocess(x.astype(jnp.float32)))
-        emb, tokens = sg(emb), sg(tokens)
-        h = tokens.astype(self.dtype)
-        h = nn.Conv(self.head_ch, (3, 3), padding=1, dtype=self.dtype,
-                    name="patch0")(h)
-        h = nn.leaky_relu(h, 0.2)
-        h = nn.Conv(self.head_ch, (3, 3), strides=2, padding=1,
-                    dtype=self.dtype, name="patch1")(h)
-        h = nn.leaky_relu(h, 0.2)
-        patch_logits = nn.Conv(1, (1, 1), dtype=self.dtype,
-                               name="patch_out")(h)
-        g = nn.Dense(self.head_ch, dtype=self.dtype, name="glob0")(
-            emb.astype(self.dtype))
-        g = nn.leaky_relu(g, 0.2)
-        glob_logit = nn.Dense(1, dtype=self.dtype, name="glob_out")(g)
-        return jnp.concatenate(
-            [patch_logits.reshape(x.shape[0], -1), glob_logit],
-            axis=1).astype(jnp.float32)
+        outs = []
+        for bk in self.backbones:
+            if bk == "clip":
+                from ...utils.clip_vit import CLIPVisualViT, preprocess
+                emb, tokens = CLIPVisualViT(return_tokens=True,
+                                            name="freezenet_clip")(
+                    preprocess(x.astype(jnp.float32)))
+                # legacy head names keep clip-only checkpoints loadable
+                outs.append(self._head(sg(emb), sg(tokens), ""))
+            elif bk in ("dino", "dinov2"):
+                from ...utils.dinov2 import DINOv2ViT
+                from ...utils.dinov2 import preprocess as dino_pre
+                emb, tokens = DINOv2ViT(return_tokens=True,
+                                        name="freezenet_dino")(
+                    dino_pre(x.astype(jnp.float32)))
+                outs.append(self._head(sg(emb), sg(tokens), "_dino"))
+        return jnp.concatenate(outs, axis=1).astype(jnp.float32)

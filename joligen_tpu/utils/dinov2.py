@@ -44,11 +44,13 @@ class DINOv2ViT(nn.Module):
     heads: int = 12
     patch: int = 14
     native_grid: int = 37  # 518/14, the grid pos_embed was trained at
+    return_tokens: bool = False
 
     @nn.compact
     def __call__(self, x):
         """x: (N,H,W,3) ImageNet-normalized. Returns L2-normalized CLS
-        embeddings (N, dim)."""
+        embeddings (N, dim); with ``return_tokens`` also the patch-token
+        grid (N, gh, gw, dim) for feature discriminators."""
         n, h, w, _ = x.shape
         gh, gw = h // self.patch, w // self.patch
         x = nn.Conv(self.dim, (self.patch, self.patch),
@@ -70,7 +72,10 @@ class DINOv2ViT(nn.Module):
             x = _Block(self.dim, self.heads, name=f"block{i}")(x)
         x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
         cls_out = x[:, 0]
-        return cls_out / jnp.linalg.norm(cls_out, axis=-1, keepdims=True)
+        cls_out = cls_out / jnp.linalg.norm(cls_out, axis=-1, keepdims=True)
+        if self.return_tokens:
+            return cls_out, x[:, 1:].reshape(n, gh, gw, self.dim)
+        return cls_out
 
 
 def load_dinov2_params(npz_path):
@@ -134,3 +139,23 @@ def preprocess(x):
     if x.shape[1:3] != (224, 224):
         x = jax.image.resize(x, (x.shape[0], 224, 224, 3), "bilinear")
     return (x - IMAGENET_MEAN) / IMAGENET_STD
+
+
+def load_dino_into(params, node_name="freezenet_dino"):
+    """Swap every ``node_name`` subtree for ported DINOv2 weights when
+    ``dinov2_vitb14.npz`` exists (else unchanged — frozen random
+    features); used by the vision-aided discriminator's dino member."""
+    import os
+    path = os.path.join(
+        os.environ.get("JOLIGEN_TPU_WEIGHTS_DIR", ""), "dinov2_vitb14.npz")
+    if not os.path.exists(path):
+        return params
+    dp = load_dinov2_params(path)["params"]
+
+    def walk(node):
+        if not isinstance(node, dict):
+            return node
+        return {k: (dp if k == node_name else walk(v))
+                for k, v in node.items()}
+
+    return walk(params)

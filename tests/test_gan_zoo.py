@@ -466,3 +466,33 @@ def test_spectral_norm_d_and_g(tmp_path):
     d = list(define_D(opt).values())[0]
     vd = d.init(jax.random.PRNGKey(0), x)
     assert np.isfinite(np.asarray(d.apply(vd, x))).all()
+
+
+def test_vision_aided_multi_backbone():
+    """D_vision_aided_backbones clip+dino ensemble: per-backbone frozen
+    tower + trainable heads, concatenated logits (reference
+    vision_aided_d.py)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from joligen_tpu.models.gan_networks import define_D
+    from joligen_tpu.options import TrainOptions
+
+    opt = TrainOptions().parse_cli([
+        "--dataroot", "/tmp/none", "--model_type", "cut",
+        "--data_crop_size", "32", "--data_load_size", "32",
+        "--G_netG", "resnet", "--D_netDs", "vision_aided",
+        "--D_vision_aided_backbones", "clip+dino+swin",
+        "--checkpoints_dir", "/tmp/va", "--name", "va"])
+    d = list(define_D(opt).values())[0]
+    assert d.backbones == ("clip", "dino")
+    x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    v = d.init(jax.random.PRNGKey(0), x)
+    y = d.apply(v, x)
+    assert y.ndim == 2 and np.isfinite(np.asarray(y)).all()
+    names = {jax.tree_util.keystr(p)
+             for p, _ in jax.tree_util.tree_leaves_with_path(v)}
+    assert any("freezenet_clip" in n for n in names)
+    assert any("freezenet_dino" in n for n in names)
+    assert any("glob_out_dino" in n for n in names)
