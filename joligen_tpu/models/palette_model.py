@@ -151,7 +151,7 @@ class PaletteModel(BaseModel):
                     sketches.append(np.zeros_like(g_i))  # per-frame dropout
                     continue
                 sketches.append(random_edge_mask(
-                    fns, g_i, m_i,
+                    fns, g_i, m_i, opt=self.opt,
                     low_threshold_random=int(min(rng_canny)),
                     high_threshold_random=int(max(rng_canny))))
             cond = np.stack(sketches).reshape(cond.shape)

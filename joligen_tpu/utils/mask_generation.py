@@ -139,13 +139,45 @@ def fill_img_with_hough(img, mask, select_mask=True, **kw):
     return _compose(img, _from_uint8(c3), mask, select_mask)
 
 
-def fill_img_with_sam(img, mask, select_mask=True, **kw):
-    """SAM boundary sketch (reference util/mask_generation.py:179-230 runs
-    SAM on the mask's bbox crop and draws mask edges). Runs the flax SAM
-    with the mask bbox as box prompt when sam_vit.npz exists; sobel sketch
-    fallback otherwise."""
+def _sam_knobs(opt):
+    """Collect the SAM-sketch tuning knobs from whichever prefix the
+    config used (reference declares alg_diffusion_sam_* and
+    alg_diffusion_cond_sam_*; the palette path reads alg_palette_sam_*)."""
+    if opt is None:
+        return {}
+    def get(stem, default):
+        for pre in ("alg_diffusion_cond_sam_", "alg_diffusion_sam_",
+                    "alg_palette_sam_"):
+            v = getattr(opt, pre + stem, None)
+            if v is not None:
+                return v
+        return default
+    return dict(
+        crop_delta=int(get("crop_delta", 50) or 0),
+        points_per_side=int(get("points_per_side", 16) or 16),
+        sample_points_in_ellipse=not bool(
+            get("no_sample_points_in_ellipse", False)),
+        min_mask_area=float(get("min_mask_area", 0.001) or 0.0),
+        max_mask_area=float(get("max_mask_area", 0.99) or 1.0),
+        redundancy_threshold=float(get("redundancy_threshold", 0.62)
+                                   or 0.62),
+        use_sobel_filter=not bool(get("no_sobel_filter", False)),
+        sobel_threshold=float(get("sobel_threshold", 0.7) or 0.7),
+        output_binary_sam=not bool(get("no_output_binary_sam", False)),
+        use_gaussian_filter=bool(get("use_gaussian_filter", False)),
+        final_canny=bool(get("final_canny", False)),
+    )
+
+
+def fill_img_with_sam(img, mask, select_mask=True, opt=None, **kw):
+    """SAM boundary sketch (reference util/mask_generation.py:179-230):
+    crop around the mask bbox with ``sam_crop_delta`` margin, prompt SAM
+    with an automatic point grid, filter masks by area/redundancy, and
+    draw the surviving boundaries back into the masked region. Falls back
+    to a single box prompt when the grid finds nothing, and to the sobel
+    sketch when sam_vit.npz is absent."""
     import cv2
-    from .sam import predict_sam_mask
+    from .sam import predict_sam_edges, predict_sam_mask
     u8 = _to_uint8(img)
     if u8.shape[-1] == 1:
         u8 = np.repeat(u8, 3, axis=2)
@@ -156,16 +188,29 @@ def fill_img_with_sam(img, mask, select_mask=True, **kw):
         box = [xs.min(), ys.min(), xs.max() + 1, ys.max() + 1]
     else:
         box = [0, 0, u8.shape[1], u8.shape[0]]
-    sam_masks = predict_sam_mask(u8, np.asarray([box], np.float32),
-                                 multimask=True)
-    if sam_masks is None:
-        return fill_img_with_sketch(img, mask, select_mask=select_mask)
-    edges = np.zeros(u8.shape[:2], np.uint8)
-    for sm in sam_masks:
-        contours, _ = cv2.findContours(sm.astype(np.uint8),
-                                       cv2.RETR_LIST,
-                                       cv2.CHAIN_APPROX_NONE)
-        cv2.drawContours(edges, contours, -1, 255, 1)
+
+    knobs = _sam_knobs(opt)
+    cd = knobs.pop("crop_delta", 50)
+    x0 = max(0, box[0] - cd); y0 = max(0, box[1] - cd)
+    x1 = min(u8.shape[1], box[2] + cd); y1 = min(u8.shape[0], box[3] + cd)
+    edges = None
+    if x1 > x0 and y1 > y0:
+        crop_edges = predict_sam_edges(u8[y0:y1, x0:x1], **knobs)
+        if crop_edges is not None:
+            edges = np.zeros(u8.shape[:2], np.uint8)
+            edges[y0:y1, x0:x1] = crop_edges
+    if edges is None or not edges.any():
+        # grid found nothing (or no weights): single box prompt, contours
+        sam_masks = predict_sam_mask(u8, np.asarray([box], np.float32),
+                                     multimask=True)
+        if sam_masks is None:
+            return fill_img_with_sketch(img, mask, select_mask=select_mask)
+        edges = np.zeros(u8.shape[:2], np.uint8)
+        for sm in sam_masks:
+            contours, _ = cv2.findContours(sm.astype(np.uint8),
+                                           cv2.RETR_LIST,
+                                           cv2.CHAIN_APPROX_NONE)
+            cv2.drawContours(edges, contours, -1, 255, 1)
     e3 = np.repeat(edges[:, :, None], img.shape[-1], axis=2)
     return _compose(img, _from_uint8(e3), mask, select_mask)
 
@@ -204,9 +249,13 @@ EDGE_FILLERS = {
 }
 
 
-def random_edge_mask(fn_list, img, mask, rng=None, **kw):
-    """Pick one conditioning builder at random (reference random_edge_mask)."""
+def random_edge_mask(fn_list, img, mask, rng=None, opt=None, **kw):
+    """Pick one conditioning builder at random (reference random_edge_mask).
+    ``opt`` threads the SAM-sketch tuning knobs to fill_img_with_sam."""
     rng = rng or random
     fn = EDGE_FILLERS[rng.choice([f for f in fn_list if f in EDGE_FILLERS])]
-    return fn(img, mask, rng=rng, **kw) if fn is fill_img_with_canny \
-        else fn(img, mask, **kw)
+    if fn is fill_img_with_canny:
+        return fn(img, mask, rng=rng, **kw)
+    if fn is fill_img_with_sam:
+        return fn(img, mask, opt=opt, **kw)
+    return fn(img, mask, **kw)

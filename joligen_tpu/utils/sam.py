@@ -513,3 +513,106 @@ def predict_sam_mask(img_rgb_u8, boxes_xyxy, multimask=False):
             (m > 0).astype(np.uint8) * 255).resize((w, h), Image.NEAREST))
         out.append(m > 0)
     return np.stack(out) if out else None
+
+
+def predict_sam_edges(img_rgb_u8, points_per_side=16,
+                      sample_points_in_ellipse=True, min_mask_area=0.001,
+                      max_mask_area=0.99, redundancy_threshold=0.62,
+                      use_sobel_filter=True, sobel_threshold=0.7,
+                      output_binary_sam=False, use_gaussian_filter=False,
+                      final_canny=False):
+    """Automatic-grid SAM edge sketch (reference
+    sam_inference.predict_sam_edges used by fill_img_with_sam,
+    util/mask_generation.py:179-230): prompt SAM with a points_per_side
+    grid (optionally restricted to the inscribed ellipse), filter masks by
+    area and IoU redundancy, and draw the surviving masks' boundaries
+    (sobel of the soft union or binary contours), with optional gaussian
+    smoothing and a final canny pass. Returns a uint8 edge map (H, W) or
+    None when sam_vit.npz is absent."""
+    import cv2
+    global _CACHED
+    path = sam_weights_path()
+    if path is None:
+        return None
+    from PIL import Image
+    if _CACHED is None:
+        params, cfg = load_sam_params(path)
+        net = SamModel(cfg)
+        fns = {mm: jax.jit(lambda p, xx, bb, mm=mm: net.apply(
+            p, xx, input_boxes=bb, multimask_output=mm))
+            for mm in (False, True)}
+        _CACHED = (net, params, fns)
+    net, params, _ = _CACHED
+    h, w = img_rgb_u8.shape[:2]
+    size = net.cfg.image_size
+    x = np.asarray(Image.fromarray(img_rgb_u8).resize(
+        (size, size), Image.BILINEAR), np.float32)
+    x = (x - SAM_MEAN) / SAM_STD
+
+    # point-prompt grid in model coordinates
+    n = max(2, int(points_per_side))
+    lin = (np.arange(n) + 0.5) / n
+    gx, gy = np.meshgrid(lin, lin)
+    pts = np.stack([gx.reshape(-1), gy.reshape(-1)], axis=-1)
+    if sample_points_in_ellipse:
+        keep = ((pts[:, 0] - 0.5) ** 2 + (pts[:, 1] - 0.5) ** 2) <= 0.25
+        pts = pts[keep]
+    pts_model = (pts * size).astype(np.float32)
+
+    @jax.jit
+    def run(p, xx, pp, ll):
+        return net.apply(p, xx, input_points=pp, input_labels=ll,
+                         multimask_output=True)
+
+    points = jnp.asarray(pts_model.reshape(1, -1, 1, 2))
+    labels = jnp.ones((1, pts_model.shape[0], 1), jnp.int32)
+    masks, iou = run(params, jnp.asarray(x[None]), points, labels)
+    masks = np.asarray(masks)[0]          # (np, 3, 256, 256)
+    iou = np.asarray(iou)[0]              # (np, 3)
+
+    # best mask per point, filtered by predicted IoU and area bounds
+    cand = []
+    total = masks.shape[-1] * masks.shape[-2]
+    for i in range(masks.shape[0]):
+        j = int(iou[i].argmax())
+        if iou[i, j] < 0.7:
+            continue
+        m = masks[i, j] > 0
+        area = m.mean()
+        if area < min_mask_area or area > max_mask_area:
+            continue
+        cand.append((float(iou[i, j]), m))
+    cand.sort(key=lambda t: -t[0])
+    kept = []
+    for score, m in cand:
+        dup = False
+        for km in kept:
+            inter = np.logical_and(m, km).sum()
+            union = np.logical_or(m, km).sum()
+            if union and inter / union > redundancy_threshold:
+                dup = True
+                break
+        if not dup:
+            kept.append(m)
+
+    edge = np.zeros(masks.shape[-2:], np.float32)
+    for m in kept:
+        mf = m.astype(np.float32)
+        if use_sobel_filter and not output_binary_sam:
+            gxv = cv2.Sobel(mf, cv2.CV_32F, 1, 0, ksize=3)
+            gyv = cv2.Sobel(mf, cv2.CV_32F, 0, 1, ksize=3)
+            g = np.sqrt(gxv ** 2 + gyv ** 2)
+            edge = np.maximum(edge, (g > sobel_threshold).astype(np.float32))
+        else:
+            contours, _ = cv2.findContours(m.astype(np.uint8),
+                                           cv2.RETR_LIST,
+                                           cv2.CHAIN_APPROX_NONE)
+            cv2.drawContours(edge, contours, -1, 1.0, 1)
+    edge_u8 = (edge * 255).astype(np.uint8)
+    if use_gaussian_filter:
+        edge_u8 = cv2.GaussianBlur(edge_u8, (3, 3), 0)
+    if final_canny:
+        edge_u8 = cv2.Canny(edge_u8, 100, 200)
+    edge_u8 = np.asarray(Image.fromarray(edge_u8).resize(
+        (w, h), Image.NEAREST))
+    return edge_u8

@@ -137,7 +137,7 @@ def inference(args, lmodel=None, lopt=None):
             # fixed canny thresholds at inference (reference
             # scripts/gen_single_image_diffusion.py:600-605)
             kw = dict(low_threshold=int(thr[0]), high_threshold=int(thr[1]))
-        cond = random_edge_mask(fns, crop, mask, **kw)
+        cond = random_edge_mask(fns, crop, mask, opt=opt, **kw)
     elif cond_creation == "low_res":
         # super-resolution conditioning (reference
         # scripts/gen_single_image_diffusion.py:629-639): optionally
