@@ -535,13 +535,22 @@ class NupletUnalignedLabeledMaskDataset(UnalignedLabeledMaskDataset):
         if masks:
             out["A_label_mask"] = np.stack(masks)
         if self.B_size:
-            j = random.randint(0, self.B_size - 1)
+            # B is a nuplet of consecutive frames too (reference
+            # nuplet_unaligned_labeled_mask_dataset.py:119-121): the P
+            # predictor trains on real-B sequences
+            j0 = random.randint(0, max(0, self.B_size - self.nuplet))
+            b_frames, b_masks = [], []
             pB = self.transform.sample_params()
-            out["B"] = self.transform.image(
-                self._load_img(self.B_img_paths[j]), pB)
-            if self.B_mask_paths and self.B_mask_paths[j]:
-                out["B_label_mask"] = self.transform.mask(
-                    load_mask(self._resolve(self.B_mask_paths[j])), pB)
+            for i in range(self.nuplet):
+                j = (j0 + i) % self.B_size
+                b_frames.append(self.transform.image(
+                    self._load_img(self.B_img_paths[j]), pB))
+                if self.B_mask_paths and self.B_mask_paths[j]:
+                    b_masks.append(self.transform.mask(
+                        load_mask(self._resolve(self.B_mask_paths[j])), pB))
+            out["B"] = np.stack(b_frames)
+            if b_masks:
+                out["B_label_mask"] = np.stack(b_masks)
         return out
 
 

@@ -12,7 +12,18 @@ def create_model(opt, phase="train"):
     if name in ("cut",):
         from .cut_model import CUTModel
         return CUTModel(opt, phase=phase)
+    if name in ("re_cut", "re_cut_semantic_mask"):
+        # ReCUT next-frame regularization (dead upstream — its module
+        # imports a deleted file and the reference registry hides it —
+        # revived here over the nuplet dataset)
+        from .cut_model import CUTModel
+        if name.endswith("semantic_mask"):
+            opt.train_semantic_mask = True
+        return CUTModel(opt, phase=phase)
     if name in ("cycle_gan",):
+        from .cycle_gan_model import CycleGANModel
+        return CycleGANModel(opt, phase=phase)
+    if name in ("re_cycle_gan", "re_cycle_gan_semantic_mask"):
         from .cycle_gan_model import CycleGANModel
         return CycleGANModel(opt, phase=phase)
     if name in ("cm", "cm_gan"):

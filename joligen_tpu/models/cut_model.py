@@ -283,6 +283,35 @@ class CUTModel(BaseModel):
                         jax.random.fold_in(rngs[7], 1), self.netf_s,
                         (ex_img,), tx)
 
+        # ---- ReCUT next-frame-prediction regularization (reference
+        # re_cut_semantic_mask_model.py — DEAD upstream: it imports a
+        # deleted module and is hidden by the registry; revived here).
+        # P_B predicts frame N from the channel-stack of frames 0..N-2;
+        # G gets an extra NCE(real_A_last, P(fake frames)) term gated on
+        # P's real-sequence accuracy (alg_re_projection_threshold).
+        self.recut = opt.model_type in ("re_cut", "re_cut_semantic_mask")
+        if self.recut:
+            import copy
+            self.nuplet = int(getattr(opt, "alg_re_nuplet_size", 3) or 3)
+            self.p_threshold = float(
+                getattr(opt, "alg_re_projection_threshold", 1.0) or 1.0)
+            self.p_adversarial = bool(
+                getattr(opt, "alg_re_adversarial_loss_p", False))
+            popt = copy.copy(opt)
+            popt.G_netG = (getattr(opt, "alg_re_netP", "unet_128")
+                           or "unet_128")
+            self.netP = define_G(popt)
+            ex_stack = jnp.zeros(
+                (1, size, size, (self.nuplet - 1) * opt.model_input_nc),
+                jnp.float32)
+            txP = make_optimizer(opt, float(getattr(opt, "alg_re_P_lr", 2e-4)
+                                            or 2e-4))
+            self.txs["P_B"] = txP
+            self.states["P_B"] = scheme(
+                init_net_state(jax.random.fold_in(rngs[1], 5), self.netP,
+                               (ex_stack,), txP),
+                jax.random.fold_in(rngs[1], 5))
+
         pool_size = int(getattr(opt, "train_pool_size", 50))
         self.pool = ImagePool.create(
             pool_size, (size, size, opt.model_output_nc))
@@ -305,6 +334,8 @@ class CUTModel(BaseModel):
 
     # ------------------------------------------------------------------
     def set_input(self, batch):
+        if getattr(self, "recut", False):
+            return self._set_input_recut(batch)
         out = {"real_A": batch["A"], "real_B": batch["B"]}
         if "A_label_cls" in batch:
             out["cls_A"] = np.asarray(batch["A_label_cls"], np.int32)
@@ -316,6 +347,27 @@ class CUTModel(BaseModel):
             out["cls_B"] = np.asarray(batch["B_label_cls"], np.int32)
         if self.fs_is_sam and "A_ref_bbox" in batch:
             out["ref_bbox_A"] = np.asarray(batch["A_ref_bbox"], np.float32)
+        return out
+
+    def _set_input_recut(self, batch):
+        """Nuplet batches (B, N, H, W, C): frames 0..N-2 fold into the
+        batch for the CUT losses; frame N-1 is the prediction target
+        (reference re_cut_semantic_mask_model.py:95-112)."""
+        A = np.asarray(batch["A"])
+        B = np.asarray(batch["B"])
+        b, n = A.shape[:2]
+
+        def fold(x):
+            return x[:, :-1].reshape((b * (n - 1),) + x.shape[2:])
+
+        out = {"real_A": fold(A), "real_B": fold(B),
+               "real_A_last": A[:, -1], "real_B_last": B[:, -1],
+               "real_B_seq": B[:, :-1]}
+        if "A_label_mask" in batch:
+            m = np.asarray(batch["A_label_mask"])
+            out["mask_A"] = fold(m)
+        if "B_label_mask" in batch and (self.mask_f_s_B or self.sem_idt):
+            out["mask_B"] = fold(np.asarray(batch["B_label_mask"]))
         return out
 
     @property
@@ -530,6 +582,33 @@ class CUTModel(BaseModel):
             losses["G_MSE_idt"] = self.lambda_mse_idt * jnp.mean(
                 jnp.abs(real_B - idt_B))
 
+        if getattr(self, "recut", False) and "_p_params" in inp:
+            # ReCUT regularizer (reference re_cut_semantic_mask_model.py:
+            # 160-190): project the generated frames one step forward and
+            # pull it toward the REAL next source frame with the NCE loss;
+            # gated off while P is inaccurate on real sequences
+            n1 = self.nuplet - 1
+            bn = fake_B.shape[0] // n1
+            seq = fake_B.reshape((bn, n1) + fake_B.shape[1:])
+            stack = jnp.concatenate([seq[:, i] for i in range(n1)], axis=-1)
+            proj_fake = self.netP.apply(inp["_p_params"], stack)
+            gate = inp.get("_p_gate", 1.0)
+            rng, rng_rec = jax.random.split(rng)
+            nce_rec, _ = self._nce_total(paramsG, paramsF,
+                                         inp["real_A_last"], proj_fake,
+                                         rng_rec)
+            losses["G_recut"] = gate * nce_rec
+            if self.p_adversarial:
+                adv = 0.0
+                for name, netD in self.netDs.items():
+                    if "mask" in name or "temporal" in name:
+                        continue
+                    pred = netD.apply(d_params[name], proj_fake)
+                    adv += (-jnp.mean(pred)
+                            if self.gan_mode in ("projected", "wgangp")
+                            else gan_loss(pred, True, self.gan_mode))
+                losses["G_proj_fake_B_adversarial"] = gate * adv
+
         if self.supervised:
             # supervised loss with aligned data (reference cut_model.py:779-833)
             sup = 0.0
@@ -678,6 +757,31 @@ class CUTModel(BaseModel):
                         states["f_s_B"], fgrads[1], self.txs["f_s_B"])
                 losses_heads["f_s"] = fl
                 inp["_fs_gate"] = (fl <= self.fs_threshold).astype(jnp.float32)
+            if getattr(self, "recut", False) and "real_B_seq" in inp:
+                # P trains on real sequences only (the safer
+                # no_train_P_fake_images variant): 10 * L1(P(B_0..N-2),
+                # B_last) (reference compute_P_loss)
+                n1 = self.nuplet - 1
+
+                def p_loss(p):
+                    seq = inp["real_B_seq"]
+                    stack = jnp.concatenate(
+                        [seq[:, i] for i in range(n1)], axis=-1)
+                    proj = self.netP.apply(p, stack)
+                    return 10.0 * jnp.mean(jnp.abs(
+                        proj - inp["real_B_last"]))
+
+                plv, pgrads = jax.value_and_grad(p_loss)(
+                    states["P_B"].params)
+                states["P_B"] = apply_updates(states["P_B"], pgrads,
+                                              self.txs["P_B"])
+                losses_p = {"P_proj_real_B": plv}
+                inp["_p_params"] = jax.lax.stop_gradient(
+                    states["P_B"].params)
+                inp["_p_gate"] = (plv <= self.p_threshold).astype(
+                    jnp.float32)
+            else:
+                losses_p = {}
             if self.semantic_cls:
                 inp["_cls_params"] = jax.lax.stop_gradient(states["CLS"].params)
             if self.semantic_mask:
@@ -849,6 +953,7 @@ class CUTModel(BaseModel):
 
             # semantic heads were updated before the G group (gates)
             losses.update(losses_heads)
+            losses.update(losses_p)
 
             return states, pool, apa_p, d_diff_p, losses
 

@@ -97,6 +97,36 @@ class CycleGANModel(BaseModel):
                 self.d_names.append((sname, dom, name))
                 k += 1
 
+        # ---- ReCycleGAN next-frame regularization (reference
+        # re_cycle_gan_semantic_mask_model.py — dead upstream, revived):
+        # P_A/P_B predict frame N from the channel-stack of frames 0..N-2;
+        # G gets recycle L1 terms G_B(P_B(fakes_B)) vs real_A_last (and the
+        # mirror), gated on P accuracy over real sequences
+        self.recycle = opt.model_type in ("re_cycle_gan",
+                                          "re_cycle_gan_semantic_mask")
+        if self.recycle:
+            import copy
+            self.nuplet = int(getattr(opt, "alg_re_nuplet_size", 3) or 3)
+            self.p_threshold = float(
+                getattr(opt, "alg_re_projection_threshold", 1.0) or 1.0)
+            self.p_adversarial = bool(
+                getattr(opt, "alg_re_adversarial_loss_p", False))
+            popt = copy.copy(opt)
+            popt.G_netG = (getattr(opt, "alg_re_netP", "unet_128")
+                           or "unet_128")
+            self.netP_A = define_G(popt)
+            self.netP_B = define_G(popt)
+            ex_stack = jnp.zeros(
+                (1, size, size, (self.nuplet - 1) * opt.model_input_nc),
+                jnp.float32)
+            for pn, net in (("P_A", self.netP_A), ("P_B", self.netP_B)):
+                txP = make_optimizer(opt, float(
+                    getattr(opt, "alg_re_P_lr", 2e-4) or 2e-4))
+                self.txs[pn] = txP
+                self.states[pn] = init_net_state(
+                    jax.random.fold_in(rngs[1], hash(pn) % 97), net,
+                    (ex_stack,), txP)
+
         pool_size = int(getattr(opt, "train_pool_size", 50))
         shape = (size, size, opt.model_output_nc)
         self.pool_A = ImagePool.create(pool_size, shape)
@@ -105,6 +135,17 @@ class CycleGANModel(BaseModel):
         self._jit_infer = None
 
     def set_input(self, batch):
+        if getattr(self, "recycle", False):
+            A = np.asarray(batch["A"])
+            B = np.asarray(batch["B"])
+            b, n = A.shape[:2]
+
+            def fold(x):
+                return x[:, :-1].reshape((b * (n - 1),) + x.shape[2:])
+
+            return {"real_A": fold(A), "real_B": fold(B),
+                    "real_A_last": A[:, -1], "real_B_last": B[:, -1],
+                    "real_A_seq": A[:, :-1], "real_B_seq": B[:, :-1]}
         return {"real_A": batch["A"], "real_B": batch["B"]}
 
     def _augment(self, rng, img):
@@ -144,6 +185,34 @@ class CycleGANModel(BaseModel):
                                  * jnp.mean(jnp.abs(idt_A - real_B)))
             losses["G_idt_B"] = (self.lambda_A * self.lambda_idt
                                  * jnp.mean(jnp.abs(idt_B - real_A)))
+        if getattr(self, "recycle", False) and "_pA_params" in inp:
+            # recycle losses (reference re_cycle_gan...py:125-175)
+            n1 = self.nuplet - 1
+            bn = fake_B.shape[0] // n1
+
+            def stack(x):
+                seq = x.reshape((bn, n1) + x.shape[1:])
+                return jnp.concatenate([seq[:, i] for i in range(n1)],
+                                       axis=-1)
+
+            proj_fake_B = self.netP_B.apply(inp["_pB_params"], stack(fake_B))
+            proj_fake_A = self.netP_A.apply(inp["_pA_params"], stack(fake_A))
+            rec_proj_A = self.netG_B.apply(pB, proj_fake_B)
+            rec_proj_B = self.netG_A.apply(pA, proj_fake_A)
+            gate = inp.get("_p_gate", 1.0)
+            losses["G_recycle_A"] = gate * self.lambda_A * jnp.mean(
+                jnp.abs(rec_proj_A - inp["real_A_last"]))
+            losses["G_recycle_B"] = gate * self.lambda_B * jnp.mean(
+                jnp.abs(rec_proj_B - inp["real_B_last"]))
+            if self.p_adversarial:
+                adv = 0.0
+                for sname, dom, dname in self.d_names:
+                    netD = (self.netDs_B if dom == "B"
+                            else self.netDs_A)[dname]
+                    proj = proj_fake_B if dom == "B" else proj_fake_A
+                    adv += gan_loss(netD.apply(d_params[sname], proj), True,
+                                    self.gan_mode)
+                losses["G_proj_adversarial"] = gate * adv
         total = sum(losses.values())
         return total, (losses, fake_A, fake_B)
 
@@ -156,6 +225,38 @@ class CycleGANModel(BaseModel):
             rngs = jax.random.split(rng, 8)
             d_params = {s: jax.lax.stop_gradient(states[s].params)
                         for s, _, _ in self.d_names}
+            states = dict(states)
+            losses_p = {}
+            if getattr(self, "recycle", False) and "real_A_seq" in inp:
+                n1 = self.nuplet - 1
+
+                def pstack(x):
+                    return jnp.concatenate([x[:, i] for i in range(n1)],
+                                           axis=-1)
+
+                def pA_loss(p):
+                    return self.lambda_A * jnp.mean(jnp.abs(
+                        self.netP_A.apply(p, pstack(inp["real_A_seq"]))
+                        - inp["real_A_last"]))
+
+                def pB_loss(p):
+                    return self.lambda_B * jnp.mean(jnp.abs(
+                        self.netP_B.apply(p, pstack(inp["real_B_seq"]))
+                        - inp["real_B_last"]))
+
+                pa, pag = jax.value_and_grad(pA_loss)(states["P_A"].params)
+                pb, pbg = jax.value_and_grad(pB_loss)(states["P_B"].params)
+                states["P_A"] = apply_updates(states["P_A"], pag,
+                                              self.txs["P_A"])
+                states["P_B"] = apply_updates(states["P_B"], pbg,
+                                              self.txs["P_B"])
+                losses_p = {"P_proj_real_A": pa, "P_proj_real_B": pb}
+                inp["_pA_params"] = jax.lax.stop_gradient(
+                    states["P_A"].params)
+                inp["_pB_params"] = jax.lax.stop_gradient(
+                    states["P_B"].params)
+                inp["_p_gate"] = ((pa + pb) / 2.0
+                                  <= self.p_threshold).astype(jnp.float32)
 
             (gtot, (losses, fake_A, fake_B)), grads = jax.value_and_grad(
                 lambda a, b: self._g_loss(a, b, d_params, rngs[0], inp),
@@ -167,6 +268,7 @@ class CycleGANModel(BaseModel):
             states["G_B"] = apply_updates(states["G_B"], grads[1],
                                           self.txs["G_B"], self.ema_beta)
             losses["G_tot"] = gtot
+            losses.update(losses_p)
 
             pool_A, pooled_A = pool_A.query(rngs[1], jax.lax.stop_gradient(fake_A))
             pool_B, pooled_B = pool_B.query(rngs[2], jax.lax.stop_gradient(fake_B))

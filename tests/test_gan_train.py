@@ -265,3 +265,41 @@ def test_all_classes_as_one(tmp_path):
     ds = create_dataset(opt, "train")
     s = ds[0]
     assert set(np.unique(s["A_label_mask"])) <= {0, 1}
+
+
+def test_recut_and_recycle_gan(tmp_path):
+    """ReCUT / ReCycleGAN next-frame-prediction regularization over the
+    nuplet dataset (reference re_*_semantic_mask_model.py — dead upstream,
+    revived here): P nets train on real sequences, G gets gated
+    recut/recycle terms."""
+    from joligen_tpu.data import create_dataloader, create_dataset
+    from joligen_tpu.models import create_model
+
+    root = str(tmp_path / "ds")
+    make_fake(root, n=12, size=32)
+    base = dict(data_dataset_mode="nuplet_unaligned_labeled_mask",
+                alg_re_nuplet_size=3, alg_re_netP="resnet_6blocks",
+                alg_re_projection_threshold=100.0,
+                train_semantic_mask=True, f_s_semantic_nclasses=2)
+
+    opt = _opt(root, tmp_path, model="re_cut_semantic_mask", **base)
+    ds = create_dataset(opt, "train")
+    batch = next(iter(create_dataloader(opt, ds)))
+    assert batch["A"].ndim == 5 and batch["B"].ndim == 5
+    m = create_model(opt)
+    assert "P_B" in m.states
+    losses = m.optimize_parameters(batch)
+    for k in ("P_proj_real_B", "G_recut"):
+        assert k in losses and np.isfinite(losses[k]), k
+
+    opt2 = _opt(root, tmp_path, model="re_cycle_gan", **{
+        k: v for k, v in base.items() if not k.startswith(("train_sem",
+                                                           "f_s"))})
+    ds2 = create_dataset(opt2, "train")
+    batch2 = next(iter(create_dataloader(opt2, ds2)))
+    m2 = create_model(opt2)
+    assert "P_A" in m2.states and "P_B" in m2.states
+    losses2 = m2.optimize_parameters(batch2)
+    for k in ("P_proj_real_A", "P_proj_real_B", "G_recycle_A",
+              "G_recycle_B"):
+        assert k in losses2 and np.isfinite(losses2[k]), k
