@@ -157,7 +157,7 @@ def main():
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--denoise_timesteps", type=int, default=0,
                    help="live backend only; the artifact bakes its count")
-    p.add_argument("--fps", type=int, default=8)
+    p.add_argument("--fps", "--vid_fps", type=int, default=8)
     p.add_argument("--video_out", default="")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()

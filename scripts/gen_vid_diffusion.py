@@ -184,7 +184,7 @@ def build_parser():
     p.add_argument("--data_prefix", default="")
     p.add_argument("--dir_out", default=".")
     p.add_argument("--video_out", default="")
-    p.add_argument("--fps", type=int, default=25)
+    p.add_argument("--fps", "--vid_fps", type=int, default=25)
     p.add_argument("--max_frames", type=int, default=-1)
     p.add_argument("--sampling_steps", type=int, default=-1)
     p.add_argument("--autoregressive", action="store_true")

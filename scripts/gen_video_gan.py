@@ -20,7 +20,7 @@ def main():
     p.add_argument("--dir_in", required=True)
     p.add_argument("--dir_out", default=".")
     p.add_argument("--video_out", default="")
-    p.add_argument("--fps", type=int, default=25)
+    p.add_argument("--fps", "--vid_fps", type=int, default=25)
     p.add_argument("--max_frames", type=int, default=-1)
     p.add_argument("--img_width", type=int, default=0)
     p.add_argument("--img_height", type=int, default=0)

@@ -29,7 +29,7 @@ def main():
                         "file is reused for every frame")
     p.add_argument("--dir_out", default=".")
     p.add_argument("--video_out", default="")
-    p.add_argument("--fps", type=int, default=25)
+    p.add_argument("--fps", "--vid_fps", type=int, default=25)
     p.add_argument("--max_frames", type=int, default=-1)
     p.add_argument("--truncation_psi", type=float, default=1.0)
     p.add_argument("--seed", type=int, default=-1,
