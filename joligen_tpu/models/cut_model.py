@@ -960,6 +960,24 @@ class CUTModel(BaseModel):
         donate = (0, 1) if getattr(self.opt, "tpu_donate", True) else ()
         return jax.jit(step, donate_argnums=donate)
 
+    def attention_visuals(self, batch, max_masks=5):
+        """Per-mask attention maps of an attention generator
+        (reference output_display_G_attention_masks); {} for plain Gs."""
+        from .modules.resnet_generator import ResnetGeneratorAttn
+        if not isinstance(self.netG, ResnetGeneratorAttn):
+            return {}
+        inp = self.set_input(batch)
+        dev = self.put_batch(inp)
+        real_A = self._fold(jnp.asarray(dev["real_A"]))
+        _, att = self.netG.apply(self.states["G_A"].params, real_A,
+                                 return_attention=True)
+        att = np.asarray(jax.device_get(att))
+        out = {}
+        for i in range(min(att.shape[-1], max_masks)):
+            # [0,1] -> [-1,1] so tensor2im renders it like an image
+            out[f"attention_{i}"] = att[..., i:i + 1] * 2.0 - 1.0
+        return out
+
     def compute_miou(self, batch):
         """Soft mIoU of f_s on the current batch (reference
         base_model.py:1379-1416; probabilities instead of the reference's

@@ -325,7 +325,8 @@ class ResnetGeneratorAttn(nn.Module):
             tanh=False, freq_space=self.freq_space,
             use_spectral=self.use_spectral, dtype=self.dtype)
 
-    def __call__(self, x, deterministic=True, extract_layer_ids=None):
+    def __call__(self, x, deterministic=True, extract_layer_ids=None,
+                 return_attention=False):
         x_pix = x
         if self.freq_space:
             # train_feat_wavelet (reference resnet_generator.py:421-426):
@@ -346,6 +347,10 @@ class ResnetGeneratorAttn(nn.Module):
             out = out + ci * att[..., i:i + 1]
         for i in range(n_content, self.nb_mask_attn):
             out = out + inp * att[..., i:i + 1]
+        if return_attention:
+            # per-mask attention maps for display
+            # (reference output_display_G_attention_masks)
+            return out.astype(jnp.float32), att.astype(jnp.float32)
         return out.astype(jnp.float32)
 
 

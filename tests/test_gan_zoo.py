@@ -496,3 +496,30 @@ def test_vision_aided_multi_backbone():
     assert any("freezenet_clip" in n for n in names)
     assert any("freezenet_dino" in n for n in names)
     assert any("glob_out_dino" in n for n in names)
+
+
+def test_attention_mask_visuals(tmp_path):
+    """output_display_G_attention_masks: attention-G mask maps exposed as
+    visuals (reference base_model.py --output_display_networks path)."""
+    import numpy as np
+
+    from joligen_tpu.models import create_model
+    from joligen_tpu.options import TrainOptions
+
+    opt = TrainOptions().parse_cli([
+        "--dataroot", "/tmp/none", "--model_type", "cut",
+        "--data_crop_size", "16", "--data_load_size", "16",
+        "--G_netG", "resnet_attn", "--G_ngf", "8", "--G_nblocks", "2",
+        "--G_attn_nb_mask_attn", "4", "--G_attn_nb_mask_input", "1",
+        "--D_netDs", "basic", "--D_ndf", "8", "--D_n_layers", "2",
+        "--train_batch_size", "1",
+        "--checkpoints_dir", str(tmp_path), "--name", "att"])
+    opt.steps_per_epoch = 2
+    m = create_model(opt)
+    rng = np.random.RandomState(0)
+    batch = {"A": rng.randn(1, 16, 16, 3).astype(np.float32).clip(-1, 1),
+             "B": rng.randn(1, 16, 16, 3).astype(np.float32).clip(-1, 1)}
+    vis = m.attention_visuals(batch)
+    assert "attention_0" in vis and len(vis) == 4
+    a = (vis["attention_0"] + 1.0) / 2.0
+    assert a.min() >= 0.0 and a.max() <= 1.0

@@ -201,6 +201,10 @@ def launch_training(opt):
                     fake = model.inference(data)
                     vis = {"real_A": data["A"], "fake_B": fake,
                            "real_B": data["B"]}
+                    if getattr(opt, "output_display_G_attention_masks",
+                               False) and hasattr(model,
+                                                  "attention_visuals"):
+                        vis.update(model.attention_visuals(data))
                     if getattr(opt, "output_display_diff_fake_real", False):
                         # reference visualizer: |fake - real| panel
                         import numpy as _np
