@@ -523,9 +523,12 @@ class NupletUnalignedLabeledMaskDataset(UnalignedLabeledMaskDataset):
 
     def __getitem__(self, index):
         frames, masks = [], []
+        # ONE transform draw shared by the whole A nuplet — the frames must
+        # stay temporally registered for the P predictor (reference applies
+        # a single list transform, nuplet_unaligned_labeled_mask_dataset.py)
+        p = self.transform.sample_params()
         for i in range(self.nuplet):
             j = (index + i) % self.A_size
-            p = self.transform.sample_params()
             frames.append(self.transform.image(
                 self._load_img(self.A_img_paths[j]), p))
             if self.A_mask_paths[j]:

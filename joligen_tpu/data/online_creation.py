@@ -195,11 +195,12 @@ def crop_image(
     if random_bbox and (bbox_path is None
                         or not str(bbox_path).endswith(".txt")):
         # synthesize one random box in source coordinates (reference
-        # online_creation.py:381-391)
-        rx1 = np.random.randint(0, src_w - 1)
-        ry1 = np.random.randint(0, src_h - 1)
-        rx2 = np.random.randint(rx1, min(rx1 + crop_dim, src_w))
-        ry2 = np.random.randint(ry1, min(ry1 + crop_dim, src_h))
+        # online_creation.py:381-391; seeded through ``rng`` here)
+        rng = rng or random
+        rx1 = rng.randint(0, max(0, src_w - 2))
+        ry1 = rng.randint(0, max(0, src_h - 2))
+        rx2 = rng.randint(rx1 + 1, max(rx1 + 1, min(rx1 + crop_dim, src_w)))
+        ry2 = rng.randint(ry1 + 1, max(ry1 + 1, min(ry1 + crop_dim, src_h)))
         cats = [1]
         bboxes = np.asarray([[rx1, ry1, rx2, ry2]], dtype=np.float64)
     else:
@@ -366,9 +367,11 @@ def crop_image(
         cy_center = (y1 + y2) / 2
         wx0 = cx_center - eff / 2
         wy0 = cy_center - eff / 2
-        if jitter and not crop_center and crop_delta > 0:
-            wx0 += rng.randint(-crop_delta, crop_delta)
-            wy0 += rng.randint(-crop_delta, crop_delta)
+        if jitter and not crop_center and eff_crop_delta > 0:
+            # eff_crop_delta: scaled with load_size_keep_ratio like every
+            # other pixel-space parameter
+            wx0 += rng.randint(-eff_crop_delta, eff_crop_delta)
+            wy0 += rng.randint(-eff_crop_delta, eff_crop_delta)
         wx0 = int(np.clip(wx0, 0, W - eff))
         wy0 = int(np.clip(wy0, 0, H - eff))
         # keep the ref bbox inside the crop

@@ -23,9 +23,17 @@ def create_model(opt, phase="train"):
     if name in ("cycle_gan",):
         from .cycle_gan_model import CycleGANModel
         return CycleGANModel(opt, phase=phase)
-    if name in ("re_cycle_gan", "re_cycle_gan_semantic_mask"):
+    if name in ("re_cycle_gan",):
         from .cycle_gan_model import CycleGANModel
         return CycleGANModel(opt, phase=phase)
+    if name in ("re_cycle_gan_semantic_mask",):
+        # our CycleGAN has no semantic heads yet; silently dropping the
+        # supervision would be worse than refusing
+        raise NotImplementedError(
+            "re_cycle_gan_semantic_mask: the CycleGAN path has no semantic "
+            "heads in this framework — use re_cut_semantic_mask (same "
+            "next-frame regularization with full mask semantics) or plain "
+            "re_cycle_gan")
     if name in ("cm", "cm_gan"):
         from .cm_model import CMModel
         return CMModel(opt, phase=phase)

@@ -142,7 +142,8 @@ class CMModel(BaseModel):
             loss = jnp.mean(pseudo_huber_loss(pred_m, target_m) * w)
             losses = {"G_tot": loss * self.lambda_G}
             if self.perceptual:
-                terms = self.perceptual_terms(pred_m, gt, self.perceptual,
+                gt_m = gt * m if mask is not None else gt
+                terms = self.perceptual_terms(pred_m, gt_m, self.perceptual,
                                               self._perc_mean, self._perc_std)
                 losses["G_perceptual"] = self.lambda_perceptual * sum(
                     terms.values())

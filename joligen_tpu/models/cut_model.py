@@ -12,14 +12,16 @@ a single jitted step; the fake pool is device-resident
 from __future__ import annotations
 
 
+import zlib
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .base import BaseModel
 from .gan_networks import define_D, define_F, define_G
-from .train_state import (apply_init_scheme, apply_updates, init_net_state,
-                          make_optimizer)
+from .train_state import (apply_updates, init_net_state,
+                          make_optimizer, scheme_from_opt)
 from .modules.cut_networks import (
     gan_loss,
     monce_loss,
@@ -149,16 +151,8 @@ class CUTModel(BaseModel):
         # pix2pix-lineage weight init for every GAN net (reference
         # gan_networks.py init_net with model_init_type/model_init_gain;
         # frozen trunks are re-loaded afterwards so only heads keep it)
-        self._init_type = getattr(opt, "model_init_type", "normal") or "normal"
-        self._init_gain = float(getattr(opt, "model_init_gain", 0.02) or 0.02)
-
         def scheme(state, key):
-            params = apply_init_scheme(key, state.params, self._init_type,
-                                       self._init_gain)
-            return state.replace(
-                params=params,
-                ema_params=(jax.tree.map(jnp.copy, params)
-                            if state.ema_params is not None else None))
+            return scheme_from_opt(state, key, opt)
 
         txG = make_optimizer(opt, getattr(opt, "train_G_lr", 2e-4))
         self.txs["G_A"] = txG
@@ -593,7 +587,7 @@ class CUTModel(BaseModel):
             stack = jnp.concatenate([seq[:, i] for i in range(n1)], axis=-1)
             proj_fake = self.netP.apply(inp["_p_params"], stack)
             gate = inp.get("_p_gate", 1.0)
-            rng, rng_rec = jax.random.split(rng)
+            rng_rec = jax.random.fold_in(rng, 1717)  # distinct from idt/nce
             nce_rec, _ = self._nce_total(paramsG, paramsF,
                                          inp["real_A_last"], proj_fake,
                                          rng_rec)
@@ -878,7 +872,7 @@ class CUTModel(BaseModel):
                     fs_params = jax.lax.stop_gradient(states["f_s"].params)
                     logits = self.netf_s.apply(fs_params, fake_sg)
                     g_noise = -jnp.log(-jnp.log(jax.random.uniform(
-                        jax.random.fold_in(rngs[6], hash(n) % 1000),
+                        jax.random.fold_in(rngs[6], zlib.crc32(n.encode()) % 1000),
                         logits.shape, minval=1e-6, maxval=1.0 - 1e-6)))
                     d_fake = jax.nn.softmax((logits + g_noise) / 1.0, -1)
                     d_real = jax.nn.one_hot(
@@ -890,8 +884,8 @@ class CUTModel(BaseModel):
                     d_fake = fake_clip_sg if temporal else fake_in
 
                 def d_loss(p, d_real=d_real, d_fake=d_fake, n=n):
-                    kr = jax.random.fold_in(rngs[5], (hash(n) % 997) * 2)
-                    kf = jax.random.fold_in(rngs[5], (hash(n) % 997) * 2 + 1)
+                    kr = jax.random.fold_in(rngs[5], (zlib.crc32(n.encode()) % 997) * 2)
+                    kf = jax.random.fold_in(rngs[5], (zlib.crc32(n.encode()) % 997) * 2 + 1)
                     logits_real = self._d_apply(n, netD, p, d_real, kr)
                     logits_fake = self._d_apply(n, netD, p, d_fake, kf)
                     if self.contrastive_d:

@@ -11,7 +11,7 @@ import numpy as np
 
 from .base import BaseModel
 from .gan_networks import define_D, define_G
-from .train_state import (apply_init_scheme, apply_updates, init_net_state,
+from .train_state import (apply_updates, init_net_state, scheme_from_opt,
                           make_optimizer)
 from .modules.cut_networks import gan_loss
 from .modules.image_pool import ImagePool
@@ -47,16 +47,9 @@ class CycleGANModel(BaseModel):
                 [("G_A", self.netG_A), ("G_B", self.netG_B)]):
             tx = make_optimizer(opt, getattr(opt, "train_G_lr", 2e-4))
             self.txs[name] = tx
-            st = init_net_state(rngs[i], net, (ex,), tx,
-                                use_ema=self.use_ema)
-            params = apply_init_scheme(
-                rngs[i], st.params,
-                getattr(opt, "model_init_type", "normal") or "normal",
-                float(getattr(opt, "model_init_gain", 0.02) or 0.02))
-            self.states[name] = st.replace(
-                params=params,
-                ema_params=(jax.tree.map(jnp.copy, params)
-                            if st.ema_params is not None else None))
+            self.states[name] = scheme_from_opt(
+                init_net_state(rngs[i], net, (ex,), tx,
+                               use_ema=self.use_ema), rngs[i], opt)
         self.d_names = []
         k = 2
         for dom, ds in (("A", self.netDs_A), ("B", self.netDs_B)):
@@ -67,13 +60,8 @@ class CycleGANModel(BaseModel):
                 self.states[sname] = init_net_state(rngs[k], netD, (ex,), tx)
                 if any(t in name for t in ("basic", "n_layers", "pixel",
                                            "mask")):
-                    self.states[sname] = self.states[sname].replace(
-                        params=apply_init_scheme(
-                            rngs[k], self.states[sname].params,
-                            getattr(opt, "model_init_type", "normal")
-                            or "normal",
-                            float(getattr(opt, "model_init_gain", 0.02)
-                                  or 0.02)))
+                    self.states[sname] = scheme_from_opt(
+                        self.states[sname], rngs[k], opt)
                 if "projected" in name or "temporal" in name:
                     from .modules.projected_d import load_efficientnet_trunk
                     self.states[sname] = self.states[sname].replace(
@@ -119,12 +107,13 @@ class CycleGANModel(BaseModel):
             ex_stack = jnp.zeros(
                 (1, size, size, (self.nuplet - 1) * opt.model_input_nc),
                 jnp.float32)
-            for pn, net in (("P_A", self.netP_A), ("P_B", self.netP_B)):
+            for pi, (pn, net) in enumerate((("P_A", self.netP_A),
+                                            ("P_B", self.netP_B))):
                 txP = make_optimizer(opt, float(
                     getattr(opt, "alg_re_P_lr", 2e-4) or 2e-4))
                 self.txs[pn] = txP
                 self.states[pn] = init_net_state(
-                    jax.random.fold_in(rngs[1], hash(pn) % 97), net,
+                    jax.random.fold_in(rngs[1], 31 + pi), net,
                     (ex_stack,), txP)
 
         pool_size = int(getattr(opt, "train_pool_size", 50))

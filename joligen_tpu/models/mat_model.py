@@ -139,14 +139,24 @@ class MATModel(BaseModel):
         if np.asarray(real).ndim == 5 and mask_keep.shape[1] > 1:
             # motion finetune: only the LAST frame carries the hole; earlier
             # frames are conditioning (reference mat_model.py:575-583), and
-            # alg_mat_motion_prob_use_previous_frames drops that
-            # conditioning per sample (reference :439-470)
+            # alg_mat_motion_prob_use_previous_frames replaces that
+            # conditioning with COPIES of the current frame/mask per
+            # dropped sample (reference :439-482) so the generator sees an
+            # inference-plausible static history, not blanks
+            real = np.asarray(real).copy()
+            ids = ids.copy()
+            m = m.copy()
             mask_keep = mask_keep.copy()
             mask_keep[:, :-1] = 1.0
             if self.phase == "train" and self.motion_keep_prob < 1.0:
                 drop = (np.random.rand(mask_keep.shape[0])
                         >= self.motion_keep_prob)
-                mask_keep[drop, :-1] = 0.0
+                n_hist = real.shape[1] - 1
+                real[drop, :-1] = np.repeat(real[drop, -1:], n_hist, axis=1)
+                ids[drop, :-1] = np.repeat(ids[drop, -1:], n_hist, axis=1)
+                m[drop, :-1] = np.repeat(m[drop, -1:], n_hist, axis=1)
+                mask_keep[drop, :-1] = np.repeat(
+                    1.0 - m[drop, -1:], n_hist, axis=1)
         out = {"real": real, "mask": mask_keep}
         if self.mask_class_cond:
             # class ids inside the hole, 0 elsewhere (reference :585-620)

@@ -128,8 +128,10 @@ def b2b_training_outputs(apply_fn, params, rng, y0, y_cond=None, mask=None,
         # SNR(t) = (t/(1-t))^2 for z_t = t*y0 + (1-t)*eps)
         snr = (tb / jnp.maximum(1.0 - tb, t_eps)) ** 2
         w = jnp.minimum(snr, 5.0) / (snr + 1.0)
-        v_pred = v_pred * w
-        v_target = v_target * w
+        # both sides scale by sqrt(w) so the squared loss is weighted by w
+        sw = jnp.sqrt(w)
+        v_pred = v_pred * sw
+        v_target = v_target * sw
     # is_ref indicator for the ref-copy loss (zeros when not autoregressive)
     if video and use_gt_prob > 0.0:
         is_ref_b = _bcast(is_ref.astype(y0.dtype), y0.ndim)

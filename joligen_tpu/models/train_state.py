@@ -178,6 +178,19 @@ def apply_init_scheme(rng, params, init_type, init_gain=0.02):
     return traverse_util.unflatten_dict(out)
 
 
+def scheme_from_opt(state, key, opt):
+    """apply_init_scheme driven by opt.model_init_type/model_init_gain,
+    refreshing the EMA copy to match (shared by the GAN models)."""
+    params = apply_init_scheme(
+        key, state.params,
+        getattr(opt, "model_init_type", "normal") or "normal",
+        float(getattr(opt, "model_init_gain", 0.02) or 0.02))
+    return state.replace(
+        params=params,
+        ema_params=(jax.tree.map(jnp.copy, params)
+                    if state.ema_params is not None else None))
+
+
 def init_net_state(rng, module, example_inputs, tx, use_ema=False,
                    init_kwargs=None):
     # jit the init: eager flax init compiles every op separately, which is
