@@ -448,7 +448,8 @@ def crop_image(
                 f"fixed model mask size {fixed_mask_size_model} is larger "
                 f"than output size {out_total}")
         mask = np.zeros((out_total, out_total), dtype=np.int32)
-        for pb in processed:
+        ref_square = None
+        for pi_, pb in enumerate(processed):
             bx1 = int(round(np.clip(pb["xmin"] - cx0, 0, eff_crop) * scale))
             by1 = int(round(np.clip(pb["ymin"] - cy0, 0, eff_crop) * scale))
             bx2 = int(round(np.clip(pb["xmax"] - cx0, 0, eff_crop) * scale))
@@ -462,6 +463,11 @@ def crop_image(
             bx1 = min(max(bx1, border), out_total - border - side)
             by1 = min(max(by1, border), out_total - border - side)
             mask[by1:by1 + side, bx1:bx1 + side] = pb["cat"]
+            if pi_ == ref_i:
+                # the returned ref_bbox must track the square actually
+                # painted (reference apply_fixed_model_mask updates
+                # x_min_ref et al.)
+                ref_square = (bx1, by1, bx1 + side, by1 + side)
         if inverted_mask:
             mask = np.where(mask > 0, 0, 1).astype(np.int32)
         mask = mask[:, :, None]
@@ -476,8 +482,12 @@ def crop_image(
     if arr.ndim == 2:
         arr = arr[:, :, None]
 
-    ref_bbox = np.asarray(
-        [mx1 * scale, my1 * scale, mx2 * scale, my2 * scale], dtype=np.float32)
+    if fixed_mask_size_model > 0 and ref_square is not None:
+        ref_bbox = np.asarray(ref_square, dtype=np.float32)
+    else:
+        ref_bbox = np.asarray(
+            [mx1 * scale, my1 * scale, mx2 * scale, my2 * scale],
+            dtype=np.float32)
     if return_meta:
         meta = {
             "orig_width": int(src_w), "orig_height": int(src_h),

@@ -25,7 +25,9 @@ def load_image(path, img_bits=8):
                 return img.copy()
         except Exception:
             import tifffile  # multi-channel >8-bit (reference data/utils.py:5-9)
-            return Image.fromarray(tifffile.imread(path))
+            # PIL cannot represent (H,W,3) uint16 — hand the raw array to
+            # PairedTransform.image, which has an ndarray path for it
+            return tifffile.imread(path)
     img = Image.open(path)
     if img.mode != "RGB":
         img = img.convert("RGB")
@@ -138,16 +140,32 @@ class PairedTransform:
                 resample=resample)
         return img
 
-    def image(self, img: Image.Image, params):
+    def image(self, img, params):
         if self.image_bits > 8:
-            # >8-bit mono path (reference base_dataset.py:513-523): scale by
+            # >8-bit path (reference base_dataset.py:513-523): scale by
             # 2**bits - 1 into [0,1], then normalize to [-1,1]; photometric
-            # augs are 8-bit-only upstream too
-            if img.mode not in ("I", "F"):
-                img = img.convert("I")
-            img = self._geo(img, params, Image.BICUBIC)
-            arr = np.asarray(img, dtype=np.float32)
+            # augs are 8-bit-only upstream too. Multi-channel >8-bit images
+            # arrive as raw ndarrays (tiff path) and are geo-transformed
+            # per channel through float PIL planes
+            if isinstance(img, np.ndarray) and img.ndim == 3:
+                planes = []
+                for c in range(img.shape[-1]):
+                    pl = Image.fromarray(img[..., c].astype(np.float32),
+                                         mode="F")
+                    planes.append(np.asarray(
+                        self._geo(pl, params, Image.BICUBIC), np.float32))
+                arr = np.stack(planes, axis=-1)
+            else:
+                if isinstance(img, np.ndarray):
+                    img = Image.fromarray(img)
+                if img.mode not in ("I", "F"):
+                    img = img.convert("I")
+                img = self._geo(img, params, Image.BICUBIC)
+                arr = np.asarray(img, dtype=np.float32)
             arr = arr / float(2 ** self.image_bits - 1) * 2.0 - 1.0
+            # bicubic overshoot on the float planes can leave values
+            # slightly outside [-1,1]; the 8-bit path clips via uint8
+            arr = np.clip(arr, -1.0, 1.0)
             if arr.ndim == 2:
                 arr = arr[:, :, None]
             return arr

@@ -34,6 +34,7 @@ class CycleGANModel(BaseModel):
         # one-sided label smoothing (reference loss.py:277-280)
         self.d_label_smooth = (0.1 if getattr(opt, "dataaug_D_label_smooth",
                                               False) else 0.0)
+        self.d_dropout = bool(getattr(opt, "D_dropout", False))
 
         size = opt.data_crop_size
         self.netG_A = define_G(opt)
@@ -137,6 +138,14 @@ class CycleGANModel(BaseModel):
                     "real_A_seq": A[:, :-1], "real_B_seq": B[:, :-1]}
         return {"real_A": batch["A"], "real_B": batch["B"]}
 
+    def _d_apply(self, name, netD, params, x, rng):
+        """PatchGAN Ds run live Dropout(0.5) when D_dropout (reference
+        discriminators.py:58-101)."""
+        if self.d_dropout and any(t in name for t in ("basic", "n_layers")):
+            return netD.apply(params, x, deterministic=False,
+                              rngs={"dropout": rng})
+        return netD.apply(params, x)
+
     def _augment(self, rng, img):
         if not self.diff_policy:
             return img
@@ -159,11 +168,12 @@ class CycleGANModel(BaseModel):
 
         losses = {}
         g_gan = 0.0
-        for sname, dom, dname in self.d_names:
+        for di, (sname, dom, dname) in enumerate(self.d_names):
             netD = (self.netDs_B if dom == "B" else self.netDs_A)[dname]
             fake = fake_B if dom == "B" else fake_A
-            g_gan += gan_loss(netD.apply(d_params[sname], fake), True,
-                              self.gan_mode)
+            pred = self._d_apply(dname, netD, d_params[sname], fake,
+                                 jax.random.fold_in(rng, 400 + di))
+            g_gan += gan_loss(pred, True, self.gan_mode)
         losses["G_GAN"] = g_gan
         losses["G_cycle_A"] = self.lambda_A * jnp.mean(jnp.abs(rec_A - real_A))
         losses["G_cycle_B"] = self.lambda_B * jnp.mean(jnp.abs(rec_B - real_B))
@@ -274,10 +284,15 @@ class CycleGANModel(BaseModel):
                 pooled_aug = self._augment(jax.random.fold_in(rngs[5], di),
                                            pooled)
 
-                def d_loss(p, real=real, pooled=pooled_aug):
-                    lr = gan_loss(netD.apply(p, real), True, self.gan_mode,
+                def d_loss(p, real=real, pooled=pooled_aug, di=di,
+                           dname=dname, netD=netD):
+                    kr = jax.random.fold_in(rngs[6], 2 * di)
+                    kf = jax.random.fold_in(rngs[6], 2 * di + 1)
+                    lr = gan_loss(self._d_apply(dname, netD, p, real, kr),
+                                  True, self.gan_mode,
                                   smooth=self.d_label_smooth)
-                    lf = gan_loss(netD.apply(p, pooled), False, self.gan_mode)
+                    lf = gan_loss(self._d_apply(dname, netD, p, pooled, kf),
+                                  False, self.gan_mode)
                     return 0.5 * (lr + lf)
 
                 dl, dgrads = jax.value_and_grad(d_loss)(states[sname].params)

@@ -82,6 +82,7 @@ class NLayerDiscriminator(nn.Module):
         h = Conv(self.ndf * mult)(h)
         h = make_norm(self.norm, self.dtype)(h)
         h = nn.leaky_relu(h, 0.2)
+        h = drop(h)   # reference discriminators.py:100-101
         out = Conv(1)(h)
         assert 0 not in out.shape, (
             f"NLayerDiscriminator(n_layers={self.n_layers}) collapsed a "

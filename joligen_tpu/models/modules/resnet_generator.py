@@ -145,24 +145,30 @@ class ResnetBlock(nn.Module):
     padding_type: str = "reflect"
     dropout: float = 0.0
     mobile: bool = False
+    use_spectral: bool = False
     dtype: jnp.dtype = jnp.float32
+
+    def _conv(self, name):
+        if self.mobile:
+            # the reference's SeparableConv2d blocks are not spectral-normed
+            return SeparableConv(self.dim, dtype=self.dtype, name=name)
+        if self.use_spectral:
+            from .spectral import SNConv
+            return SNConv(self.dim, (3, 3), strides=1, padding=0,
+                          dtype=self.dtype, name=name)
+        return nn.Conv(self.dim, (3, 3), padding="VALID", dtype=self.dtype,
+                       name=name)
 
     @nn.compact
     def __call__(self, x, deterministic=True):
         h = _pad(x, 1, self.padding_type)
-        h = SeparableConv(self.dim, dtype=self.dtype, name="conv1")(h) \
-            if self.mobile else \
-            nn.Conv(self.dim, (3, 3), padding="VALID", dtype=self.dtype,
-                    name="conv1")(h)
+        h = self._conv("conv1")(h)
         h = make_norm(self.norm, self.dtype)(h)
         h = nn.relu(h)
         if self.dropout > 0:
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = _pad(h, 1, self.padding_type)
-        h = SeparableConv(self.dim, dtype=self.dtype, name="conv2")(h) \
-            if self.mobile else \
-            nn.Conv(self.dim, (3, 3), padding="VALID", dtype=self.dtype,
-                    name="conv2")(h)
+        h = self._conv("conv2")(h)
         h = make_norm(self.norm, self.dtype)(h)
         return x + h
 
@@ -176,6 +182,7 @@ class ResnetEncoder(nn.Module):
     dropout: float = 0.0
     mobile: bool = False
     use_spectral: bool = False   # G_spectral (reference :427-486)
+    spectral_blocks: bool = True  # the attn G's reference blocks stay plain
     dtype: jnp.dtype = jnp.float32
 
     def _conv(self, feat, kernel, strides, padding, name):
@@ -208,7 +215,10 @@ class ResnetEncoder(nn.Module):
             h = tap(nn.relu(h))
         for i in range(self.n_blocks):
             h = ResnetBlock(self.ngf * mult, self.norm, self.padding_type,
-                            self.dropout, self.mobile, self.dtype,
+                            self.dropout, self.mobile,
+                            use_spectral=(self.use_spectral
+                                          and self.spectral_blocks),
+                            dtype=self.dtype,
                             name=f"res{i}")(h, deterministic)
             tap(h)
         if extract_layer_ids is not None:
@@ -314,7 +324,8 @@ class ResnetGeneratorAttn(nn.Module):
     def setup(self):
         self.encoder = ResnetEncoder(
             self.ngf, self.n_blocks, 2, self.norm, self.padding_type, 0.0,
-            self.mobile, use_spectral=self.use_spectral, dtype=self.dtype)
+            self.mobile, use_spectral=self.use_spectral,
+            spectral_blocks=False, dtype=self.dtype)
         n_content = self.nb_mask_attn - self.nb_mask_input
         self.content_decoder = ResnetDecoder(
             self.out_channels * n_content, self.ngf, 2, self.norm,

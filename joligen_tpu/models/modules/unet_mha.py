@@ -351,8 +351,10 @@ class UNetMHA(nn.Module):
         if self.tanh:
             out = nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype,
                           name="out_proj")(h)
-            out = _to_pixel(out, self.freq_space)
-            return jnp.tanh(out).astype(jnp.float32)
+            # reference applies tanh to the frequency bands and THEN
+            # inverse-transforms (unet_generator_attn.py:684-695)
+            out = _to_pixel(jnp.tanh(out), self.freq_space)
+            return out.astype(jnp.float32)
         h = nn.silu(h)
         out = nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype,
                       kernel_init=zeros_init, bias_init=zeros_init,

@@ -79,8 +79,11 @@ def _cond_augment(arr_u8, rotation, persp_horizontal, persp_vertical):
     if rotation:
         from PIL import Image
         ang = random.uniform(-rotation, rotation)
-        arr_u8 = np.asarray(Image.fromarray(arr_u8).rotate(
-            ang, Image.BICUBIC, expand=True))
+        im = Image.fromarray(arr_u8).rotate(ang, Image.BICUBIC, expand=True)
+        bbox = im.getbbox()
+        if bbox:   # crop back to content (reference :162)
+            im = im.crop(bbox)
+        arr_u8 = np.asarray(im)
     h, w = arr_u8.shape[:2]
     start = np.float32([[0, 0], [w, 0], [w, h], [0, h]])
     end = start.copy()
