@@ -383,9 +383,11 @@ class CUTModel(BaseModel):
     def _ce(self, logits, labels, weights=None):
         ce = _softmax_ce(logits, labels)
         if weights:
+            # torch CrossEntropyLoss(weight=...): sum(w*ce)/sum(w)
+            # (reference base_model.py:318-323)
             w = jnp.asarray(weights, ce.dtype)[
                 jnp.clip(labels, 0, len(weights) - 1)]
-            ce = ce * w
+            return jnp.sum(ce * w) / jnp.maximum(jnp.sum(w), 1e-8)
         return jnp.mean(ce)
 
     def _cls_crit(self, pred, label):
@@ -536,7 +538,10 @@ class CUTModel(BaseModel):
                     return contrastive_gan_loss(-pred_real, -pred)
                 if self.gan_mode in ("projected", "wgangp"):
                     return -jnp.mean(pred)
-                return gan_loss(pred, True, self.gan_mode)
+                # the reference's criterionGAN carries the smoothed real
+                # target (0.9) into the G objective too (loss.py:277-285)
+                return gan_loss(pred, True, self.gan_mode,
+                                smooth=self.d_label_smooth)
 
             if "temporal" in name and self.d_temporal_every > 1 \
                     and "_niter" in inp:
@@ -588,8 +593,12 @@ class CUTModel(BaseModel):
             proj_fake = self.netP.apply(inp["_p_params"], stack)
             gate = inp.get("_p_gate", 1.0)
             rng_rec = jax.random.fold_in(rng, 1717)  # distinct from idt/nce
-            nce_rec, _ = self._nce_total(paramsG, paramsF,
-                                         inp["real_A_last"], proj_fake,
+            a_last = inp["real_A_last"]
+            if flipped is not None:
+                # fake frames live in the flipped domain on flipped steps —
+                # compare against the equally flipped target frame
+                a_last = jnp.where(flipped, a_last[:, :, ::-1, :], a_last)
+            nce_rec, _ = self._nce_total(paramsG, paramsF, a_last, proj_fake,
                                          rng_rec)
             losses["G_recut"] = gate * nce_rec
             if self.p_adversarial:
@@ -613,25 +622,11 @@ class CUTModel(BaseModel):
                 sup += self.lambda_supervised * jnp.mean(
                     jnp.abs(fake_B - real_B))
             if "LPIPS" in self.supervised or "DISTS" in self.supervised:
-                from ..utils.metrics import (dists_from_feats,
-                                             lpips_from_feats,
-                                             vgg_feature_fn)
-                a, b = real_B, fake_B
-                if a.shape[-1] == 1:
-                    a = jnp.tile(a, (1, 1, 1, 3))
-                    b = jnp.tile(b, (1, 1, 1, 3))
-                if self._perc_feats is None:
-                    self._perc_feats = vgg_feature_fn(
-                        a.shape[1:],
-                        mean=getattr(self.opt, "alg_cut_dists_mean", None),
-                        std=getattr(self.opt, "alg_cut_dists_std", None))
-                fa, fb = self._perc_feats(a), self._perc_feats(b)
-                if "LPIPS" in self.supervised:
-                    sup += self.lambda_perceptual * jnp.mean(
-                        lpips_from_feats(fa, fb))
-                if "DISTS" in self.supervised:
-                    sup += self.lambda_perceptual * jnp.mean(
-                        dists_from_feats(fa, fb))
+                terms = self.perceptual_terms(
+                    fake_B, real_B, self.supervised,
+                    mean=getattr(self.opt, "alg_cut_dists_mean", None),
+                    std=getattr(self.opt, "alg_cut_dists_std", None))
+                sup += self.lambda_perceptual * sum(terms.values())
             losses["G_supervised"] = sup
 
         if self.semantic_cls and "cls_A" in inp:
@@ -927,13 +922,14 @@ class CUTModel(BaseModel):
                 losses[f"D_{n}"] = dl
 
             if self.d_diffusion and apa_logits_real is not None:
-                # p adaptation by the D real-loss heuristic (reference
-                # loss.py:315-331, amortized per step instead of every
-                # `dataaug_D_diffusion_every` steps)
-                adj = jnp.sign(first_d_loss_real - 0.9)
-                d_diff_p = jnp.clip(
-                    d_diff_p + adj * real_B.shape[0] / (100.0 * 1000.0),
-                    0.0, 1.0)
+                # p adaptation by the D real-loss heuristic, applied on the
+                # dataaug_D_diffusion_every cadence with the reference step
+                # size (loss.py:315-331)
+                active = (inp["_niter"] % self.d_diffusion_every) == 0
+                adj = jnp.sign(first_d_loss_real - 0.9) * active
+                step_sz = (real_B.shape[0] * self.d_diffusion_every
+                           / (100.0 * 1000.0))
+                d_diff_p = jnp.clip(d_diff_p + adj * step_sz, 0.0, 1.0)
                 losses["D_diff_p"] = d_diff_p
 
             if self.apa and apa_logits_real is not None:
@@ -976,7 +972,8 @@ class CUTModel(BaseModel):
         """Soft mIoU of f_s on the current batch (reference
         base_model.py:1379-1416; probabilities instead of the reference's
         log-probabilities, which make the soft IoU ill-defined)."""
-        if not self.semantic_mask or self.fs_is_sam:
+        if not self.semantic_mask or self.fs_is_sam \
+                or "A_label_mask" not in batch:
             return {}
         inp = self.set_input(batch)
         dev = self.put_batch(inp)

@@ -173,7 +173,8 @@ class CycleGANModel(BaseModel):
             fake = fake_B if dom == "B" else fake_A
             pred = self._d_apply(dname, netD, d_params[sname], fake,
                                  jax.random.fold_in(rng, 400 + di))
-            g_gan += gan_loss(pred, True, self.gan_mode)
+            g_gan += gan_loss(pred, True, self.gan_mode,
+                              smooth=self.d_label_smooth)
         losses["G_GAN"] = g_gan
         losses["G_cycle_A"] = self.lambda_A * jnp.mean(jnp.abs(rec_A - real_A))
         losses["G_cycle_B"] = self.lambda_B * jnp.mean(jnp.abs(rec_B - real_B))

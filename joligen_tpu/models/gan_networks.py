@@ -178,6 +178,8 @@ def define_D(opt, names=None):
             ds["D_B_" + name] = NLayerDiscriminator(
                 ndf=opt.D_ndf, n_layers=opt.D_n_layers, norm=opt.D_norm,
                 antialias=not getattr(opt, "D_no_antialias", False),
+                use_dropout=getattr(opt, "D_dropout", False),
+                use_spectral=getattr(opt, "D_spectral", False),
                 dtype=dtype)
         else:
             # torchvision-template classifier D (reference

@@ -301,11 +301,11 @@ class MATModel(BaseModel):
         if key not in self._jit_infer:
             def run(p, rng, real, mask, mask_class, w_avg):
                 z = jax.random.normal(rng, (real.shape[0], self.z_dim))
-                # truncation: w = lerp(w_avg, w, psi) via mapping override
                 fake = self.netG.apply(
                     p, real, mask, z,
                     rng=self._noise_rng(rng, self.noise_mode_eval),
-                    mask_class=mask_class)
+                    mask_class=mask_class,
+                    truncation_psi=psi, w_avg=w_avg)
                 return fake
             self._jit_infer[key] = jax.jit(run)
         rng = (jax.random.PRNGKey(seed) if seed is not None

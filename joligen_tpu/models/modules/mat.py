@@ -353,7 +353,8 @@ class MATGenerator(nn.Module):
 
     @nn.compact
     def __call__(self, img, mask, z, c=None, rng=None, mask_class=None,
-                 mix_rng=None, return_stg1=False, return_w=False):
+                 mix_rng=None, truncation_psi=1.0, w_avg=None,
+                 return_stg1=False, return_w=False):
         video = img.ndim == 5
         if video:
             b, f = img.shape[:2]
@@ -367,6 +368,11 @@ class MATGenerator(nn.Module):
         mapping = MappingNet(w_dim=self.w_dim, c_dim=self.c_dim,
                              name="mapping")
         w = mapping(z, c)
+        if w_avg is not None and truncation_psi != 1.0:
+            # truncation trick: lerp toward the tracked w average
+            # (reference mat_model.py truncation_psi on MappingNet.w_avg)
+            w = w_avg[None].astype(w.dtype) + truncation_psi * (
+                w - w_avg[None].astype(w.dtype))
         # style mixing (training only — mix_rng given): with prob p, decoder
         # layers past a random crossover use a second latent's w (reference
         # mat_model.py:705-716; applied to the refinement decoder — the

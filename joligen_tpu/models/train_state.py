@@ -155,8 +155,11 @@ def apply_init_scheme(rng, params, init_type, init_gain=0.02):
         sub = jax.random.fold_in(rng, i)
         if name == "kernel" and getattr(v, "ndim", 0) >= 2:
             shape = v.shape
-            fan_in = int(np.prod(shape[:-1]))
-            fan_out = int(shape[-1])
+            # torch fan convention for convs: both fans include the
+            # receptive field (nn.init._calculate_fan_in_and_fan_out)
+            receptive = int(np.prod(shape[:-2])) if len(shape) > 2 else 1
+            fan_in = int(shape[-2]) * receptive
+            fan_out = int(shape[-1]) * receptive
             if init_type == "normal":
                 w = init_gain * jax.random.normal(sub, shape)
             elif init_type == "xavier":

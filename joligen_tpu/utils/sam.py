@@ -542,7 +542,12 @@ def predict_sam_edges(img_rgb_u8, points_per_side=16,
             p, xx, input_boxes=bb, multimask_output=mm))
             for mm in (False, True)}
         _CACHED = (net, params, fns)
-    net, params, _ = _CACHED
+    net, params, fns = _CACHED
+    if "points" not in fns:
+        # cached like the box fns — a fresh @jax.jit closure per call would
+        # re-trace the whole ViT every image
+        fns["points"] = jax.jit(lambda p, xx, pp, ll: net.apply(
+            p, xx, input_points=pp, input_labels=ll, multimask_output=True))
     h, w = img_rgb_u8.shape[:2]
     size = net.cfg.image_size
     x = np.asarray(Image.fromarray(img_rgb_u8).resize(
@@ -559,14 +564,9 @@ def predict_sam_edges(img_rgb_u8, points_per_side=16,
         pts = pts[keep]
     pts_model = (pts * size).astype(np.float32)
 
-    @jax.jit
-    def run(p, xx, pp, ll):
-        return net.apply(p, xx, input_points=pp, input_labels=ll,
-                         multimask_output=True)
-
     points = jnp.asarray(pts_model.reshape(1, -1, 1, 2))
     labels = jnp.ones((1, pts_model.shape[0], 1), jnp.int32)
-    masks, iou = run(params, jnp.asarray(x[None]), points, labels)
+    masks, iou = fns["points"](params, jnp.asarray(x[None]), points, labels)
     masks = np.asarray(masks)[0]          # (np, 3, 256, 256)
     iou = np.asarray(iou)[0]              # (np, 3)
 

@@ -206,3 +206,31 @@ def test_mat_style_mixing():
     # known pixels still pass through untouched
     np.testing.assert_allclose(np.asarray(m1)[0][~hole],
                                np.asarray(img)[0][~hole], atol=1e-5)
+
+
+def test_mat_truncation_psi_changes_output(fakeds, tmp_path):
+    """alg_mat_truncation_psi lerps w toward the tracked average at
+    inference (reference truncation trick)."""
+    from joligen_tpu.data import create_dataloader, create_dataset
+    from joligen_tpu.models import create_model
+
+    opt = TrainOptions().parse_cli([
+        "--dataroot", fakeds, "--model_type", "mat",
+        "--data_dataset_mode", "unaligned_labeled_mask",
+        "--data_relative_paths",
+        "--data_crop_size", "32", "--data_load_size", "32",
+        "--G_ngf", "16", "--D_ndf", "16",
+        "--alg_mat_z_dim", "32", "--alg_mat_w_dim", "32",
+        "--train_batch_size", "1",
+        "--checkpoints_dir", str(tmp_path), "--name", "tr"])
+    opt.steps_per_epoch = 2
+    ds = create_dataset(opt, "train")
+    batch = next(iter(create_dataloader(opt, ds)))
+    m = create_model(opt)
+    m.optimize_parameters(batch)   # move w_avg off its zero init
+    a = m.inference(batch, truncation_psi=1.0, seed=7)
+    b = m.inference(batch, truncation_psi=0.0, seed=7)
+    hole = np.asarray(batch["B_label_mask"])[0, :, :, 0] > 0
+    if hole.any():
+        assert not np.allclose(a[0][hole], b[0][hole]), \
+            "truncation_psi had no effect"

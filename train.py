@@ -230,11 +230,17 @@ def launch_training(opt):
                     and total_iters % max(
                         batch, (getattr(opt, "train_mask_miou_every", 1000)
                                 // batch) * batch) == 0):
-                # reference train.py:437-444
-                miou = model.compute_miou(data)
-                print("mIoU: " + " ".join(
-                    f"{k}: {v:.3f}" for k, v in miou.items()), flush=True)
-                visualizer.log_metrics(epoch, total_iters, miou)
+                # reference train.py:437-444; diagnostic only — never
+                # kills training
+                try:
+                    miou = model.compute_miou(data)
+                    if miou:
+                        print("mIoU: " + " ".join(
+                            f"{k}: {v:.3f}" for k, v in miou.items()),
+                            flush=True)
+                        visualizer.log_metrics(epoch, total_iters, miou)
+                except Exception as e:
+                    print(f"mIoU failed: {e}")
 
             if compute_metrics and metric_loaders and total_iters % max(
                     batch, (metrics_every // batch) * batch) == 0:
