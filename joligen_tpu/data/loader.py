@@ -17,11 +17,18 @@ import numpy as np
 
 
 def collate(samples):
-    """Stack dict-of-arrays samples; non-array fields become lists."""
+    """Stack dict-of-arrays samples; non-array fields become lists.
+    Keys present in only SOME samples are dropped with a warning — a
+    shorter stacked field would silently pair row i with the wrong
+    sample downstream."""
     from .native import stack_f32  # C memcpy fanout, numpy fallback
     out = {}
     for k in samples[0]:
         vals = [s[k] for s in samples if k in s]
+        if len(vals) != len(samples):
+            print(f"collate: key '{k}' present in {len(vals)}/"
+                  f"{len(samples)} samples — dropped this batch")
+            continue
         if isinstance(vals[0], np.ndarray):
             if vals[0].dtype == np.float32:
                 out[k] = stack_f32(vals)
@@ -70,6 +77,18 @@ class DataLoader:
                   (indices[i::self.num_workers] for i in range(self.num_workers))
                   if c]
 
+        def _put(item):
+            # bounded put that keeps observing stop: a worker blocked in a
+            # plain put() on a full queue outlives an abandoned iterator
+            # (e.g. metric evals that break out early) forever
+            while not stop.is_set():
+                try:
+                    sample_q.put(item, timeout=0.5)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def worker(chunk, wid):
             for i in chunk:
                 if stop.is_set():
@@ -79,8 +98,9 @@ class DataLoader:
                 except Exception as e:
                     print(f"dataloader worker: sample {i} failed: {e}")
                     s = None
-                sample_q.put((wid, s))
-            sample_q.put((wid, StopIteration))
+                if not _put((wid, s)):
+                    return
+            _put((wid, StopIteration))
 
         threads = [threading.Thread(target=worker, args=(c, w), daemon=True)
                    for w, c in enumerate(chunks)]

@@ -155,13 +155,24 @@ class BaseModel:
                 # resolution / config drift: tolerant leaf-wise restore
                 loaded = serialization.msgpack_restore(blob)
                 params = self._adapt_loaded(target, loaded)
-            new = state.replace(params=jax.device_put(params))
+            def _put_like(new_tree, old_tree):
+                # preserve the shardings established at init — a bare
+                # device_put would collapse fsdp/tensor-sharded params onto
+                # one device on resume
+                def put(nv, ov):
+                    sh = getattr(ov, "sharding", None)
+                    return (jax.device_put(nv, sh) if sh is not None
+                            else jax.device_put(nv))
+                return jax.tree.map(put, new_tree, old_tree)
+
+            new = state.replace(params=_put_like(params, state.params))
             epath = self._net_path(prefix, name, ema=True)
             if state.ema_params is not None and os.path.exists(epath):
                 with open(epath, "rb") as f:
                     ema = serialization.from_bytes(
                         jax.device_get(state.ema_params), f.read())
-                new = new.replace(ema_params=jax.device_put(ema))
+                new = new.replace(ema_params=_put_like(ema,
+                                                       state.ema_params))
             self.states[name] = new
         opt_path = os.path.join(self.save_dir, f"{prefix}_optim.pkl")
         if load_optim and os.path.exists(opt_path):
@@ -172,8 +183,13 @@ class BaseModel:
                     target = jax.device_get(self.states[name].opt_state)
                     restored = serialization.from_state_dict(target,
                         serialization.to_state_dict(os_))
+                    def put(nv, ov):
+                        sh = getattr(ov, "sharding", None)
+                        return (jax.device_put(nv, sh) if sh is not None
+                                else jax.device_put(nv))
                     self.states[name] = self.states[name].replace(
-                        opt_state=jax.device_put(restored))
+                        opt_state=jax.tree.map(put, restored,
+                                               self.states[name].opt_state))
 
     # ---------------- metrics (reference base_model.py:148-206, 1791-2256) --
     def init_metrics(self, dataloader_real=None):
@@ -220,7 +236,8 @@ class BaseModel:
                 real_clips.append(real)
                 fake = fake.reshape((-1,) + fake.shape[2:])
                 real = real.reshape((-1,) + real.shape[2:])
-            if save_images and len(fakes) < 8:  # cap disk churn per eval
+            base = sum(f.shape[0] for f in fakes)
+            if save_images and base < 8:  # cap total images per eval
                 import os as _os
 
                 from ..utils.visualizer import tensor2im
@@ -228,8 +245,7 @@ class BaseModel:
                 d = _os.path.join(self.save_dir,
                                   f"metrics_imgs_{test_name or 'test'}")
                 _os.makedirs(d, exist_ok=True)
-                base = sum(f.shape[0] for f in fakes)
-                for j in range(min(fake.shape[0], 8)):
+                for j in range(min(fake.shape[0], 8 - base)):
                     Image.fromarray(tensor2im(fake[j])).save(
                         _os.path.join(d, f"{n_epoch}_{base + j}_fake.png"))
                     Image.fromarray(tensor2im(real[j])).save(

@@ -62,7 +62,7 @@ class PaletteDenoiser(nn.Module):
 
     @nn.compact
     def __call__(self, x, gammas, cls=None, mask=None, ref=None,
-                 deterministic=True):
+                 zero_gamma=False, deterministic=True):
         """x: (B,H,W,C) concatenated [y_cond, y_noisy]. gammas: (B,) noise
         levels. ref: optional reference image for ref-attention denoisers /
         ref embedding conditioning (reference palette_denoise_fn.py ref
@@ -81,12 +81,19 @@ class PaletteDenoiser(nn.Module):
         emb = nn.Dense(g, dtype=self.dtype, name="cond_embed_0")(emb)
         emb = nn.silu(emb)
         emb = nn.Dense(g, dtype=self.dtype, name="cond_embed_1")(emb)
+        if zero_gamma:
+            # CFG unconditional branch: the reference feeds a literal zero
+            # embedding (diffusion_generator.py:217-229
+            # torch.zeros_like(embed_noise_level))
+            emb = jnp.zeros_like(emb)
 
         if "class" in self.conditioning:
-            if cls is None:
-                cls = jnp.zeros((x.shape[0],), dtype=jnp.int32)
-            cls_embed = LabelEmbedder(self.nclasses, self.cond_embed_dim // 2,
-                                      name="embedder_class")(cls)
+            cls_embed = (
+                LabelEmbedder(self.nclasses, self.cond_embed_dim // 2,
+                              name="embedder_class")(cls)
+                if cls is not None else
+                # cls=None (CFG uncond): zero class vector, NOT class 0
+                jnp.zeros((x.shape[0], self.cond_embed_dim // 2), emb.dtype))
             emb = jnp.concatenate([emb, cls_embed.astype(emb.dtype)], axis=1)
 
         if "ref" in self.conditioning and "class" not in self.conditioning:
@@ -175,7 +182,7 @@ def min_snr_weight(schedule: NoiseSchedule, t, ksnr=5.0):
 
 def palette_training_outputs(apply_fn, params, rng, schedule: NoiseSchedule,
                              y0, y_cond, mask=None, cls=None,
-                             dropout_prob=0.0, minsnr=True):
+                             dropout_prob=0.0, minsnr=True, null_class=0):
     """One training forward: returns (noise, noise_hat, weight) exactly as
     the reference DiffusionGenerator.forward (diffusion_generator.py:457-521).
 
@@ -194,14 +201,16 @@ def palette_training_outputs(apply_fn, params, rng, schedule: NoiseSchedule,
         m = jnp.clip(mask.astype(y0.dtype), 0.0, 1.0)
         y_noisy = y_noisy * m + (1.0 - m) * y0
 
-    # classifier-free dropout of conditioning labels (palette_model.py:565-584)
+    # classifier-free dropout of conditioning labels
+    # (palette_model.py:565-584: "the highest class is the unconditionned
+    # one" — dropped samples get the reserved null class, not class 0)
     if dropout_prob > 0.0:
         keep = jax.random.uniform(rng_drop, (b,)) >= dropout_prob
         if cls is not None:
-            cls = jnp.where(keep, cls, 0)
+            cls = jnp.where(keep, cls, null_class)
         if mask is not None:
             mask = jnp.where(keep.reshape(bshape), mask,
-                             jnp.zeros_like(mask))
+                             jnp.full_like(mask, null_class))
 
     x_in = jnp.concatenate([y_cond, y_noisy], axis=-1)
     noise_hat = apply_fn(params, x_in, gammas, cls=cls, mask=mask)
@@ -211,30 +220,29 @@ def palette_training_outputs(apply_fn, params, rng, schedule: NoiseSchedule,
 
 
 def masked_elementwise_loss(noise, noise_hat, mask=None, weight=1.0, kind="MSE"):
-    """Masked MSE/L1(+multiscale) over the noised region
-    (palette_model.py:586-609)."""
-    def base(a, b):
-        if "L1" in kind:
-            return jnp.abs(a - b)
-        return (a - b) ** 2
+    """Masked MSE/L1(+multiscale) over the noised region with reference
+    semantics (palette_model.py:586-609): the min-SNR weight and the mask
+    multiply the INPUTS — so the squared loss carries weight^2 like
+    MSE(w*m*noise, w*m*noise_hat) — and the reduction is a plain mean over
+    all elements (no masked-pixel renormalization)."""
+    m = (jnp.clip(mask.astype(noise.dtype), 0.0, 1.0)
+         if mask is not None else 1.0)
+    d = (noise_hat - noise) * weight * m
 
-    err = base(noise_hat, noise) * weight
+    def base(e):
+        return jnp.abs(e) if "L1" in kind else e ** 2
+
     if kind.startswith("multiscale"):
+        # pyramid of the (linear) scaled diff; pooling commutes with the
+        # reference's per-input pooling (loss.py:397-466), the nonlinearity
+        # applies per scale
         total = 0.0
-        e, m = err, mask
+        e = d
         for _ in range(3):
-            if m is not None:
-                mm = jnp.clip(m.astype(e.dtype), 0.0, 1.0)
-                total = total + jnp.sum(e * mm) / jnp.maximum(jnp.sum(mm) * e.shape[-1], 1.0)
-                m = nn.avg_pool(m.astype(e.dtype), (2, 2), strides=(2, 2))
-            else:
-                total = total + jnp.mean(e)
+            total = total + jnp.mean(base(e))
             e = nn.avg_pool(e, (2, 2), strides=(2, 2))
         return total / 3.0
-    if mask is not None:
-        mm = jnp.clip(mask.astype(err.dtype), 0.0, 1.0)
-        return jnp.sum(err * mm) / jnp.maximum(jnp.sum(mm) * err.shape[-1], 1.0)
-    return jnp.mean(err)
+    return jnp.mean(base(d))
 
 
 def predict_start_from_noise(schedule: NoiseSchedule, y_t, t, noise):
@@ -258,8 +266,9 @@ def _denoise(apply_fn, params, schedule, y_t, y_cond, t, cls, mask,
     noise_hat = apply_fn(params, x_in, gammas, cls=cls, mask=mask, ref=ref)
     y0_hat = predict_start_from_noise(schedule, y_t, t, noise_hat)
     if guidance_scale > 0.0:
-        noise_uncond = apply_fn(params, x_in, jnp.zeros_like(gammas),
-                                cls=None, mask=None, ref=ref)
+        noise_uncond = apply_fn(params, x_in, gammas,
+                                cls=None, mask=None, ref=ref,
+                                zero_gamma=True)
         y0_uncond = predict_start_from_noise(schedule, y_t, t, noise_uncond)
         y0_hat = (1 + guidance_scale) * y0_hat - guidance_scale * y0_uncond
     return jnp.clip(y0_hat, -1.0, 1.0)
@@ -325,7 +334,7 @@ def ddim_sample(apply_fn, params, rng, schedule: NoiseSchedule, y_cond,
         y0_hat = apply_fn(params, x_in, gammas, cls=cls, mask=mask, ref=ref)
         if guidance_scale > 0.0:
             y0_unc = apply_fn(params, x_in, gammas, cls=None, mask=None,
-                              ref=ref)
+                              ref=ref, zero_gamma=True)
             y0_hat = (1 + guidance_scale) * y0_hat - guidance_scale * y0_unc
         y0_hat = jnp.clip(y0_hat, -1.0, 1.0)
 

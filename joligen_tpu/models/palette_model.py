@@ -137,7 +137,6 @@ class PaletteModel(BaseModel):
             rng_canny = getattr(self.opt,
                                 "alg_diffusion_cond_sketch_canny_range",
                                 [0, 765]) or [0, 765]
-            flat_c = cond.reshape((-1,) + cond.shape[-3:])
             flat_m = mask.reshape((-1,) + mask.shape[-3:])
             flat_g = gt.reshape((-1,) + gt.shape[-3:])
             canny_drop = getattr(self.opt, "alg_diffusion_vid_canny_dropout",
@@ -172,9 +171,11 @@ class PaletteModel(BaseModel):
             mask = None
         elif creation == "previous_frame" and gt.ndim >= 4 \
                 and batch["B"].ndim == 5:
-            # cond frame k = gt frame k-1 (first frame conditions on itself)
-            prev = np.concatenate([batch["B"][:, :1], batch["B"][:, :-1]],
-                                  axis=1)
+            # cond frame k = DOMAIN-A frame k-1 (reference
+            # palette_model.py:293,413-428 conditions on the A stream, not
+            # clean ground truth; first frame conditions on itself)
+            src = np.asarray(batch["A"])
+            prev = np.concatenate([src[:, :1], src[:, :-1]], axis=1)
             p_use = float(getattr(
                 self.opt, "alg_diffusion_cond_prob_use_previous_frame", 0.5)
                 or 0.0)
@@ -208,7 +209,12 @@ class PaletteModel(BaseModel):
         # the conditioning become noisy GT context — one of 10 sigma buckets
         # up to 0.7 per sequence, noise only inside the mask
         # (reference palette_model.py:377-411)
-        if self.autoregressive and self.is_video and y_cond.ndim == 5:
+        if self.autoregressive and self.is_video and y_cond.ndim == 5 \
+                and (getattr(self.opt, "alg_diffusion_cond_image_creation",
+                             "y_t") or "y_t") == "y_t":
+            # reference palette_model.py:375-411 mixes noisy-GT context only
+            # inside the y_t creation branch — never over sketches or
+            # previous-frame conditioning
             B, T = y_cond.shape[:2]
             k = T // 2
             if k > 0:
@@ -223,12 +229,16 @@ class PaletteModel(BaseModel):
                 use = jax.random.uniform(r3, ()) < 0.9
                 mixed = y_cond.at[:, :k].set(noisy_ctx)
                 y_cond = jnp.where(use, mixed, y_cond)
-        apply_fn = lambda p, x, g, cls=None, mask=None: self.netG.apply(
-            p, x, g, cls=cls, mask=mask, ref=ref)
+        apply_fn = (lambda p, x, g, cls=None, mask=None, zero_gamma=False:
+                    self.netG.apply(p, x, g, cls=cls, mask=mask, ref=ref,
+                                    zero_gamma=zero_gamma))
         noise, noise_hat, weight = palette_training_outputs(
             apply_fn, params, rng, self.sched_train, gt, y_cond,
             mask=mask, cls=cls, dropout_prob=self.dropout_prob,
-            minsnr=self.minsnr)
+            minsnr=self.minsnr,
+            null_class=max(
+                getattr(self.opt, "f_s_semantic_nclasses", 2),
+                getattr(self.opt, "cls_semantic_nclasses", 2)) - 1)
         if noise.ndim == 5:  # fold frames for the (spatial) loss pyramid
             fold = lambda a: (a.reshape((-1,) + a.shape[2:])
                               if a is not None and hasattr(a, "ndim")
@@ -308,8 +318,10 @@ class PaletteModel(BaseModel):
         key = (method, steps, eta, guidance_scale, dev["y_cond"].shape,
                "ref" in dev, output_uint8)
         if key not in self._jit_sample:
-            apply_fn = lambda p, x, g, cls=None, mask=None, ref=None: \
-                self.netG.apply(p, x, g, cls=cls, mask=mask, ref=ref)
+            apply_fn = (lambda p, x, g, cls=None, mask=None, ref=None,
+                        zero_gamma=False:
+                        self.netG.apply(p, x, g, cls=cls, mask=mask, ref=ref,
+                                        zero_gamma=zero_gamma))
             if method == "ddpm":
                 fn = partial(ddpm_sample, apply_fn,
                              guidance_scale=guidance_scale,
