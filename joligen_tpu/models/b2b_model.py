@@ -219,10 +219,16 @@ class B2BModel(BaseModel):
 
     def _loss(self, v_pred, v_target, mask):
         if v_pred.ndim == 5:  # fold frames for the spatial loss pyramid
+            if mask is not None:
+                # per-frame keep indicators are (B,F,1,1,1); broadcast to a
+                # full spatial mask BEFORE folding so the masked
+                # normalization counts pixels, not frames
+                mask = jnp.broadcast_to(
+                    jnp.clip(mask.astype(v_pred.dtype), 0.0, 1.0),
+                    v_pred.shape[:-1] + (mask.shape[-1],))
+                mask = mask.reshape((-1,) + mask.shape[2:])
             v_pred = v_pred.reshape((-1,) + v_pred.shape[2:])
             v_target = v_target.reshape((-1,) + v_target.shape[2:])
-            if mask is not None:
-                mask = mask.reshape((-1,) + mask.shape[2:])
         if self.loss_kind == "L1":
             err = jnp.abs(v_pred - v_target)
         elif self.loss_kind == "pseudo_huber":
@@ -285,6 +291,12 @@ class B2BModel(BaseModel):
                         degrade_prob=self.degrade_prob,
                         degrade_std=self.degrade_std,
                         minsnr=self.minsnr)
+                if self.mask_as_channel and mask is not None:
+                    # the channelized mask skips b2b_training_outputs, but
+                    # alg_b2b_loss_masked_region_only still applies
+                    # (reference b2b_model.py:1135-1156 masks regardless)
+                    lm = jnp.clip(mask.astype(v_pred.dtype), 0.0, 1.0)
+                    loss_mask = lm if loss_mask is None else loss_mask * lm
                 loss = self.lambda_G * self._loss(v_pred, v_target, loss_mask)
                 aux = {}
                 if self.perceptual:
@@ -302,8 +314,11 @@ class B2BModel(BaseModel):
                     loss = loss + perc
                 if self.lambda_ref_copy > 0.0 and is_ref is not None:
                     # image-space copy loss on the autoregressive GT frame
+                    # (per-element mean: is_ref is (B,F,1,1,1) so the count
+                    # must include the broadcast H*W*C extent)
                     num = jnp.sum(jnp.abs(raw_x_pred - gt) * is_ref)
-                    den = jnp.maximum(jnp.sum(is_ref) * gt.shape[-1], 1.0)
+                    den = jnp.maximum(
+                        jnp.sum(jnp.broadcast_to(is_ref, gt.shape)), 1.0)
                     ref_copy = num / den
                     aux["G_ref_copy"] = ref_copy
                     loss = loss + self.lambda_ref_copy * ref_copy

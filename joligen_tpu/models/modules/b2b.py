@@ -174,13 +174,17 @@ def b2b_sample(apply_fn, params, rng, y, y_cond=None, mask=None, labels=None,
         lo, hi = cfg_interval
         in_interval = jnp.logical_and(t_scalar < hi,
                                       jnp.logical_or(lo == 0, t_scalar > lo))
-        xu = apply_fn(params, z_in, tvec,
-                      jnp.full((b,), num_classes, jnp.int32), mask_size)
-        if m is not None:
-            xu = xu * m + y * (1.0 - m)
-        v_uncond = (xu - x_in) / den
-        v_cfg = v_uncond + cfg_scale * (v_cond - v_uncond)
-        return jnp.where(in_interval, v_cfg, v_cond)
+
+        def with_cfg(_):
+            # the unconditional forward only runs inside the CFG interval —
+            # lax.cond skips its FLOPs entirely outside it
+            xu = apply_fn(params, z_in, tvec,
+                          jnp.full((b,), num_classes, jnp.int32), mask_size)
+            xu_c = xu * m + y * (1.0 - m) if m is not None else xu
+            v_uncond = (xu_c - x_in) / den
+            return v_uncond + cfg_scale * (v_cond - v_uncond)
+
+        return jax.lax.cond(in_interval, with_cfg, lambda _: v_cond, None)
 
     def project(x):
         if clip_denoised:

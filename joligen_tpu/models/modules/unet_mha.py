@@ -282,7 +282,11 @@ class UNetMHA(nn.Module):
             # (reference unet_generator_attn.py:465-472,672,692)
             x = _to_freq(x, True)
 
-        Res = nn.remat(ResBlock, static_argnums=(2,)) if self.remat else ResBlock
+        # static arg = `deterministic` (flax counts self as argnum 0, so
+        # __call__(self, x, emb, deterministic) puts it at 3; (2,)
+        # would wrongly mark the traced embedding static)
+        Res = (nn.remat(ResBlock, static_argnums=(3,))
+               if self.remat else ResBlock)
         Attn = nn.remat(AttentionBlock) if self.remat else AttentionBlock
         args = self._block_args()
 

@@ -70,7 +70,11 @@ class UNetVid(nn.Module):
         emb_bf = jnp.repeat(emb, f, axis=0)
         x = x.astype(self.dtype)
 
-        Res = nn.remat(ResBlock, static_argnums=(2,)) if self.remat else ResBlock
+        # static arg = `deterministic` (flax counts self as argnum 0, so
+        # __call__(self, x, emb, deterministic) puts it at 3; (2,)
+        # would wrongly mark the traced embedding static)
+        Res = (nn.remat(ResBlock, static_argnums=(3,))
+               if self.remat else ResBlock)
         args = self._res_args()
         motion_args = dict(num_heads=self.motion_num_heads,
                            num_transformer_blocks=self.motion_num_transformer_blocks,

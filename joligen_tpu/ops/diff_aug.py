@@ -69,19 +69,23 @@ def rand_noise(rng, x, std=0.1):
 
 
 def rand_resize_crop(rng, x, scale=0.25):
-    """Random zoom-in then crop back to size (wild policy resize)."""
+    """Random per-image zoom-in then crop back to size (wild policy
+    resize). scale_and_translate keeps output shapes static under jit
+    while the zoom factor itself is traced and random per image."""
     n, h, w, c = x.shape
     r1, r2, r3 = jax.random.split(rng, 3)
-    s = 1.0 + scale * jax.random.uniform(r1, ())
-    nh, nw = int(h * (1 + scale)), int(w * (1 + scale))
-    up = jax.image.resize(x, (n, nh, nw, c), "bilinear")
-    ty = jax.random.randint(r2, (n,), 0, nh - h + 1)
-    tx = jax.random.randint(r3, (n,), 0, nw - w + 1)
+    s = 1.0 + scale * jax.random.uniform(r1, (n,))
+    oy = jax.random.uniform(r2, (n,)) * (h - h / s)
+    ox = jax.random.uniform(r3, (n,)) * (w - w / s)
 
-    def crop_one(img, dy, dx):
-        return jax.lax.dynamic_slice(img, (dy, dx, 0), (h, w, c))
+    def one(img, si, dy, dx):
+        return jax.image.scale_and_translate(
+            img, (h, w, c), (0, 1),
+            jnp.stack([si, si]),
+            jnp.stack([-dy * si, -dx * si]),
+            method="linear")
 
-    return jax.vmap(crop_one)(up, ty, tx)
+    return jax.vmap(one)(x, s, oy, ox)
 
 
 POLICY_FNS = {

@@ -44,6 +44,7 @@ from joligen_tpu.options import TrainOptions  # noqa: E402
 
 ctx: dict = {}           # name -> Process
 log_paths: dict = {}     # name -> log file
+fs_roots: set = set()    # checkpoint dirs of jobs this server launched
 
 WS_MAGIC = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
 
@@ -161,11 +162,24 @@ class Handler(BaseHTTPRequestHandler):
             target = (q.get("path") or [""])[0]
             if not target:
                 return self._json(400, {"detail": "path required"})
+            # only paths under the allowed roots may be deleted: the
+            # checkpoint/log dirs of jobs this server launched plus
+            # JOLIGEN_SERVER_FS_ROOTS (default /tmp) — an unauthenticated
+            # DELETE must never reach arbitrary filesystem paths
+            roots = [r for r in os.environ.get(
+                "JOLIGEN_SERVER_FS_ROOTS", "/tmp").split(":") if r]
+            roots += list(fs_roots)
+            real = os.path.realpath(target)
+            if not any(real == os.path.realpath(r)
+                       or real.startswith(os.path.realpath(r) + os.sep)
+                       for r in roots):
+                return self._json(403, {
+                    "detail": f"path outside allowed roots ({roots})"})
             try:
-                if os.path.isdir(target):
-                    shutil.rmtree(target)
+                if os.path.isdir(real):
+                    shutil.rmtree(real)
                 else:
-                    os.remove(target)
+                    os.remove(real)
             except OSError as e:
                 return self._json(400, {"detail": str(e)})
             return self._json(200, {"message": "ok"})
@@ -181,6 +195,7 @@ class Handler(BaseHTTPRequestHandler):
             traceback.print_exc()
             return self._json(400, {"detail": str(e)})
         expr_dir = os.path.join(opt.checkpoints_dir, opt.name)
+        fs_roots.add(os.path.abspath(opt.checkpoints_dir))
         os.makedirs(expr_dir, exist_ok=True)
         TrainOptions().save_config(opt, expr_dir)
         log_path = os.path.join(expr_dir, "log")
@@ -233,8 +248,10 @@ class Handler(BaseHTTPRequestHandler):
 
         log_path = log_paths.get(name)
         pos = 0
+        idle = 0
         try:
             while True:
+                got = False
                 if log_path and os.path.exists(log_path):
                     with open(log_path) as f:
                         f.seek(pos)
@@ -242,10 +259,15 @@ class Handler(BaseHTTPRequestHandler):
                         pos = f.tell()
                     for line in new.splitlines():
                         self._ws_send(line)
+                        got = True
                 proc = ctx.get(name)
-                if proc is not None and not is_alive(proc):
-                    self._ws_send("__process_stopped__")
-                    break
+                if proc is None or not is_alive(proc):
+                    # finished/deleted/unknown job: keep draining while the
+                    # log still grows, then close — never spin forever
+                    idle = 0 if got else idle + 1
+                    if idle >= 3:
+                        self._ws_send("__process_stopped__")
+                        break
                 time.sleep(0.5)
         except (BrokenPipeError, ConnectionResetError):
             pass
