@@ -54,6 +54,100 @@ def build_gan(size, batch):
     return model, batch_np, b
 
 
+def build_cm(size, batch):
+    """Consistency-model training (reference cm quickstart shape): unet_mha
+    trunk, ECT-style consistency loss, EMA. No published reference number
+    -> vs_baseline 0."""
+    import jax
+    import numpy as np
+
+    from joligen_tpu.models import create_model
+    from joligen_tpu.options import TrainOptions
+
+    args = [
+        "--dataroot", "/tmp/none", "--model_type", "cm",
+        "--data_dataset_mode", "self_supervised_labeled_mask",
+        "--data_crop_size", str(size), "--data_load_size", str(size),
+        "--G_netG", "unet_mha", "--G_ngf", "64",
+        "--G_unet_mha_channel_mults", "1", "2", "4", "8",
+        "--G_unet_mha_res_blocks", "2", "2", "2", "2",
+        "--G_unet_mha_attn_res", "16",
+        "--G_unet_mha_num_head_channels", "32",
+        "--train_batch_size", str(batch), "--train_G_ema",
+        "--checkpoints_dir", "/tmp/bench_ckpt", "--name", "bench_cm",
+    ]
+    opt = TrainOptions().parse_cli(args)
+    opt.steps_per_epoch = 1000
+    model = create_model(opt)
+    b = batch * jax.device_count()
+    rng = np.random.RandomState(0)
+    batch_np = {
+        "A": rng.randn(b, size, size, 3).astype(np.float32),
+        "B": rng.randn(b, size, size, 3).astype(np.float32),
+        "B_label_mask": rng.randint(0, 2, (b, size, size, 1)).astype(np.int32),
+    }
+    return model, batch_np, b
+
+
+def build_b2b_vid(size, batch, frames=8):
+    """B2B flow-matching video training (example_b2b_vid_mario shape)."""
+    import jax
+    import numpy as np
+
+    from joligen_tpu.models import create_model
+    from joligen_tpu.options import TrainOptions
+
+    args = [
+        "--dataroot", "/tmp/none", "--model_type", "b2b",
+        "--data_dataset_mode", "self_supervised_vid_mask_online",
+        "--data_crop_size", str(size), "--data_load_size", str(size),
+        "--data_temporal_number_frames", str(frames),
+        "--G_netG", "vit_vid", "--G_vit_variant", "JiT-B/4",
+        "--train_batch_size", str(batch), "--train_G_ema",
+        "--checkpoints_dir", "/tmp/bench_ckpt", "--name", "bench_b2bvid",
+    ]
+    opt = TrainOptions().parse_cli(args)
+    opt.steps_per_epoch = 1000
+    model = create_model(opt)
+    b = batch * jax.device_count()
+    rng = np.random.RandomState(0)
+    batch_np = {
+        "A": rng.randn(b, frames, size, size, 3).astype(np.float32),
+        "B": rng.randn(b, frames, size, size, 3).astype(np.float32),
+        "B_label_mask": rng.randint(
+            0, 2, (b, frames, size, size, 1)).astype(np.int32),
+    }
+    return model, batch_np, b * frames
+
+
+def build_mat(size, batch):
+    """MAT inpainting training (reference MAT 512 config at bench size)."""
+    import jax
+    import numpy as np
+
+    from joligen_tpu.models import create_model
+    from joligen_tpu.options import TrainOptions
+
+    args = [
+        "--dataroot", "/tmp/none", "--model_type", "mat",
+        "--data_dataset_mode", "self_supervised_labeled_mask",
+        "--data_crop_size", str(size), "--data_load_size", str(size),
+        "--G_ngf", "64", "--D_ndf", "64",
+        "--train_batch_size", str(batch),
+        "--checkpoints_dir", "/tmp/bench_ckpt", "--name", "bench_mat",
+    ]
+    opt = TrainOptions().parse_cli(args)
+    opt.steps_per_epoch = 1000
+    model = create_model(opt)
+    b = batch * jax.device_count()
+    rng = np.random.RandomState(0)
+    batch_np = {
+        "B": rng.uniform(-1, 1, (b, size, size, 3)).astype(np.float32),
+        "B_label_mask": rng.randint(0, 2, (b, size, size, 1)).astype(np.int32),
+    }
+    return model, batch_np, b
+
+
 def build(size, ngf, batch, smoke=False, remat=False):
     import jax
     import jax.numpy as jnp

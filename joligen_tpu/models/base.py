@@ -108,11 +108,39 @@ class BaseModel:
                          for n, s in self.states.items()}, f)
 
     @staticmethod
+    def _resize_token_table(lv, tshape):
+        """Resize a (1,T,D) positional/token table to a new T. When both T's
+        factor as [special-token prefix +] square grid, interpolate the grid
+        BILINEARLY in 2D (reference base_model.py:957-1188 interpolates the
+        2D positional grid on resolution change — a flat 1D resize would
+        smear rows into each other); otherwise fall back to 1D linear."""
+        import math
+        t_old, t_new = lv.shape[1], tshape[1]
+        d = lv.shape[-1]
+        for n_special in (0, 1, 2, 4, 8, 16):  # cls / register prefixes
+            go, gn = t_old - n_special, t_new - n_special
+            if go <= 0 or gn <= 0:
+                continue
+            ho, hn = math.isqrt(go), math.isqrt(gn)
+            if ho * ho == go and hn * hn == gn:
+                spec = jnp.asarray(lv[:, :n_special])
+                grid = jnp.asarray(lv[:, n_special:]).reshape(1, ho, ho, d)
+                grid = jax.image.resize(grid, (1, hn, hn, d), "bilinear")
+                grid = grid.reshape(1, hn * hn, d)
+                if n_special:
+                    grid = jnp.concatenate([spec, grid], axis=1)
+                return np.asarray(grid, dtype=np.asarray(lv).dtype), "2d"
+        return np.asarray(jax.image.resize(
+            jnp.asarray(lv), tshape, "linear")), "1d"
+
+    @staticmethod
     def _adapt_loaded(target, loaded):
         """Shape-tolerant restore (reference base_model.py:957-1188 remaps
         keys and interpolates positional embeddings on resolution change):
         matching leaves load as-is; (1,T,D) token tables with differing T
-        are linearly resized; anything else keeps the fresh init."""
+        are resized (2D-bilinear over the spatial grid when T is a square
+        grid with an optional special-token prefix, else 1D-linear);
+        anything else keeps the fresh init."""
         from flax import traverse_util
         tf = traverse_util.flatten_dict(target)
         lf = traverse_util.flatten_dict(loaded)
@@ -125,11 +153,9 @@ class BaseModel:
                 out[k] = lv
             elif (getattr(lv, "ndim", 0) == 3 and lv.shape[0] == 1
                   and lv.shape[-1] == tv.shape[-1]):
-                import jax.image
-                out[k] = np.asarray(jax.image.resize(
-                    jnp.asarray(lv), tv.shape, "linear"))
-                print(f"resized token table {'/'.join(map(str, k))}: "
-                      f"{lv.shape} -> {tv.shape}")
+                out[k], how = BaseModel._resize_token_table(lv, tv.shape)
+                print(f"resized token table ({how}) "
+                      f"{'/'.join(map(str, k))}: {lv.shape} -> {tv.shape}")
             else:
                 print(f"shape mismatch for {'/'.join(map(str, k))} "
                       f"({lv.shape} vs {tv.shape}); keeping fresh init")
@@ -219,7 +245,8 @@ class BaseModel:
         metric list (reference compute_metrics_test, base_model.py:1791).
         ``save_images`` (default: opt.train_metrics_save_images) writes the
         evaluated fake/real pairs under the experiment directory."""
-        from ..utils.metrics import compute_metrics, fvd
+        from ..utils.metrics import (VideoFeatures, compute_metrics, fvd,
+                                     metric_key)
         if save_images is None:
             save_images = bool(getattr(self.opt, "train_metrics_save_images",
                                        False))
@@ -273,8 +300,10 @@ class BaseModel:
             real_stats=getattr(self, "real_stats", None),
             mask=(mask if use_mask else None))
         if "FVD" in metrics_list and fake_clips:
-            out["FVD"] = fvd(np.concatenate(real_clips),
-                             np.concatenate(fake_clips))
+            vf = VideoFeatures()
+            out[metric_key("FVD", vf.is_fallback)] = fvd(
+                np.concatenate(real_clips), np.concatenate(fake_clips),
+                extractor=vf)
         return {f"{k}_test": v for k, v in out.items()}
 
     def inference(self, batch, **kwargs):

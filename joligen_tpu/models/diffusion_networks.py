@@ -40,6 +40,7 @@ def define_inner_G(opt):
             attn_norm=getattr(opt, "G_unet_mha_attn_norm", "group"),
             freq_space=getattr(opt, "train_feat_wavelet", False),
             remat=getattr(opt, "tpu_remat", False),
+            remat_policy=getattr(opt, "tpu_remat_policy", "conv"),
             dtype=dtype,
         )
     if netG in ("resnet_attn", "mobile_resnet_attn"):

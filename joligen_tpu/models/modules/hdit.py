@@ -48,9 +48,18 @@ def apply_rope(x, ang):
 
 class HDiTBlock(nn.Module):
     """Transformer block with RoPE attention (windowed or global) + GEGLU
-    FFN, AdaLN-modulated."""
+    FFN, AdaLN-modulated.
+
+    ``shift``: Swin-style cyclic shift of the window partition. The
+    reference's shallow levels use overlapped NEIGHBORHOOD attention
+    (hdit/hdit.py, natten); alternating shifted windows are the
+    TPU-friendly equivalent — information crosses window borders every
+    second block instead of through per-pixel overlapping windows (which
+    gather poorly on TPU). RoPE is applied BEFORE the shift so each
+    token keeps its true absolute rotation."""
     num_heads: int
     window: int = 0        # 0 = global attention
+    shift: int = 0         # cyclic shift of the window partition
     grid: Sequence[int] = (0, 0)
     dtype: jnp.dtype = jnp.float32
 
@@ -78,8 +87,12 @@ class HDiTBlock(nn.Module):
         if self.window and self.window < min(gh, gw):
             wsz = self.window
             nwh, nww = gh // wsz, gw // wsz
+            shift = self.shift % wsz
 
             def to_windows(z):
+                z = z.reshape(b, gh, gw, self.num_heads, hd)
+                if shift:
+                    z = jnp.roll(z, (-shift, -shift), axis=(1, 2))
                 z = z.reshape(b, nwh, wsz, nww, wsz, self.num_heads, hd)
                 z = z.transpose(0, 1, 3, 2, 4, 5, 6)
                 return z.reshape(b * nwh * nww, wsz * wsz, self.num_heads, hd)
@@ -88,7 +101,11 @@ class HDiTBlock(nn.Module):
             from ...ops.flash_attention import flash_attention
             aw = flash_attention(qw, kw, vw)
             a = aw.reshape(b, nwh, nww, wsz, wsz, self.num_heads, hd)
-            a = a.transpose(0, 1, 3, 2, 4, 5, 6).reshape(b, t, d)
+            a = a.transpose(0, 1, 3, 2, 4, 5, 6)
+            if shift:
+                a = a.reshape(b, gh, gw, self.num_heads, hd)
+                a = jnp.roll(a, (shift, shift), axis=(1, 2))
+            a = a.reshape(b, t, d)
         else:
             from ...ops.flash_attention import flash_attention
             a = flash_attention(q, k, v).reshape(b, t, d)
@@ -158,13 +175,13 @@ class HDiT(nn.Module):
         cur_gh, cur_gw = gh, gw
         # encoder levels (windowed attention)
         for li in range(n_levels - 1):
-            heads = max(1, self.widths[li] // 64) * self.num_heads_base // 4 \
-                or self.num_heads_base
             cl = nn.Dense(self.widths[li], dtype=self.dtype,
                           name=f"c_enc{li}")(c)
             for bi in range(self.depths[li]):
                 h = HDiTBlock(num_heads=max(1, self.widths[li] // 64),
-                              window=self.window, grid=(cur_gh, cur_gw),
+                              window=self.window,
+                              shift=(self.window // 2 if bi % 2 else 0),
+                              grid=(cur_gh, cur_gw),
                               dtype=self.dtype,
                               name=f"enc{li}_{bi}")(h, cl)
             skips.append((h, cur_gh, cur_gw))
@@ -192,7 +209,9 @@ class HDiT(nn.Module):
                           name=f"c_dec{li}")(c)
             for bi in range(self.depths[li]):
                 h = HDiTBlock(num_heads=max(1, self.widths[li] // 64),
-                              window=self.window, grid=(cur_gh, cur_gw),
+                              window=self.window,
+                              shift=(self.window // 2 if bi % 2 else 0),
+                              grid=(cur_gh, cur_gw),
                               dtype=self.dtype,
                               name=f"dec{li}_{bi}")(h, cl)
 

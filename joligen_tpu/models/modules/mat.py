@@ -153,6 +153,7 @@ class EqualConv(nn.Module):
     features: int
     kernel: int = 3
     down: bool = False
+    up: bool = False
     act: bool = True
 
     @nn.compact
@@ -161,6 +162,8 @@ class EqualConv(nn.Module):
         cin = x.shape[-1]
         w = self.param("weight", nn.initializers.normal(1.0),
                        (k, k, cin, self.features)) / math.sqrt(k * k * cin)
+        if self.up:
+            x = blur_up(x)
         if self.down:
             x = blur_down(x)
         y = jax.lax.conv_general_dilated(
@@ -172,99 +175,315 @@ class EqualConv(nn.Module):
 
 
 class PartialConv(nn.Module):
-    """Mask-aware conv: renormalize by valid-pixel coverage and update the
-    mask (reference Conv2dLayerPartial, mat.py:95-155)."""
+    """Mask-aware conv with reference semantics (Conv2dLayerPartial,
+    mat.py:95-155): the input is convolved UNMASKED, the output is scaled
+    by k^2/coverage * clamp01(coverage) AFTER the activation, and the new
+    mask is clamp01(coverage)."""
     features: int
     kernel: int = 3
     down: bool = False
+    up: bool = False
 
     @nn.compact
-    def __call__(self, x, mask):
+    def __call__(self, x, mask=None):
         k = self.kernel
+        if mask is None:
+            y = EqualConv(self.features, kernel=k, down=self.down,
+                          up=self.up, name="conv")(x)
+            return y, None
+        m = mask.astype(x.dtype)
         if self.down:
-            x = blur_down(x)
-            mask = -nn.max_pool(-mask, (2, 2), strides=(2, 2))  # min-pool
+            # reference convs the mask with ones at stride=down; a 2x2
+            # average-pool + k-window coverage is the stride-2 equivalent
+            m = nn.avg_pool(m, (2, 2), strides=(2, 2)) * 4.0
+            scale_cov = 4.0
+        elif self.up:
+            from ...ops.resize import nearest_up2
+            m = nearest_up2(m)
+            scale_cov = 1.0
+        else:
+            scale_cov = 1.0
         ones = jnp.ones((k, k, 1, 1), x.dtype)
         cov = jax.lax.conv_general_dilated(
-            mask.astype(x.dtype), ones, (1, 1), "SAME",
+            m, ones, (1, 1), "SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        scale = (k * k) / jnp.maximum(cov, 1e-8)
-        y = EqualConv(self.features, kernel=k, act=False, name="conv")(
-            x * mask.astype(x.dtype))
-        y = lrelu(y * scale * (cov > 0))
-        new_mask = (cov > 0).astype(mask.dtype)
+        ratio = (k * k * scale_cov) / (cov + 1e-8)
+        new_mask = jnp.clip(cov, 0.0, 1.0)
+        y = EqualConv(self.features, kernel=k, down=self.down, up=self.up,
+                      name="conv")(x)
+        y = y * (ratio * new_mask).astype(y.dtype)
         return y, new_mask
 
 
-class MaskAwareAttention(nn.Module):
-    """Token transformer over the coarse grid where attention only flows
-    from valid tokens (mask renormalization), and tokens become valid once
-    updated (reference WindowAttention + BasicLayer token-update rule)."""
-    num_heads: int = 4
-    depth: int = 4
+# --------------------------------------------------------------------------
+# First-stage Swin token pyramid (reference mat.py:170-640,961-1134)
+# --------------------------------------------------------------------------
+
+def window_partition(x, ws):
+    """(B,H,W,C) -> (B*nW, ws*ws, C)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // ws, ws, w // ws, ws, c).transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(-1, ws * ws, c)
+
+
+def window_reverse(x, ws, h, w):
+    """(B*nW, ws*ws, C) -> (B,H,W,C)."""
+    c = x.shape[-1]
+    b = x.shape[0] // ((h // ws) * (w // ws))
+    x = x.reshape(b, h // ws, w // ws, ws, ws, c).transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h, w, c)
+
+
+def _shift_attn_bias(h, w, ws, shift):
+    """(nW, N, N) 0/-100 bias for shifted windows (reference
+    SwinTransformerBlock.calculate_mask, mat.py:329-359). Pure numpy —
+    computed once at trace time, becomes a compile-time constant."""
+    import numpy as np
+    img = np.zeros((h, w), np.float32)
+    cnt = 0
+    for hs in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+        for wss in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+            img[hs, wss] = cnt
+            cnt += 1
+    win = img.reshape(h // ws, ws, w // ws, ws).transpose(0, 2, 1, 3)
+    win = win.reshape(-1, ws * ws)
+    diff = win[:, None, :] - win[:, :, None]
+    return jnp.asarray(np.where(diff != 0, -100.0, 0.0), jnp.float32)
+
+
+class WindowAttention(nn.Module):
+    """Windowed MSA with q/k over L2-normalized tokens and the mask-aware
+    key bias + per-window validity update (reference WindowAttention,
+    mat.py:168-244): invalid keys get -100 (soft, not -inf), and after the
+    pass every token of a window that contained ANY valid token becomes
+    valid."""
+    dim: int
+    num_heads: int
 
     @nn.compact
-    def __call__(self, x, mask):
-        """x: (N, H, W, C); mask: (N, H, W, 1) 1=known."""
-        n, h, w, c = x.shape
-        t = x.reshape(n, h * w, c)
-        m = mask.reshape(n, h * w, 1)
+    def __call__(self, xw, mask_windows=None, attn_bias=None, n_windows=1):
+        bw, n, c = xw.shape
+        hd = c // self.num_heads
+        norm_x = xw / jnp.maximum(
+            jnp.linalg.norm(xw.astype(jnp.float32), axis=-1, keepdims=True),
+            1e-12).astype(xw.dtype)
+        q = EqualDense(c, name="q")(norm_x).reshape(
+            bw, n, self.num_heads, hd).transpose(0, 2, 1, 3)
+        k = EqualDense(c, name="k")(norm_x).reshape(
+            bw, n, self.num_heads, hd).transpose(0, 2, 1, 3)
+        v = EqualDense(c, name="v")(xw).reshape(
+            bw, n, self.num_heads, hd).transpose(0, 2, 1, 3)
+        logits = (q @ k.transpose(0, 1, 3, 2)) / math.sqrt(hd)
+        if attn_bias is not None:   # shifted-window cross-region bias
+            logits = (logits.reshape(bw // n_windows, n_windows,
+                                     self.num_heads, n, n)
+                      + attn_bias[None, :, None].astype(logits.dtype))
+            logits = logits.reshape(bw, self.num_heads, n, n)
+        new_mask = None
+        if mask_windows is not None:
+            keyb = jnp.where(mask_windows[..., 0] > 0, 0.0, -100.0)
+            logits = logits + keyb[:, None, None, :].astype(logits.dtype)
+            # window validity: any valid token -> whole window valid
+            new_mask = jnp.clip(jnp.sum(mask_windows, axis=1, keepdims=True),
+                                0.0, 1.0) * jnp.ones_like(mask_windows)
+        p = jax.nn.softmax(logits.astype(jnp.float32),
+                           axis=-1).astype(xw.dtype)
+        out = (p @ v).transpose(0, 2, 1, 3).reshape(bw, n, c)
+        return EqualDense(c, name="proj")(out), new_mask
+
+
+class SwinBlock(nn.Module):
+    """MAT's Swin block (reference SwinTransformerBlock, mat.py:246-437):
+    [shifted-]window attention, then fuse = FC([shortcut, attn], lrelu),
+    then a 2x MLP — NO residual or norm layers (the reference drops both;
+    q/k normalization replaces the pre-norm). drop_path is stored but
+    never applied upstream, so it is omitted here."""
+    dim: int
+    num_heads: int
+    h: int
+    w: int
+    window_size: int
+    shift_size: int
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        """x: (B, H*W, C) tokens; mask: (B, H*W, 1) 1=valid or None."""
+        b, L, c = x.shape
+        ws = min(self.window_size, self.h, self.w)
+        shift = self.shift_size if ws < min(self.h, self.w) else 0
+        shortcut = x
+        xg = x.reshape(b, self.h, self.w, c)
+        mg = mask.reshape(b, self.h, self.w, 1) if mask is not None else None
+        if shift > 0:
+            xg = jnp.roll(xg, (-shift, -shift), axis=(1, 2))
+            if mg is not None:
+                mg = jnp.roll(mg, (-shift, -shift), axis=(1, 2))
+        xw = window_partition(xg, ws)
+        mw = window_partition(mg, ws) if mg is not None else None
+        n_windows = (self.h // ws) * (self.w // ws)
+        bias = _shift_attn_bias(self.h, self.w, ws, shift) if shift > 0 \
+            else None
+        aw, mw = WindowAttention(self.dim, self.num_heads, name="attn")(
+            xw, mask_windows=mw, attn_bias=bias, n_windows=n_windows)
+        xg = window_reverse(aw, ws, self.h, self.w)
+        if mw is not None:
+            mg = window_reverse(mw, ws, self.h, self.w)
+        if shift > 0:
+            xg = jnp.roll(xg, (shift, shift), axis=(1, 2))
+            if mg is not None:
+                mg = jnp.roll(mg, (shift, shift), axis=(1, 2))
+        x = xg.reshape(b, L, c)
+        new_mask = mg.reshape(b, L, 1) if mg is not None else None
+        x = EqualDense(c, act=True, name="fuse")(
+            jnp.concatenate([shortcut, x], axis=-1))
+        x = EqualDense(c, name="mlp_fc2")(
+            EqualDense(2 * c, act=True, name="mlp_fc1")(x))
+        return x, new_mask
+
+
+class BasicLayerMAT(nn.Module):
+    """One pyramid stage (reference BasicLayer, mat.py:491-585): optional
+    partial-conv patch merge/upsample, `depth` Swin blocks with
+    alternating shift, then a partial conv with identity residual."""
+    dim: int
+    depth: int
+    num_heads: int
+    h: int
+    w: int
+    window_size: int
+    resample: str = ""   # "" | "down" | "up"
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        """tokens (B, H*W, C) at the PRE-resample resolution."""
+        h, w = self.h, self.w
+        b = x.shape[0]
+        if self.resample:
+            feat = x.reshape(b, h, w, self.dim)
+            mfeat = mask.reshape(b, h, w, 1) if mask is not None else None
+            feat, mfeat = PartialConv(self.dim,
+                                      down=(self.resample == "down"),
+                                      up=(self.resample == "up"),
+                                      name="merge")(feat, mfeat)
+            h, w = feat.shape[1], feat.shape[2]
+            x = feat.reshape(b, h * w, self.dim)
+            mask = (mfeat.reshape(b, h * w, 1) if mfeat is not None
+                    else None)
+        identity = x
         for i in range(self.depth):
-            y = nn.LayerNorm(dtype=jnp.float32, name=f"norm{i}")(t)
-            qkv = EqualDense(3 * c, name=f"qkv{i}")(y)
-            q, k, v = jnp.split(qkv, 3, axis=-1)
-            hd = c // self.num_heads
-            q = q.reshape(n, -1, self.num_heads, hd).transpose(0, 2, 1, 3)
-            k = k.reshape(n, -1, self.num_heads, hd).transpose(0, 2, 1, 3)
-            v = v.reshape(n, -1, self.num_heads, hd).transpose(0, 2, 1, 3)
-            logits = (q @ k.transpose(0, 1, 3, 2)) / math.sqrt(hd)
-            bias = jnp.where(m[:, None, :, 0][:, :, None, :] > 0, 0.0, -1e9)
-            p = jax.nn.softmax((logits + bias).astype(jnp.float32),
-                               axis=-1).astype(t.dtype)
-            a = (p @ v).transpose(0, 2, 1, 3).reshape(n, -1, c)
-            t = t + EqualDense(c, name=f"proj{i}")(a)
-            y = nn.LayerNorm(dtype=jnp.float32, name=f"ffnorm{i}")(t)
-            t = t + EqualDense(c, name=f"ff{i}b")(
-                lrelu(EqualDense(2 * c, name=f"ff{i}a")(y)))
-            m = jnp.ones_like(m)  # all tokens valid after one update pass
-        return t.reshape(n, h, w, c)
+            x, mask = SwinBlock(self.dim, self.num_heads, h, w,
+                                self.window_size,
+                                shift_size=(0 if i % 2 == 0
+                                            else self.window_size // 2),
+                                name=f"block{i}")(x, mask)
+        mfeat = mask.reshape(b, h, w, 1) if mask is not None else None
+        feat, mfeat = PartialConv(self.dim, name="conv")(
+            x.reshape(b, h, w, self.dim), mfeat)
+        x = feat.reshape(b, h * w, self.dim) + identity
+        mask = mfeat.reshape(b, h * w, 1) if mfeat is not None else None
+        return x, (h, w), mask
 
 
 class FirstStage(nn.Module):
-    """Coarse inpainting stage: partial-conv encoder -> mask-aware token
-    transformer -> style-modulated decoder -> coarse RGB
-    (reference FirstStage, mat.py:961-1134)."""
-    base: int = 64
+    """Coarse inpainting stage (reference FirstStage, mat.py:961-1134):
+    partial-conv encoder to the coarse grid, a 5-stage Swin token pyramid
+    (depths [2,3,4,3,2], resolutions r -> r/2 -> r/4 -> r/2 -> r with
+    token skips, mask propagated through the contracting half), style
+    fusion at the bottleneck (ws_style + to_square spatial code blended by
+    a random binary mul_map, ToStyle global pool), and a style-modulated
+    decoder back to input resolution.
+
+    Adaptive deviation: the reference hardcodes the coarse grid at 64px
+    (inputs are >=256px); here coarse = min(64, input) so miniature CI
+    resolutions run the same pyramid shape."""
+    base: int = 64           # kept for config plumbing; dim is the width
     w_dim: int = 512
+    dim: int = 180           # token width (reference FirstStage dim=180)
+    depths: tuple = (2, 3, 4, 3, 2)
+    num_heads: int = 6
+    window_sizes: tuple = (8, 16, 16, 16, 8)
 
     @nn.compact
-    def __call__(self, img, mask, w, rng=None):
-        x = jnp.concatenate([img * mask, mask.astype(img.dtype)], axis=-1)
-        feats = {}
-        h, m = PartialConv(self.base, name="enc0")(x, mask)
-        enc_ch = [self.base, self.base * 2, self.base * 4]
-        downs = min(3, int(math.log2(img.shape[1])) - 2)
-        for i in range(downs):
-            h, m = PartialConv(enc_ch[min(i, 2)], down=True,
-                               name=f"enc{i+1}")(h, m)
-            feats[i] = h
-        h = MaskAwareAttention(name="body")(h, m)
-        # global style from features + w
-        gs = jnp.mean(h, axis=(1, 2))
-        style = EqualDense(self.w_dim, act=True, name="style")(
-            jnp.concatenate([gs, w], axis=-1))
-        rngs = jax.random.split(rng, downs + 1) if rng is not None \
-            else [None] * (downs + 1)
-        for i in range(downs):
-            # channel count matches the skip feature at the target resolution
-            ch = enc_ch[max(0, min(downs - 2 - i, 2))]
-            h = StyleConv(ch, up=True, name=f"dec{i}")(h, style, rngs[i])
-            skip = feats.get(downs - 2 - i)
-            if skip is not None:
-                h = h + skip
-        out = ToRGB(img.shape[-1], name="to_rgb")(h, style)
-        # compose: known pixels from input
-        return out * (1 - mask) + img * mask
+    def __call__(self, img, mask, w, rng=None, mask_class=None):
+        b, H = img.shape[0], img.shape[1]
+        dim = self.dim
+        parts = [mask.astype(img.dtype) - 0.5, img * mask]
+        if mask_class is not None:
+            parts.append(mask_class.astype(img.dtype))
+        x = jnp.concatenate(parts, axis=-1)
+
+        coarse = min(64, H)
+        down_time = int(math.log2(H // coarse))
+        conv_skips = []
+        h, m = PartialConv(dim, name="conv_first")(x, mask)
+        conv_skips.append(h)
+        for i in range(down_time):
+            h, m = PartialConv(dim, down=True, name=f"enc_conv{i}")(h, m)
+            if i != down_time - 1:
+                conv_skips.append(h)
+
+        res = coarse
+        t = h.reshape(b, res * res, dim)
+        tm = m.reshape(b, res * res, 1)
+        ratios = (1, 0.5, 0.5, 2, 2)
+        mid = len(self.depths) // 2
+        token_skips = []
+        style = None
+        n_rngs = 1 + 2 * max(down_time, 1)
+        rngs = (jax.random.split(rng, n_rngs)
+                if rng is not None else [None] * n_rngs)
+        for i, depth in enumerate(self.depths):
+            resample = ("down" if ratios[i] < 1
+                        else "up" if ratios[i] > 1 else "")
+            layer = BasicLayerMAT(dim, depth, self.num_heads, res, res,
+                                  min(self.window_sizes[i], int(res * ratios[i])),
+                                  resample=resample, name=f"tran{i}")
+            if i < mid:
+                t, (res, _), tm = layer(t, tm)
+                token_skips.append(t)
+            elif i == mid:
+                t, (res, _), tm = layer(t, None)
+                # style fusion (reference mat.py:1100-1121): random binary
+                # mul_map blends tokens with a w-derived spatial code
+                ws_s = EqualDense(dim, act=True, name="ws_style")(w)
+                add_n = EqualDense(res * res, act=True,
+                                   name="to_square")(ws_s)
+                if add_n.shape[-1] != t.shape[1]:
+                    add_n = jax.image.resize(
+                        add_n, (b, t.shape[1]), "linear")
+                add_n = add_n[:, :, None].astype(t.dtype)
+                if rngs[0] is not None:
+                    # F.dropout(0.5*ones, p=0.5, training=True): 0 or 1
+                    mul_map = jax.random.bernoulli(
+                        rngs[0], 0.5, t.shape).astype(t.dtype)
+                else:
+                    mul_map = jnp.full_like(t, 0.5)
+                t = t * mul_map + add_n * (1 - mul_map)
+                # ToStyle: conv-pool the bottleneck grid to 1x1
+                g = t.reshape(b, res, res, dim)
+                for j in range(int(math.log2(res))):
+                    g = EqualConv(dim, down=True, name=f"down_conv{j}")(g)
+                gs = EqualDense(2 * dim, act=True, name="to_style")(
+                    jnp.mean(g, axis=(1, 2)))
+                style = jnp.concatenate([gs, ws_s], axis=-1)  # 3*dim
+            else:
+                t, (res, _), tm = layer(t, None)
+                t = t + token_skips[mid - i]
+
+        h = t.reshape(b, res, res, dim)
+        img_out = None
+        for i in range(down_time):
+            h = StyleConv(dim, up=True, name=f"dec{i}a")(h, style,
+                                                         rngs[1 + 2 * i])
+            h = h + conv_skips[down_time - 1 - i]
+            h = StyleConv(dim, name=f"dec{i}b")(h, style, rngs[2 + 2 * i])
+            img_out = ToRGB(img.shape[-1], name=f"dec{i}rgb")(h, style,
+                                                              img_out)
+        if img_out is None:   # coarse == input resolution (small inputs)
+            img_out = ToRGB(img.shape[-1], name="to_rgb")(h, style)
+        # compose: known pixels from input; clamp like the reference
+        out = img_out * (1 - mask) + img * mask
+        return jnp.clip(out, -1.0, 1.0)
 
 
 class Encoder(nn.Module):
@@ -350,6 +569,7 @@ class MATGenerator(nn.Module):
     motion_max_frames: int = 25
     mask_class: bool = False   # alg_mat_mask_class_conditioning
     style_mixing_prob: float = 0.0   # alg_mat_style_mixing_prob
+    stage1_dim: int = 180   # first-stage token width (reference dim=180)
 
     @nn.compact
     def __call__(self, img, mask, z, c=None, rng=None, mask_class=None,
@@ -393,7 +613,9 @@ class MATGenerator(nn.Module):
             mix_from = jnp.where(do, cut, n_style_layers)
         r1, r2 = (jax.random.split(rng) if rng is not None else (None, None))
         stg1 = FirstStage(base=self.base, w_dim=self.w_dim,
-                          name="first_stage")(img, mask, w, r1)
+                          dim=self.stage1_dim, name="first_stage")(
+            img, mask, w, r1,
+            mask_class=(mask_class if self.mask_class else None))
         parts = [stg1 * (1 - mask) + img * mask, mask.astype(img.dtype)]
         if self.mask_class:
             # per-pixel class-id channel inside the hole (reference

@@ -276,9 +276,15 @@ def _denoise(apply_fn, params, schedule, y_t, y_cond, t, cls, mask,
 
 def ddpm_sample(apply_fn, params, rng, schedule: NoiseSchedule, y_cond,
                 y_t=None, y_0=None, mask=None, cls=None, ref=None,
-                guidance_scale=0.0, out_channel=None):
+                guidance_scale=0.0, out_channel=None, noise_seq=None):
     """Full ancestral DDPM chain as one lax.scan
-    (reference restoration_ddpm, diffusion_generator.py:119-177)."""
+    (reference restoration_ddpm, diffusion_generator.py:119-177).
+
+    ``noise_seq``: optional (T, B, H, W, C) array of per-step transition
+    noises (step k is the noise added at t = T-1-k). Used by the
+    full-chain equivalence tests to drive this sampler and the reference
+    torch loop with the identical noise sequence; production callers leave
+    it None and the noise is drawn from ``rng`` inside the scan."""
     b = y_cond.shape[0]
     c = out_channel or y_cond.shape[-1]
     rng, rng_init = jax.random.split(rng)
@@ -288,21 +294,24 @@ def ddpm_sample(apply_fn, params, rng, schedule: NoiseSchedule, y_cond,
 
     tmask = None if mask is None else jnp.clip(mask.astype(y_cond.dtype), 0.0, 1.0)
 
-    def step(carry, i):
+    def step(carry, scan_in):
+        i = scan_in[0] if noise_seq is not None else scan_in
         y, key = carry
         key, sub = jax.random.split(key)
         t = jnp.full((b,), i, dtype=jnp.int32)
         y0_hat = _denoise(apply_fn, params, schedule, y, y_cond, t, cls, mask,
                           guidance_scale, ref=ref)
         mean, logvar = q_posterior(schedule, y0_hat, y, t)
-        noise = jax.random.normal(sub, y.shape, dtype=y.dtype)
+        noise = (scan_in[1] if noise_seq is not None
+                 else jax.random.normal(sub, y.shape, dtype=y.dtype))
         y = mean + jnp.where(i > 0, 1.0, 0.0) * noise * jnp.exp(0.5 * logvar)
         if tmask is not None and y_0 is not None:
             y = y_0 * (1.0 - tmask) + tmask * y
         return (y, key), None
 
     ts = jnp.arange(schedule.num_timesteps - 1, -1, -1)
-    (y_t, _), _ = jax.lax.scan(step, (y_t, rng), ts)
+    xs = (ts, jnp.asarray(noise_seq)) if noise_seq is not None else ts
+    (y_t, _), _ = jax.lax.scan(step, (y_t, rng), xs)
     return y_t
 
 

@@ -221,8 +221,16 @@ class ProjectedDiscriminator(nn.Module):
 
 class TemporalProjectedDiscriminator(nn.Module):
     """Video D: per-frame frozen features -> recurrent temporal mixing ->
-    MultiScaleD (reference discriminator.py:289-422 uses an LSTM; a GRU cell
-    scan keeps the same expressivity with one gate fewer)."""
+    MultiScaleD.
+
+    The recurrence is an LSTM cell per spatial location, matching the
+    reference's recurrence type (MultiScaleLSTM, discriminator.py:289-422).
+    Deliberate structural deviation: the reference flattens each scale to
+    (B, F, c*r*r) and runs torch.nn.LSTM(hidden_size=16), then
+    Unflatten(dim=2, (c, r, r)) — which only typechecks when c*r*r == 16,
+    so the flattened form cannot be reproduced literally; the
+    per-location cell keeps the temporal-mixing intent with shapes that
+    hold at every scale."""
     interp: int = -1
     proj_ch: int = 64
     dtype: jnp.dtype = jnp.float32
@@ -249,25 +257,25 @@ class TemporalProjectedDiscriminator(nn.Module):
             # GRU over frames at each spatial location (explicit params so
             # the recurrence can live in one lax.scan)
             seq = seq.transpose(1, 0, 2, 3, 4)             # (F,B,h,w,c)
+            # LSTM cell over frames at each spatial location (explicit
+            # params so the recurrence lives in one lax.scan; gate layout
+            # [i, f, g, o] like torch.nn.LSTM)
             init = nn.initializers.lecun_normal()
-            w_g = self.param(f"gru_gates_w{i}", init, (2 * c, 2 * c))
-            b_g = self.param(f"gru_gates_b{i}", nn.initializers.zeros, (2 * c,))
-            w_c = self.param(f"gru_cand_w{i}", init, (2 * c, c))
-            b_c = self.param(f"gru_cand_b{i}", nn.initializers.zeros, (c,))
+            w_g = self.param(f"lstm_w{i}", init, (2 * c, 4 * c))
+            b_g = self.param(f"lstm_b{i}", nn.initializers.zeros, (4 * c,))
 
-            def step(hprev, xt):
+            def step(carry, xt):
+                hprev, cprev = carry
                 hx = jnp.concatenate([hprev, xt], -1)
-                zr = jax.nn.sigmoid(hx @ w_g.astype(hx.dtype)
-                                    + b_g.astype(hx.dtype))
-                z, r = jnp.split(zr, 2, axis=-1)
-                rx = jnp.concatenate([r * hprev, xt], -1)
-                hh = jnp.tanh(rx @ w_c.astype(hx.dtype)
-                              + b_c.astype(hx.dtype))
-                hnew = (1 - z) * hprev + z * hh
-                return hnew, None
+                gates = hx @ w_g.astype(hx.dtype) + b_g.astype(hx.dtype)
+                ig, fg, gg, og = jnp.split(gates, 4, axis=-1)
+                cnew = (jax.nn.sigmoid(fg) * cprev
+                        + jax.nn.sigmoid(ig) * jnp.tanh(gg))
+                hnew = jax.nn.sigmoid(og) * jnp.tanh(cnew)
+                return (hnew, cnew), None
 
             h0 = jnp.zeros_like(seq[0])
-            hT, _ = jax.lax.scan(step, h0, seq)
+            (hT, _), _ = jax.lax.scan(step, (h0, h0), seq)
             li = DownBlockPatch(self.proj_ch, dtype=self.dtype,
                                 name=f"disc{i}")(hT)
             logits.append(li.reshape(b, -1))

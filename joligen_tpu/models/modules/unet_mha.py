@@ -21,6 +21,17 @@ from flax import linen as nn
 zeros_init = nn.initializers.zeros
 default_kernel = nn.initializers.lecun_normal()
 
+# Tag for the selective remat policy: MXU-op outputs (convs, attention)
+# carry this name so ``remat_policy="conv"`` saves exactly those residuals
+# and recomputes only the elementwise norm/FiLM/SiLU chains in backward.
+# ``checkpoint_name`` is an identity outside a jax.checkpoint region.
+REMAT_SAVE = "mxu_out"
+
+
+def _ckpt(x):
+    from jax.ad_checkpoint import checkpoint_name
+    return checkpoint_name(x, REMAT_SAVE)
+
 
 class GroupNorm32(nn.Module):
     """GroupNorm with fp32 STATISTICS but compute-dtype IO.
@@ -135,8 +146,8 @@ class ResBlock(nn.Module):
             h = _resample(h, False)
             x = _resample(x, False)
 
-        h = nn.Conv(self.out_channel, (3, 3), padding=1, dtype=self.dtype,
-                    name="in_conv")(h)
+        h = _ckpt(nn.Conv(self.out_channel, (3, 3), padding=1,
+                          dtype=self.dtype, name="in_conv")(h))
 
         emb_out = nn.Dense(
             2 * self.out_channel if self.use_scale_shift_norm else self.out_channel,
@@ -153,13 +164,13 @@ class ResBlock(nn.Module):
             h = nn.silu(h)
         if self.dropout > 0:
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        h = nn.Conv(self.out_channel, (3, 3), padding=1, dtype=self.dtype,
-                    kernel_init=zeros_init, bias_init=zeros_init,
-                    name="out_conv")(h)
+        h = _ckpt(nn.Conv(self.out_channel, (3, 3), padding=1,
+                          dtype=self.dtype, kernel_init=zeros_init,
+                          bias_init=zeros_init, name="out_conv")(h))
 
         if x.shape[-1] != self.out_channel:
-            x = nn.Conv(self.out_channel, (1, 1), dtype=self.dtype,
-                        name="skip")(x)
+            x = _ckpt(nn.Conv(self.out_channel, (1, 1), dtype=self.dtype,
+                              name="skip")(x))
         return x + h
 
 
@@ -192,13 +203,13 @@ class AttentionBlock(nn.Module):
         else:
             y = _norm("groupnorm", 32)(
                 seq.reshape(n, h * w, 1, c)).reshape(n, h * w, c)
-        qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(y)
+        qkv = _ckpt(nn.Dense(3 * c, dtype=self.dtype, name="qkv")(y))
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(n, h * w, heads, hd)
         k = k.reshape(n, h * w, heads, hd)
         v = v.reshape(n, h * w, heads, hd)
         from ...ops.flash_attention import flash_attention
-        a = flash_attention(q, k, v)
+        a = _ckpt(flash_attention(q, k, v))
         a = a.reshape(n, h * w, c)
         a = nn.Dense(c, dtype=self.dtype, kernel_init=zeros_init,
                      bias_init=zeros_init, name="proj_out")(a)
@@ -257,6 +268,10 @@ class UNetMHA(nn.Module):
     attn_norm: str = "group"      # "instance" = reference-exact attention norm
     freq_space: bool = False      # train_feat_wavelet: trunk in Haar space
     remat: bool = False
+    remat_policy: str = "conv"    # "conv": save MXU outputs, recompute the
+    # elementwise norm/FiLM/SiLU chains (bandwidth lever on a step that is
+    # HBM-bound — BASELINE.md roofline); "full": save nothing (max memory
+    # headroom, recomputes convs too)
     dtype: jnp.dtype = jnp.float32
 
     def _block_args(self):
@@ -285,9 +300,32 @@ class UNetMHA(nn.Module):
         # static arg = `deterministic` (flax counts self as argnum 0, so
         # __call__(self, x, emb, deterministic) puts it at 3; (2,)
         # would wrongly mark the traced embedding static)
-        Res = (nn.remat(ResBlock, static_argnums=(3,))
-               if self.remat else ResBlock)
-        Attn = nn.remat(AttentionBlock) if self.remat else AttentionBlock
+        if self.remat:
+            kw = {}
+            if self.remat_policy == "conv":
+                kw = dict(policy=jax.checkpoint_policies
+                          .save_only_these_names(REMAT_SAVE),
+                          prevent_cse=False)
+            RematRes = nn.remat(ResBlock, static_argnums=(3,), **kw)
+            RematAttn = nn.remat(AttentionBlock, **kw)
+        else:
+            RematRes, RematAttn = ResBlock, AttentionBlock
+        # nn.remat renames the lifted class (ResBlock -> CheckpointResBlock),
+        # which would silently fork the param tree between remat and
+        # non-remat runs — checkpoints must interchange, so pin the
+        # auto-naming explicitly (ResBlock_i / AttentionBlock_i in
+        # instantiation order, exactly what non-remat auto-naming yields).
+        counters = {"res": 0, "attn": 0}
+
+        def Res(**f):
+            m = RematRes(name=f"ResBlock_{counters['res']}", **f)
+            counters["res"] += 1
+            return m
+
+        def Attn(**f):
+            m = RematAttn(name=f"AttentionBlock_{counters['attn']}", **f)
+            counters["attn"] += 1
+            return m
         args = self._block_args()
 
         ch = int(self.channel_mults[0] * self.inner_channel)

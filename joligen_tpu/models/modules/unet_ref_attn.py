@@ -104,7 +104,19 @@ class UNetRefAttn(nn.Module):
             .astype(self.dtype)
         h = jnp.concatenate([x, ref], axis=0).astype(self.dtype)  # (2B,...)
 
-        Res = nn.remat(ResBlock, static_argnums=(2,)) if self.remat else ResBlock
+        # static_argnums=(3,): flax counts self as argnum 0, so
+        # __call__(self, x, emb, deterministic) has `deterministic` at 3
+        RematRes = (nn.remat(ResBlock, static_argnums=(3,))
+                    if self.remat else ResBlock)
+        # pin auto-names: nn.remat renames the class (CheckpointResBlock),
+        # which would fork the param tree between remat and non-remat runs
+        _res_i = [0]
+
+        def Res(**f):
+            m = RematRes(name=f"ResBlock_{_res_i[0]}", **f)
+            _res_i[0] += 1
+            return m
+
         args = self._args()
         ch = int(self.channel_mults[0] * self.inner_channel)
         h = nn.Conv(ch, (3, 3), padding=1, dtype=self.dtype,

@@ -73,8 +73,17 @@ class UNetVid(nn.Module):
         # static arg = `deterministic` (flax counts self as argnum 0, so
         # __call__(self, x, emb, deterministic) puts it at 3; (2,)
         # would wrongly mark the traced embedding static)
-        Res = (nn.remat(ResBlock, static_argnums=(3,))
-               if self.remat else ResBlock)
+        RematRes = (nn.remat(ResBlock, static_argnums=(3,))
+                    if self.remat else ResBlock)
+        # pin auto-names: nn.remat renames the class (CheckpointResBlock),
+        # which would fork the param tree between remat and non-remat runs
+        _res_i = [0]
+
+        def Res(**f):
+            m = RematRes(name=f"ResBlock_{_res_i[0]}", **f)
+            _res_i[0] += 1
+            return m
+
         args = self._res_args()
         motion_args = dict(num_heads=self.motion_num_heads,
                            num_transformer_blocks=self.motion_num_transformer_blocks,

@@ -104,19 +104,29 @@ def madgrad(learning_rate, momentum=0.9, weight_decay=0.0, eps=1e-6):
 def make_optimizer(opt, lr, iter_size=None):
     """adam/radam/adamw/lion factory (reference train.py:51-62).
     adam8bit maps to adamw (quantized optimizer states are not a win on TPU:
-    optimizer state shards over the fsdp axis instead)."""
+    optimizer state shards over the fsdp axis instead).
+
+    ``tpu_optim_moment_dtype=bfloat16`` stores the Adam FIRST moment in
+    bf16 (optax mu_dtype), halving its HBM read+write per step. The second
+    moment stays fp32: with b2=0.999 the per-step increment (1-b2)*g^2 is
+    ~1e-3 of nu — below bf16's 8-bit mantissa ulp, so a bf16 nu would stop
+    updating entirely."""
     name = getattr(opt, "train_optim", "adam")
     b1 = getattr(opt, "train_beta1", 0.9)
     b2 = getattr(opt, "train_beta2", 0.999)
     eps = getattr(opt, "train_optim_eps", 1e-8)
     wd = getattr(opt, "train_optim_weight_decay", 0.0)
+    mu_dtype = (jnp.bfloat16
+                if getattr(opt, "tpu_optim_moment_dtype", "") == "bfloat16"
+                else None)
     sched = make_lr_schedule(opt, lr)
     if name == "adam":
-        tx = optax.adam(sched, b1=b1, b2=b2, eps=eps)
+        tx = optax.adam(sched, b1=b1, b2=b2, eps=eps, mu_dtype=mu_dtype)
     elif name == "radam":
         tx = optax.radam(sched, b1=b1, b2=b2, eps=eps)
     elif name in ("adamw", "adam8bit"):
-        tx = optax.adamw(sched, b1=b1, b2=b2, eps=eps, weight_decay=wd)
+        tx = optax.adamw(sched, b1=b1, b2=b2, eps=eps, weight_decay=wd,
+                         mu_dtype=mu_dtype)
     elif name == "lion":
         tx = optax.lion(sched, b1=b1, b2=b2, weight_decay=wd)
     elif name == "madgrad":

@@ -30,6 +30,21 @@ WEIGHTS_DIR = os.environ.get(
     "JOLIGEN_TPU_WEIGHTS_DIR",
     os.path.join(os.path.expanduser("~"), ".cache", "joligen_tpu"))
 
+# Marker appended to every metric name computed with a random-feature
+# fallback extractor (no pretrained weights found). A user reading
+# "FID(random-features): 12.3" in test.py output, metrics/<ts>.json, or a
+# server response must never mistake it for a real Inception FID.
+FALLBACK_MARKER = "(random-features)"
+
+
+def _weights_present(fname):
+    return os.path.exists(os.path.join(WEIGHTS_DIR, fname))
+
+
+def metric_key(name, fallback):
+    """Label a metric name when its extractor is a random-feature fallback."""
+    return f"{name}{FALLBACK_MARKER}" if fallback else name
+
 
 # --------------------------------------------------------------------------
 # pixel metrics (exact)
@@ -115,9 +130,11 @@ class InceptionV3Features:
     def __init__(self, batch=32):
         self.batch = batch
         self._fn = None
+        self.is_fallback = not _weights_present("inception_v3_fid.npz")
 
     def _build(self):
         path = os.path.join(WEIGHTS_DIR, "inception_v3_fid.npz")
+        self.is_fallback = not os.path.exists(path)
         if os.path.exists(path):
             from .inception import InceptionV3FID, load_inception_params
             net = InceptionV3FID()
@@ -174,10 +191,12 @@ class DINOv2Features:
     def __init__(self, batch=16):
         self.batch = batch
         self._fn = None
+        self.is_fallback = not _weights_present("dinov2_vitb14.npz")
 
     def _build(self):
         from .dinov2 import DINOv2ViT, load_dinov2_params, preprocess
         path = os.path.join(WEIGHTS_DIR, "dinov2_vitb14.npz")
+        self.is_fallback = not os.path.exists(path)
         if os.path.exists(path):
             net = DINOv2ViT()
             params = load_dinov2_params(path)
@@ -392,8 +411,10 @@ class LPIPS:
 
     def __init__(self):
         self._fn = None
+        self.is_fallback = not _weights_present("vgg16_lpips.npz")
 
     def _build(self, shape):
+        self.is_fallback = not _weights_present("vgg16_lpips.npz")
         feats = vgg_feature_fn(shape)
 
         def run(a, b):
@@ -446,9 +467,11 @@ class VideoFeatures:
     def __init__(self, batch=8):
         self.batch = batch
         self._fn = None
+        self.is_fallback = not _weights_present("i3d_fvd.npz")
 
     def _build(self):
         path = os.path.join(WEIGHTS_DIR, "i3d_fvd.npz")
+        self.is_fallback = not os.path.exists(path)
         if os.path.exists(path):
             from .i3d import I3D, load_i3d_params
             net = I3D()
@@ -512,6 +535,7 @@ def compute_metrics(fakes, reals, metrics_list, extractor=None,
     need_acts = any(m in metrics_list for m in ("FID", "KID", "MSID"))
     if need_acts:
         extractor = extractor or InceptionV3Features()
+        fb = bool(getattr(extractor, "is_fallback", False))
         fake_acts = extractor(fakes)
         if real_stats is not None:
             mu_r, sigma_r, real_acts = real_stats
@@ -520,17 +544,21 @@ def compute_metrics(fakes, reals, metrics_list, extractor=None,
             mu_r, sigma_r = _cov_mean(real_acts)
         if "FID" in metrics_list:
             mu_f, sigma_f = _cov_mean(fake_acts)
-            out["FID"] = frechet_distance(mu_f, sigma_f, mu_r, sigma_r)
+            out[metric_key("FID", fb)] = frechet_distance(
+                mu_f, sigma_f, mu_r, sigma_r)
         if "KID" in metrics_list and real_acts is not None:
-            out["KID"] = kid_from_acts(fake_acts, real_acts)
+            out[metric_key("KID", fb)] = kid_from_acts(fake_acts, real_acts)
         if "MSID" in metrics_list and real_acts is not None:
-            out["MSID"] = msid_from_acts(fake_acts, real_acts)
+            out[metric_key("MSID", fb)] = msid_from_acts(fake_acts, real_acts)
     if "PSNR" in metrics_list:
         out["PSNR"] = psnr(fakes, reals, mask=mask)
     if "SSIM" in metrics_list:
         out["SSIM"] = ssim(fakes, reals)
     if "LPIPS" in metrics_list:
-        out["LPIPS"] = LPIPS()(fakes, reals)
+        lp = LPIPS()
+        out[metric_key("LPIPS", lp.is_fallback)] = lp(fakes, reals)
     if "DINOv2" in metrics_list:
-        out["DINOv2"] = dinov2_distance(fakes, reals)
+        dv = DINOv2Features()
+        out[metric_key("DINOv2", dv.is_fallback)] = dinov2_distance(
+            fakes, reals, extractor=dv)
     return out

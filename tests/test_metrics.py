@@ -76,13 +76,35 @@ def test_extractor_deterministic():
 
 
 def test_compute_metrics_full():
-    from joligen_tpu.utils.metrics import compute_metrics
+    from joligen_tpu.utils.metrics import FALLBACK_MARKER, compute_metrics
     rng = np.random.RandomState(0)
     reals = rng.uniform(-1, 1, (12, 32, 32, 3)).astype(np.float32)
     fakes = np.clip(reals + 0.1 * rng.randn(*reals.shape), -1, 1).astype(np.float32)
     out = compute_metrics(fakes, reals, ["FID", "KID", "PSNR", "SSIM", "LPIPS"])
-    for k in ("FID", "KID", "PSNR", "SSIM", "LPIPS"):
+    # feature-based metrics run on random-feature fallbacks in CI (no
+    # pretrained weights in the image) and MUST be loudly labeled as such;
+    # PSNR/SSIM are exact and must not be
+    for k in ("FID", "KID", "LPIPS"):
+        key = k + FALLBACK_MARKER
+        assert key in out and np.isfinite(out[key]), out
+        assert k not in out
+    for k in ("PSNR", "SSIM"):
         assert k in out and np.isfinite(out[k]), out
+
+
+def test_fallback_marker_absent_with_real_extractor():
+    """The marker must disappear when the extractor carries real weights
+    (simulated by flipping is_fallback on a built extractor)."""
+    from joligen_tpu.utils.metrics import InceptionV3Features, compute_metrics
+    rng = np.random.RandomState(0)
+    reals = rng.uniform(-1, 1, (8, 32, 32, 3)).astype(np.float32)
+    fakes = np.clip(reals + 0.1 * rng.randn(*reals.shape), -1, 1).astype(np.float32)
+    ex = InceptionV3Features()
+    ex(reals)  # build
+    ex.is_fallback = False  # pretend inception_v3_fid.npz was loaded
+    out = compute_metrics(fakes, reals, ["FID", "KID"], extractor=ex)
+    assert "FID" in out and "KID" in out
+    assert not any("random-features" in k for k in out)
 
 
 def test_fvd_sanity():
@@ -135,5 +157,8 @@ def test_testpy_end_to_end(tmp_path, nothing):
     assert files
     data = json.load(open(os.path.join(mdir, files[0])))
     key = next(iter(data))
-    assert "FID_test" in data[key] and np.isfinite(data[key]["FID_test"])
+    # no pretrained weights in CI -> FID must carry the fallback marker in
+    # the persisted metrics json (VERDICT r1 weak #4)
+    fid_key = "FID(random-features)_test"
+    assert fid_key in data[key] and np.isfinite(data[key][fid_key]), data[key]
     assert "PSNR_test" in data[key]

@@ -144,6 +144,7 @@ def test_madgrad_matches_reference():
                                tp.detach().numpy(), rtol=2e-5, atol=2e-6)
 
 
+@pytest.mark.parity
 def test_dinov2_encoder_matches_torch_math():
     """The flax DINOv2 encoder + npz key mapping reproduce the reference
     torch block math (util/dino_metric.py consumes dinov2_vitb14; here a
@@ -258,6 +259,7 @@ def test_dinov2_metric_fallback():
     assert dinov2_distance(x, y) > 1e-3
 
 
+@pytest.mark.parity
 def test_vgg16_porter_matches_torch_math():
     """The VGG16 porter mapping + flax trunk reproduce torchvision's
     features pipeline (conv/relu/maxpool chain) on random weights."""
@@ -308,6 +310,7 @@ def test_vgg16_porter_matches_torch_math():
         np.testing.assert_allclose(np.asarray(g), r, rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.parity
 def test_hed_porter_matches_torch_math(tmp_path, monkeypatch):
     """The HED porter mapping + flax net reproduce the reference torch HED
     forward (sketch_generation/hed.py:115-171) on random weights."""
@@ -381,6 +384,7 @@ def test_hed_porter_matches_torch_math(tmp_path, monkeypatch):
     hedmod._CACHED = None
 
 
+@pytest.mark.parity
 def test_efficientnet_lite_porter_matches_torch_math(tmp_path, monkeypatch):
     """Porter mapping + flax trunk reproduce timm tf_efficientnet_lite0
     (BN eval mode, TF SAME padding) on random weights — the projected-D
@@ -500,6 +504,7 @@ def test_efficientnet_lite_porter_matches_torch_math(tmp_path, monkeypatch):
         np.testing.assert_allclose(np.asarray(g), r, rtol=3e-4, atol=3e-4)
 
 
+@pytest.mark.parity
 def test_clip_visual_porter_matches_torch_math(tmp_path):
     """The flax CLIP visual tower + porter mapping reproduce the OpenAI CLIP
     forward (reference palette_denoise_fn.py:77-80 consumes clip ViT-B/16;
@@ -589,6 +594,7 @@ def test_clip_visual_porter_matches_torch_math(tmp_path):
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.parity
 def test_i3d_porter_matches_torch_math(tmp_path):
     """Porter mapping + flax I3D reproduce the piergiaj pytorch-i3d forward
     (BN eval, TF SAME padding) — the FVD detector (reference
@@ -692,6 +698,7 @@ def test_i3d_porter_matches_torch_math(tmp_path):
     np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-4)
 
 
+@pytest.mark.parity
 def test_midas_small_porter_matches_torch_math(tmp_path, monkeypatch):
     """Porter mapping + flax MidasSmall reproduce the MidasNet_small torch
     forward (lite3 encoder with TF SAME pads + RefineNet decoder with
@@ -857,6 +864,7 @@ def test_midas_small_porter_matches_torch_math(tmp_path, monkeypatch):
     np.testing.assert_allclose(got, ref, rtol=4e-4, atol=4e-4)
 
 
+@pytest.mark.parity
 def test_sam_matches_transformers(tmp_path):
     """The flax SAM + porter mapping reproduce transformers.SamModel
     bit-for-bit on a random tiny config (reference sam_inference.py wraps
@@ -949,6 +957,7 @@ def test_sam_matches_transformers(tmp_path):
         sam_mod._CACHED = None
 
 
+@pytest.mark.parity
 def test_mlsd_porter_matches_reference_module(tmp_path):
     """Flax MLSD + porter reproduce the reference MobileV2_MLSD_Large torch
     module (models/modules/sketch_generation/mbv2_mlsd_large.py) with a
@@ -993,6 +1002,7 @@ def test_mlsd_porter_matches_reference_module(tmp_path):
     np.testing.assert_allclose(got, ref_map, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parity
 def test_segformer_mit_porter_matches_transformers(tmp_path):
     """Flax MiTBackbone + porter reproduce transformers.SegformerModel's
     per-stage hidden states on a random tiny config (reference inits the
@@ -1047,6 +1057,7 @@ def test_segformer_mit_porter_matches_transformers(tmp_path):
         np.testing.assert_allclose(np.asarray(g), r, rtol=3e-4, atol=3e-4)
 
 
+@pytest.mark.parity
 def test_imagebind_vision_porter_matches_reference_module(tmp_path):
     """The flax ImageBind vision tower + porter reproduce the ACTUAL
     reference torch module (models/modules/image_bind, executed directly
@@ -1131,6 +1142,7 @@ def test_imagebind_vision_porter_matches_reference_module(tmp_path):
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parity
 def test_vgg16_fcn8s_matches_reference_module(tmp_path):
     """The flax VGG16FCN8s reproduces the ACTUAL reference torch module
     (models/modules/classifiers.py:57-175 executed directly with
@@ -1249,6 +1261,7 @@ def test_vgg16_fcn8s_define_f_wiring():
     assert out.shape == (1, 32, 32, 3)
 
 
+@pytest.mark.parity
 def test_resnet_template_matches_torch_math(tmp_path):
     """ResNetTemplate + porter folding reproduce an eval-mode torchvision
     ResNet-18 forward (reference classifiers.py:249-260 torch_model;
@@ -1384,6 +1397,7 @@ def _reference_unet_importable():
     return UNet
 
 
+@pytest.mark.parity
 def test_convert_reference_checkpoint_palette_unet(tmp_path):
     """The reference-checkpoint converter reproduces the ACTUAL reference
     UNet + cond_embed forward (unet_generator_attn.py executed directly):
@@ -1465,6 +1479,7 @@ def test_convert_reference_checkpoint_palette_unet(tmp_path):
     np.testing.assert_allclose(got, ref_out, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parity
 def test_convert_reference_checkpoint_cli(tmp_path):
     """End-to-end: a torch-saved reference-format checkpoint dir converts
     via the CLI tool and drives this framework's single-image inference."""
@@ -1539,3 +1554,199 @@ def test_convert_reference_checkpoint_cli(tmp_path):
         env=env, capture_output=True, text=True, timeout=300)
     assert r.returncode == 0, (r.stdout[-800:], r.stderr[-1500:])
     assert os.path.exists(tmp_path / "out" / "in_generated.png")
+
+
+def _reference_diffusion_generator(torch, unet, cond_embed_dim,
+                                   sampling_method):
+    """Build the ACTUAL reference DiffusionGenerator
+    (models/modules/diffusion_generator.py) around a reference UNet, with a
+    minimal denoise_fn stand-in (the real PaletteDenoiseFn imports `clip`
+    and the vendored image_bind at module import, neither of which this
+    image carries; for conditioning="" its forward reduces to
+    model(input, embedding) — palette_denoise_fn.py:95-117)."""
+    import importlib.util as ilu
+    import sys
+
+    _reference_unet_importable()  # installs models.modules package stubs
+    sys.path.insert(0, "/root/reference")
+    try:
+        spec = ilu.spec_from_file_location(
+            "models.modules.diffusion_generator",
+            "/root/reference/models/modules/diffusion_generator.py")
+        dg = ilu.module_from_spec(spec)
+        sys.modules["models.modules.diffusion_generator"] = dg
+        spec.loader.exec_module(dg)
+    finally:
+        sys.path.pop(0)
+
+    class _DenoiseFn(torch.nn.Module):
+        def __init__(self, model, cond_embed_dim):
+            super().__init__()
+            self.model = model
+            self.cond_embed_dim = cond_embed_dim
+            self.conditioning = ""
+
+        def forward(self, input, embed_noise_level, cls=None, mask=None,
+                    ref=None):
+            return self.model(input, embed_noise_level)
+
+    gen = dg.DiffusionGenerator(
+        denoise_fn=_DenoiseFn(unet, cond_embed_dim),
+        sampling_method=sampling_method, image_size=16, G_ngf=16,
+        loading_backward_compatibility=False)
+    return gen.eval()
+
+
+def _chain_fixture(torch, sampling_method, t_test=5):
+    """Random-weight reference UNet + DiffusionGenerator, converted flax
+    params, our matching test schedule, and shared inputs."""
+    import importlib.util as ilu
+
+    import jax.numpy as jnp
+
+    UNet = _reference_unet_importable()
+    torch.manual_seed(11)
+    ngf, cond_dim = 16, 64
+    res_blocks, mults, attn_res = [1, 1], (1, 2), [2]
+    unet = UNet(image_size=16, in_channel=6, inner_channel=ngf,
+                out_channel=3, res_blocks=res_blocks, attn_res=attn_res,
+                channel_mults=mults, num_head_channels=8, tanh=False,
+                n_timestep_train=10, n_timestep_test=t_test,
+                norm="groupnorm", group_norm_size=8,
+                cond_embed_dim=cond_dim).eval()
+    with torch.no_grad():  # un-zero the zero-init projections
+        for p in unet.parameters():
+            if p.abs().sum() == 0:
+                p.add_(0.05 * torch.randn_like(p))
+    gen = _reference_diffusion_generator(torch, unet, cond_dim,
+                                         sampling_method)
+    sd = {k: v.numpy() for k, v in gen.state_dict().items()
+          if not k.startswith("denoise_fn.model.gammas")
+          and "_train" not in k and "_test" not in k}
+
+    spec = ilu.spec_from_file_location(
+        "conv_ref_chain",
+        os.path.join(REPO, "tools/convert_reference_checkpoint.py"))
+    conv = ilu.module_from_spec(spec)
+    spec.loader.exec_module(conv)
+    import types as _t
+    opt = _t.SimpleNamespace(G_unet_mha_res_blocks=res_blocks,
+                             G_unet_mha_channel_mults=list(mults),
+                             G_unet_mha_attn_res=attn_res,
+                             G_unet_mha_num_heads=1,
+                             G_unet_mha_num_head_channels=8)
+    params = conv.map_palette_g(sd, opt)
+
+    from joligen_tpu.models.modules.palette_diffusion import PaletteDenoiser
+    from joligen_tpu.models.modules.unet_mha import UNetMHA
+    from joligen_tpu.ops.schedules import NoiseSchedule
+    net = PaletteDenoiser(
+        inner=UNetMHA(in_channel=6, out_channel=3, inner_channel=ngf,
+                      cond_embed_dim=cond_dim, res_blocks=tuple(res_blocks),
+                      attn_res=tuple(attn_res), channel_mults=mults,
+                      num_head_channels=8, group_size=8,
+                      attn_norm="instance"),
+        cond_embed_dim=cond_dim, conditioning="", nclasses=2)
+    sched = NoiseSchedule.for_phase(t_test, "test")
+    # the schedules themselves must agree with the buffers the reference
+    # registered (set_new_noise_schedule, diffusion_utils.py:79-119)
+    np.testing.assert_allclose(
+        np.asarray(sched.gammas), unet.gammas_test.numpy(), rtol=1e-6)
+
+    rng = np.random.RandomState(21)
+    y_cond = rng.uniform(-1, 1, (2, 16, 16, 3)).astype(np.float32)
+    y_0 = rng.uniform(-1, 1, (2, 16, 16, 3)).astype(np.float32)
+    mask = (rng.rand(2, 16, 16, 1) > 0.4).astype(np.float32)
+    y_init = rng.randn(2, 16, 16, 3).astype(np.float32)
+
+    def apply_fn(p, x, g, cls=None, mask=None, ref=None, zero_gamma=False):
+        return net.apply(p, jnp.asarray(x), jnp.asarray(g), cls=cls,
+                         mask=mask, zero_gamma=zero_gamma)
+
+    return gen, params, sched, apply_fn, (y_cond, y_0, mask, y_init)
+
+
+def _nchw(torch, x):
+    return torch.tensor(np.transpose(x, (0, 3, 1, 2)))
+
+
+@pytest.mark.parity
+def test_full_chain_ddpm_matches_reference_restoration():
+    """End-to-end DDPM sampling equivalence: the reference
+    restoration_ddpm loop (diffusion_generator.py:122-177, executed
+    directly in torch) and our single-lax.scan ddpm_sample produce the
+    same final image from identical weights, y_t init, and per-step
+    transition noises — the strongest zero-egress FID-parity proxy
+    (VERDICT r1 next-step #2)."""
+    torch = pytest.importorskip("torch")
+    import jax.numpy as jnp
+
+    from joligen_tpu.models.modules.palette_diffusion import ddpm_sample
+
+    T = 5
+    gen, params, sched, apply_fn, (y_cond, y_0, mask, y_init) = \
+        _chain_fixture(torch, "ddpm", t_test=T)
+
+    # shared per-step transition noises: reference draws via
+    # torch.randn_like once per step with t>0 (p_sample,
+    # diffusion_generator.py:278); step k of our scan runs t = T-1-k
+    rng = np.random.RandomState(33)
+    noise_seq = rng.randn(T, 2, 16, 16, 3).astype(np.float32)
+    queue = [_nchw(torch, noise_seq[k]) for k in range(T - 1)]
+
+    orig_randn_like = torch.randn_like
+
+    def fake_randn_like(t, *a, **kw):
+        return queue.pop(0).to(t.dtype)
+
+    torch.randn_like = fake_randn_like
+    try:
+        with torch.no_grad():
+            ref_out, _ = gen.restoration(
+                _nchw(torch, y_cond), y_t=_nchw(torch, y_init),
+                y_0=_nchw(torch, y_0), mask=_nchw(torch, mask),
+                sample_num=2)
+    finally:
+        torch.randn_like = orig_randn_like
+    assert not queue, "reference consumed fewer noises than expected"
+    ref_img = np.transpose(ref_out.numpy(), (0, 2, 3, 1))
+
+    import jax
+    got = np.asarray(ddpm_sample(
+        apply_fn, params, jax.random.PRNGKey(0), sched,
+        jnp.asarray(y_cond), y_t=jnp.asarray(y_init),
+        y_0=jnp.asarray(y_0), mask=jnp.asarray(mask),
+        noise_seq=jnp.asarray(noise_seq)))
+    assert got.shape == ref_img.shape
+    np.testing.assert_allclose(got, ref_img, rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parity
+def test_full_chain_ddim_matches_reference_restoration():
+    """End-to-end DDIM equivalence (deterministic given the y_t init):
+    reference restoration_ddim (diffusion_generator.py:286-455) vs our
+    lax.scan ddim_sample on identical weights and init."""
+    torch = pytest.importorskip("torch")
+    import jax
+    import jax.numpy as jnp
+
+    from joligen_tpu.models.modules.palette_diffusion import ddim_sample
+
+    T, steps, eta = 8, 3, 0.5
+    gen, params, sched, apply_fn, (y_cond, y_0, mask, y_init) = \
+        _chain_fixture(torch, "ddim", t_test=T)
+
+    with torch.no_grad():
+        ref_out, _ = gen.restoration(
+            _nchw(torch, y_cond), y_t=_nchw(torch, y_init),
+            y_0=_nchw(torch, y_0), mask=_nchw(torch, mask),
+            sample_num=2, ddim_num_steps=steps, ddim_eta=eta)
+    ref_img = np.transpose(ref_out.numpy(), (0, 2, 3, 1))
+
+    got = np.asarray(ddim_sample(
+        apply_fn, params, jax.random.PRNGKey(0), sched,
+        jnp.asarray(y_cond), y_t=jnp.asarray(y_init),
+        y_0=jnp.asarray(y_0), mask=jnp.asarray(mask),
+        num_steps=steps, eta=eta))
+    assert got.shape == ref_img.shape
+    np.testing.assert_allclose(got, ref_img, rtol=2e-3, atol=2e-3)
