@@ -89,6 +89,42 @@ def build_cm(size, batch):
     return model, batch_np, b
 
 
+def build_sc(size, batch):
+    """Shortcut-model training (reference sc_model.py velocity MSE +
+    self-consistency targets): unet_mha trunk, same shape as the cm bench
+    for cross-family comparability. No published reference number ->
+    vs_baseline 0."""
+    import jax
+    import numpy as np
+
+    from joligen_tpu.models import create_model
+    from joligen_tpu.options import TrainOptions
+
+    args = [
+        "--dataroot", "/tmp/none", "--model_type", "sc",
+        "--data_dataset_mode", "self_supervised_labeled_mask",
+        "--data_crop_size", str(size), "--data_load_size", str(size),
+        "--G_netG", "unet_mha", "--G_ngf", "64",
+        "--G_unet_mha_channel_mults", "1", "2", "4", "8",
+        "--G_unet_mha_res_blocks", "2", "2", "2", "2",
+        "--G_unet_mha_attn_res", "16",
+        "--G_unet_mha_num_head_channels", "32",
+        "--train_batch_size", str(batch), "--train_G_ema",
+        "--checkpoints_dir", "/tmp/bench_ckpt", "--name", "bench_sc",
+    ]
+    opt = TrainOptions().parse_cli(args)
+    opt.steps_per_epoch = 1000
+    model = create_model(opt)
+    b = batch * jax.device_count()
+    rng = np.random.RandomState(0)
+    batch_np = {
+        "A": rng.randn(b, size, size, 3).astype(np.float32),
+        "B": rng.randn(b, size, size, 3).astype(np.float32),
+        "B_label_mask": rng.randint(0, 2, (b, size, size, 1)).astype(np.int32),
+    }
+    return model, batch_np, b
+
+
 def build_b2b_vid(size, batch, frames=8):
     """B2B flow-matching video training (example_b2b_vid_mario shape)."""
     import jax
@@ -208,11 +244,16 @@ def main():
     ap.add_argument("--steps", type=int, default=12)
     ap.add_argument("--mode", choices=["train", "sample"], default="train",
                     help="train throughput (default) or DDIM sampling rate")
-    ap.add_argument("--workload", choices=["palette", "gan"],
+    ap.add_argument("--workload",
+                    choices=["palette", "gan", "cm", "sc", "b2b_vid", "mat"],
                     default="palette",
-                    help="palette DDPM north star (default) or the 256px "
+                    help="palette DDPM north star (default), the 256px "
                          "mask-semantic CUT GAN (reference quickstart_gan "
-                         "headline: 0.114 s/img on an A5000)")
+                         "headline: 0.114 s/img on an A5000), cm "
+                         "consistency training, b2b video flow-matching, "
+                         "or MAT inpainting")
+    ap.add_argument("--frames", type=int, default=8,
+                    help="clip length for --workload b2b_vid")
     ap.add_argument("--ddim_steps", type=int, default=10)
     ap.add_argument("--remat", action="store_true",
                     help="rematerialize ResBlocks (fits larger batches)")
@@ -230,6 +271,13 @@ def main():
     elif a.workload == "gan":
         candidates = [8, 4]   # G+F+2D+f_s states: batch 12 misses HBM by
         # 18M at 256px; 10 pads WORSE than 12 (non-power-of-two tiling)
+    elif a.workload in ("cm", "sc"):
+        candidates = [4, 2]   # measured: batch 8 compiles >10 min through
+        # the tunnel for no throughput gain (bandwidth-bound like palette)
+    elif a.workload == "b2b_vid":
+        candidates = [2, 1]   # 8-frame clips fold into batch
+    elif a.workload == "mat":
+        candidates = [4, 2]
     else:
         # honest-completion measurements: 66.5 img/s @16 > 63 @32 > 57 @40
         # (the step is compute-bound; larger batches only add memory
@@ -253,6 +301,8 @@ def _measure(a, batch):
 
     if a.workload == "gan":
         return _measure_gan(a, batch)
+    if a.workload in ("cm", "sc", "b2b_vid", "mat"):
+        return _measure_generic(a, batch)
 
     model, batch_np, global_batch = build(a.size, a.ngf, batch,
                                           smoke=a.smoke, remat=a.remat)
@@ -368,6 +418,60 @@ def _measure(a, batch):
         "vs_baseline": round(
             per_chip / A100_BASELINE_IMGS_PER_SEC.get(a.size, 110.0), 3),
     }))
+
+
+def _measure_generic(a, batch):
+    """Steady-state training throughput for the cm / b2b_vid / mat
+    families through each model's prepare_batch/optimize_prepared path.
+    No published reference numbers exist for these -> vs_baseline 0;
+    the value guards against regressions across rounds."""
+    import jax
+    import numpy as np
+
+    if a.workload == "cm":
+        model, batch_np, global_batch = build_cm(a.size, batch)
+        metric = f"cm_train_images_per_sec_per_chip_{a.size}px"
+    elif a.workload == "sc":
+        model, batch_np, global_batch = build_sc(a.size, batch)
+        metric = f"sc_train_images_per_sec_per_chip_{a.size}px"
+    elif a.workload == "b2b_vid":
+        size = a.size if a.size != 256 else 64   # mario example shape
+        model, batch_np, global_batch = build_b2b_vid(size, batch,
+                                                      frames=a.frames)
+        metric = (f"b2b_vid_train_frames_per_sec_per_chip_{size}px_"
+                  f"{a.frames}f")
+    else:
+        model, batch_np, global_batch = build_mat(a.size, batch)
+        metric = f"mat_train_images_per_sec_per_chip_{a.size}px"
+
+    pool = []
+    for s in range(4):
+        b = {k: (np.roll(v, s + 1, axis=0) if hasattr(v, "ndim") else v)
+             for k, v in batch_np.items()}
+        pool.append(model.prepare_batch(b))
+    jax.block_until_ready(pool)
+
+    def step(i):
+        model.optimize_prepared(pool[i % len(pool)])
+
+    def drain():
+        return float(np.asarray(jax.device_get(
+            list(model.loss_log.values())[0])))
+
+    for i in range(3):
+        step(i)
+    drain()
+    best_dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for i in range(a.steps):
+            step(i)
+        drain()
+        best_dt = min(best_dt, time.perf_counter() - t0)
+    per_chip = global_batch * a.steps / best_dt / jax.device_count()
+    unit = ("frames/s/chip" if a.workload == "b2b_vid" else "img/s/chip")
+    print(json.dumps({"metric": metric, "value": round(per_chip, 2),
+                      "unit": unit, "vs_baseline": 0.0}))
 
 
 def _measure_gan(a, batch):

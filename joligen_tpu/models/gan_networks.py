@@ -25,6 +25,7 @@ def define_G(opt):
             mobile="mobile" in netG,
             freq_space=getattr(opt, "train_feat_wavelet", False),
             use_spectral=getattr(opt, "G_spectral", False),
+            up_mode=getattr(opt, "G_resnet_up_mode", "resize"),
             dtype=dtype)
     if netG in ("resnet_attn", "mobile_resnet_attn"):
         return ResnetGeneratorAttn(
@@ -36,6 +37,7 @@ def define_G(opt):
             mobile="mobile" in netG,
             freq_space=getattr(opt, "train_feat_wavelet", False),
             use_spectral=getattr(opt, "G_spectral", False),
+            up_mode=getattr(opt, "G_resnet_up_mode", "resize"),
             dtype=dtype)
     if netG in ("unet_mha", "uvit"):
         from .modules.unet_mha import UNetMHA

@@ -70,7 +70,9 @@ class MATModel(BaseModel):
                 opt, "alg_mat_motion_max_frames", 25) or 25),
             mask_class=self.mask_class_cond,
             style_mixing_prob=float(getattr(
-                opt, "alg_mat_style_mixing_prob", 0.0) or 0.0))
+                opt, "alg_mat_style_mixing_prob", 0.0) or 0.0),
+            stage1_dim=int(getattr(opt, "alg_mat_first_stage_dim", 180)
+                           or 180))
         self.netD = MATDiscriminator(base=max(16, int(getattr(opt, "D_ndf",
                                                               64))))
 

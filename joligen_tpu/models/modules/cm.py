@@ -179,9 +179,14 @@ def ect_training_outputs(apply_fn, params, rng, stage, y0, y_cond=None,
 
 
 def cm_sample(apply_fn, params, rng, sigmas, y, y_cond=None, mask=None,
-              clip_denoised=True):
+              clip_denoised=True, noise_seq=None):
     """Multi-step consistency sampler (cm_generator.py restoration):
-    sigmas: descending list of noise levels (few-step)."""
+    sigmas: descending list of noise levels (few-step).
+
+    ``noise_seq``: optional (len(sigmas), B, H, W, C) array of the
+    injected noises (index 0 is the initial sigma_max draw). Used by the
+    full-chain equivalence tests to drive this sampler and the reference
+    torch loop with identical noise; production callers leave it None."""
     m = None if mask is None else jnp.clip(mask.astype(y.dtype), 0.0, 1.0)
     if m is not None:
         y_base = y * (1 - m)
@@ -196,25 +201,31 @@ def cm_sample(apply_fn, params, rng, sigmas, y, y_cond=None, mask=None,
         return x
 
     rng, sub = jax.random.split(rng)
-    x = (y_base if m is not None else y) + sigmas[0] * jax.random.normal(
-        sub, y.shape, y.dtype)
+    noise0 = (noise_seq[0] if noise_seq is not None
+              else jax.random.normal(sub, y.shape, y.dtype))
+    x = (y_base if m is not None else y) + sigmas[0] * noise0
     if m is not None:
         x = x * m + (1 - m) * y
     sig0 = jnp.full((y.shape[0],), sigmas[0], y.dtype)
     x = project(apply_fn(params, x, sig0, y_cond, False))
 
     if len(sigmas) > 1:
-        def step(carry, sig):
+        def step(carry, scan_in):
+            sig = scan_in[0] if noise_seq is not None else scan_in
             x, key = carry
             key, sub = jax.random.split(key)
             noise_scale = jnp.sqrt(jnp.maximum(sig ** 2 - SIGMA_MIN ** 2, 0.0))
-            xi = x + noise_scale * jax.random.normal(sub, x.shape, x.dtype)
+            noise = (scan_in[1] if noise_seq is not None
+                     else jax.random.normal(sub, x.shape, x.dtype))
+            xi = x + noise_scale * noise
             if m is not None:
                 xi = xi * m + (1 - m) * y
             sigb = jnp.full((x.shape[0],), sig, x.dtype)
             xi = project(apply_fn(params, xi, sigb, y_cond, False))
             return (xi, key), None
 
-        (x, _), _ = jax.lax.scan(step, (x, rng),
-                                 jnp.asarray(sigmas[1:], y.dtype))
+        tail = jnp.asarray(sigmas[1:], y.dtype)
+        xs = (tail, jnp.asarray(noise_seq[1:])) if noise_seq is not None \
+            else tail
+        (x, _), _ = jax.lax.scan(step, (x, rng), xs)
     return x

@@ -264,9 +264,13 @@ class WindowAttention(nn.Module):
     def __call__(self, xw, mask_windows=None, attn_bias=None, n_windows=1):
         bw, n, c = xw.shape
         hd = c // self.num_heads
-        norm_x = xw / jnp.maximum(
-            jnp.linalg.norm(xw.astype(jnp.float32), axis=-1, keepdims=True),
-            1e-12).astype(xw.dtype)
+        # L2-normalize via rsqrt(sum+eps), NOT x/||x||: hole-interior
+        # tokens are EXACTLY zero (partial convs scale uncovered outputs
+        # by 0) and the gradient of jnp.linalg.norm at 0 is NaN — one
+        # all-invalid window would poison the whole G update
+        sq = jnp.sum(xw.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
+        norm_x = (xw.astype(jnp.float32)
+                  * jax.lax.rsqrt(sq + 1e-12)).astype(xw.dtype)
         q = EqualDense(c, name="q")(norm_x).reshape(
             bw, n, self.num_heads, hd).transpose(0, 2, 1, 3)
         k = EqualDense(c, name="k")(norm_x).reshape(

@@ -139,6 +139,39 @@ class SeparableConv(nn.Module):
                        name="pointwise")(x)
 
 
+class TorchConvTranspose(nn.Module):
+    """ConvTranspose2d with torch-exact tap alignment (reference
+    ResnetDecoder, resnet_generator.py:313-330: k=3, s=2, p=1,
+    output_padding=1): a stride-1 conv over the lhs-dilated input padded
+    (k-1-p) low / (k-1-p+output_padding) high. Only used with
+    up_mode='convtranspose' so checkpoints converted from the reference
+    reproduce its outputs exactly; the training default stays resize+conv
+    (checkerboard-free and cheaper on TPU). The kernel is stored HWIO
+    already-flipped — tools/convert_reference_checkpoint.py does the
+    flip+transpose from torch's (in, out, kh, kw)."""
+    features: int
+    kernel: int = 3
+    stride: int = 2
+    pad: int = 1
+    output_padding: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k, s = self.kernel, self.stride
+        lo = k - 1 - self.pad
+        hi = lo + self.output_padding
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (k, k, x.shape[-1], self.features))
+        out = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), w.astype(self.dtype),
+            window_strides=(1, 1), padding=((lo, hi), (lo, hi)),
+            lhs_dilation=(s, s),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return out + b.astype(self.dtype)
+
+
 class ResnetBlock(nn.Module):
     dim: int
     norm: str = "instance"
@@ -236,6 +269,7 @@ class ResnetDecoder(nn.Module):
     tanh: bool = True
     freq_space: bool = False
     use_spectral: bool = False
+    up_mode: str = "resize"   # resize | convtranspose (reference-exact)
     dtype: jnp.dtype = jnp.float32
 
     def _conv(self, feat, kernel, padding, name):
@@ -251,10 +285,14 @@ class ResnetDecoder(nn.Module):
     def __call__(self, h):
         mult = 2 ** self.n_downsampling
         for i in range(self.n_downsampling):
-            from ...ops.resize import nearest_up2
-            h = nearest_up2(h)
-            h = self._conv(self.ngf * mult // (2 ** (i + 1)), 3, 1,
-                           f"up{i}")(h)
+            feat = self.ngf * mult // (2 ** (i + 1))
+            if self.up_mode == "convtranspose":
+                h = TorchConvTranspose(feat, dtype=self.dtype,
+                                       name=f"up{i}")(h)
+            else:
+                from ...ops.resize import nearest_up2
+                h = nearest_up2(h)
+                h = self._conv(feat, 3, 1, f"up{i}")(h)
             h = make_norm(self.norm, self.dtype)(h)
             h = nn.relu(h)
         if self.freq_space:
@@ -280,6 +318,7 @@ class ResnetGenerator(nn.Module):
     mobile: bool = False
     freq_space: bool = False
     use_spectral: bool = False
+    up_mode: str = "resize"
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -290,7 +329,8 @@ class ResnetGenerator(nn.Module):
         self.decoder = ResnetDecoder(
             self.out_channels, self.ngf, 2, self.norm, self.padding_type,
             tanh=True, freq_space=self.freq_space,
-            use_spectral=self.use_spectral, dtype=self.dtype)
+            use_spectral=self.use_spectral, up_mode=self.up_mode,
+            dtype=self.dtype)
 
     def __call__(self, x, deterministic=True, extract_layer_ids=None):
         if self.freq_space:
@@ -319,6 +359,7 @@ class ResnetGeneratorAttn(nn.Module):
     mobile: bool = False
     freq_space: bool = False
     use_spectral: bool = False
+    up_mode: str = "resize"
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -330,11 +371,13 @@ class ResnetGeneratorAttn(nn.Module):
         self.content_decoder = ResnetDecoder(
             self.out_channels * n_content, self.ngf, 2, self.norm,
             self.padding_type, tanh=True, freq_space=self.freq_space,
-            use_spectral=self.use_spectral, dtype=self.dtype)
+            use_spectral=self.use_spectral, up_mode=self.up_mode,
+            dtype=self.dtype)
         self.attn_decoder = ResnetDecoder(
             self.nb_mask_attn, self.ngf, 2, self.norm, self.padding_type,
             tanh=False, freq_space=self.freq_space,
-            use_spectral=self.use_spectral, dtype=self.dtype)
+            use_spectral=self.use_spectral, up_mode=self.up_mode,
+            dtype=self.dtype)
 
     def __call__(self, x, deterministic=True, extract_layer_ids=None,
                  return_attention=False):

@@ -75,6 +75,49 @@ class _VisdomClient:
             "opts": {"title": caption, "width": w, "height": h}})
 
 
+class _AimTracker:
+    """aim experiment tracker adapter (reference util/visualizer.py:94-106
+    creates an aim.Run against output_display_aim_server/port and tracks
+    losses, metrics, and images). The aim package is optional: when it is
+    not installed this adapter announces itself disabled once and every
+    call becomes a no-op, so `--output_display_type aim` is safe on any
+    host."""
+
+    def __init__(self, server, port, experiment):
+        self.run = None
+        self.dead = False
+        try:
+            import aim
+            repo = f"aim://{server.replace('http://', '')}:{port}" \
+                if server else None
+            self.run = aim.Run(repo=repo, experiment=experiment or "joligen")
+            self._aim = aim
+        except Exception as e:
+            print(f"aim tracking disabled ({type(e).__name__}: {e}); "
+                  "install `aim` and point --output_display_aim_server at "
+                  "a running server to enable")
+            self.dead = True
+
+    def track_scalars(self, scalars, step, context):
+        if self.dead:
+            return
+        try:
+            for k, v in scalars.items():
+                self.run.track(float(v), name=k, step=int(step),
+                               context={"subset": context})
+        except Exception:
+            self.dead = True
+
+    def track_image(self, img_hwc_uint8, name, step):
+        if self.dead:
+            return
+        try:
+            self.run.track(self._aim.Image(img_hwc_uint8), name=name,
+                           step=int(step))
+        except Exception:
+            self.dead = True
+
+
 class Visualizer:
     def __init__(self, opt):
         self.opt = opt
@@ -89,12 +132,19 @@ class Visualizer:
         self.loss_history = self._load(self.losses_json)
         self.metric_history = self._load(self.metrics_json)
         self.visdom = None
-        if "visdom" in (getattr(opt, "output_display_type", None) or []):
+        self.aim = None
+        display_types = getattr(opt, "output_display_type", None) or []
+        if "visdom" in display_types:
             self.visdom = _VisdomClient(
                 getattr(opt, "output_display_visdom_server",
                         "http://localhost"),
                 getattr(opt, "output_display_visdom_port", 8097),
                 getattr(opt, "output_display_env", ""))
+        if "aim" in display_types:
+            self.aim = _AimTracker(
+                getattr(opt, "output_display_aim_server", "http://localhost"),
+                getattr(opt, "output_display_aim_port", 53800),
+                getattr(opt, "output_display_env", "") or opt.name)
         with open(self.log_path, "a") as f:
             f.write(f"================ Training Loss ({time.strftime('%c')}) ================\n")
 
@@ -118,6 +168,8 @@ class Visualizer:
         with open(self.losses_json, "w") as f:
             json.dump(self.loss_history, f)
         self._plot(self.loss_history, "loss", self.opt.name + " losses")
+        if self.aim is not None:
+            self.aim.track_scalars(losses, iters, "train")
 
     def log_metrics(self, epoch, iters, metrics):
         metrics = {k: float(v) for k, v in metrics.items()}
@@ -125,6 +177,8 @@ class Visualizer:
         with open(self.metrics_json, "w") as f:
             json.dump(self.metric_history, f)
         self._plot(self.metric_history, "metrics", self.opt.name + " metrics")
+        if self.aim is not None:
+            self.aim.track_scalars(metrics, iters, "test")
 
     def _plot(self, history, win, title):
         if self.visdom is None or self.visdom.dead or not history:
@@ -161,6 +215,8 @@ class Visualizer:
             if self.visdom is not None and not self.visdom.dead:
                 self.visdom.image(f"img_{name}", img,
                                   f"{self.opt.name} {name} (epoch {epoch})")
+            if self.aim is not None:
+                self.aim.track_image(img, name, epoch)
         if html and self._html_calls % html_every == 0:
             self._write_html()
 

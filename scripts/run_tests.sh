@@ -16,4 +16,10 @@ for topic in G D data train dataaug alg_gan alg_cut alg_palette \
 done
 
 echo "== pytest =="
-python -m pytest tests/ -x -q "$@"
+# Fast lane (<10 min, no torch-parity / slow e2e):
+#   JOLIGEN_TEST_LANE=fast scripts/run_tests.sh
+if [ "${JOLIGEN_TEST_LANE:-full}" = "fast" ]; then
+  python -m pytest tests/ -x -q -m "not parity and not slow" "$@"
+else
+  python -m pytest tests/ -x -q "$@"
+fi

@@ -27,7 +27,7 @@ def test_mat_generator_composition():
     import jax.numpy as jnp
     from joligen_tpu.models.modules.mat import MATGenerator
 
-    g = MATGenerator(base=16, w_dim=64, z_dim=64)
+    g = MATGenerator(base=16, w_dim=64, z_dim=64, stage1_dim=36)
     img = jax.random.uniform(jax.random.PRNGKey(0), (1, 32, 32, 3),
                              minval=-1, maxval=1)
     mask = jnp.ones((1, 32, 32, 1))
@@ -161,6 +161,7 @@ def test_mat_motion_knob_plumbing():
     from joligen_tpu.models.modules.mat import MATGenerator
 
     g = MATGenerator(base=16, w_dim=32, z_dim=32, frames=2,
+                     stage1_dim=36,
                      motion_heads=2, motion_blocks=2, motion_max_frames=8)
     img = jnp.zeros((1, 2, 32, 32, 3))
     mask = jnp.ones((1, 2, 32, 32, 1))
@@ -185,7 +186,8 @@ def test_mat_style_mixing():
 
     from joligen_tpu.models.modules.mat import MATGenerator
 
-    g = MATGenerator(base=16, w_dim=32, z_dim=32, style_mixing_prob=1.0)
+    g = MATGenerator(base=16, w_dim=32, z_dim=32, style_mixing_prob=1.0,
+                     stage1_dim=36)
     img = jax.random.uniform(jax.random.PRNGKey(0), (1, 32, 32, 3),
                              minval=-1, maxval=1)
     mask = jnp.ones((1, 32, 32, 1)).at[:, 8:24, 8:24].set(0.0)

@@ -1750,3 +1750,190 @@ def test_full_chain_ddim_matches_reference_restoration():
         num_steps=steps, eta=eta))
     assert got.shape == ref_img.shape
     np.testing.assert_allclose(got, ref_img, rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parity
+def test_full_chain_cm_matches_reference_restoration():
+    """End-to-end consistency-model few-step sampling equivalence: the
+    reference CMGenerator.restoration (cm_generator.py:504-556, executed
+    directly in torch around a reference UNet) vs our cm_sample lax.scan
+    on converter-mapped weights (map_cm_g) with identical injected
+    noises."""
+    import importlib.util as ilu
+
+    torch = pytest.importorskip("torch")
+    import jax
+    import jax.numpy as jnp
+
+    UNet = _reference_unet_importable()
+    spec = ilu.spec_from_file_location(
+        "ref_cm_gen", "/root/reference/models/modules/cm_generator.py")
+    cmg = ilu.module_from_spec(spec)
+    spec.loader.exec_module(cmg)
+
+    torch.manual_seed(5)
+    ngf, cond_dim = 16, 64
+    res_blocks, mults, attn_res = [1, 1], (1, 2), [2]
+    unet = UNet(image_size=16, in_channel=6, inner_channel=ngf,
+                out_channel=3, res_blocks=res_blocks, attn_res=attn_res,
+                channel_mults=mults, num_head_channels=8, tanh=False,
+                n_timestep_train=10, n_timestep_test=5,
+                norm="groupnorm", group_norm_size=8,
+                cond_embed_dim=cond_dim).eval()
+    with torch.no_grad():
+        for p in unet.parameters():
+            if p.abs().sum() == 0:
+                p.add_(0.05 * torch.randn_like(p))
+
+    import types as _t
+    ref_opt = _t.SimpleNamespace(alg_diffusion_ddpm_cm_ft=False,
+                                 alg_ddpm_ft_mode="")
+    gen = cmg.CMGenerator(cm_model=unet, sampling_method="",
+                          image_size=16, G_ngf=ngf, opt=ref_opt).eval()
+    sd = {k: v.numpy() for k, v in gen.state_dict().items()
+          if "gammas" not in k and "_train" not in k and "_test" not in k}
+
+    spec2 = ilu.spec_from_file_location(
+        "conv_ref_cm", os.path.join(REPO,
+                                    "tools/convert_reference_checkpoint.py"))
+    conv = ilu.module_from_spec(spec2)
+    spec2.loader.exec_module(conv)
+    opt = _t.SimpleNamespace(G_unet_mha_res_blocks=res_blocks,
+                             G_unet_mha_channel_mults=list(mults),
+                             G_unet_mha_attn_res=attn_res,
+                             G_unet_mha_num_heads=1,
+                             G_unet_mha_num_head_channels=8)
+    params = conv.map_cm_g(sd, opt)
+
+    from joligen_tpu.models.modules.cm import CMDenoiser, cm_sample
+    from joligen_tpu.models.modules.unet_mha import UNetMHA
+    net = CMDenoiser(
+        inner=UNetMHA(in_channel=6, out_channel=3, inner_channel=ngf,
+                      cond_embed_dim=cond_dim, res_blocks=tuple(res_blocks),
+                      attn_res=tuple(attn_res), channel_mults=mults,
+                      num_head_channels=8, group_size=8,
+                      attn_norm="instance"),
+        cond_embed_dim=cond_dim)
+
+    rng = np.random.RandomState(17)
+    y = rng.uniform(-1, 1, (2, 16, 16, 3)).astype(np.float32)
+    y_cond = rng.uniform(-1, 1, (2, 16, 16, 3)).astype(np.float32)
+    mask = (rng.rand(2, 16, 16, 1) > 0.4).astype(np.float32)
+    sigmas = [80.0, 2.0, 0.661]
+    noise_seq = rng.randn(len(sigmas), 2, 16, 16, 3).astype(np.float32)
+
+    queue = [_nchw(torch, noise_seq[k]) for k in range(len(sigmas))]
+    orig = torch.randn_like
+
+    def fake_randn_like(t, *a, **kw):
+        return queue.pop(0).to(t.dtype)
+
+    torch.randn_like = fake_randn_like
+    try:
+        with torch.no_grad():
+            ref_out = gen.restoration(
+                _nchw(torch, y), _nchw(torch, y_cond),
+                sigmas=[torch.tensor(s) for s in sigmas],
+                mask=_nchw(torch, mask))
+    finally:
+        torch.randn_like = orig
+    assert not queue
+    ref_img = np.transpose(ref_out.numpy(), (0, 2, 3, 1))
+
+    def apply_fn(p, x, sig, x_cond, train):
+        return net.apply(p, x, sig, x_cond=x_cond, train=train)
+
+    got = np.asarray(cm_sample(
+        apply_fn, params, jax.random.PRNGKey(0), sigmas,
+        jnp.asarray(y), y_cond=jnp.asarray(y_cond), mask=jnp.asarray(mask),
+        noise_seq=jnp.asarray(noise_seq)))
+    assert got.shape == ref_img.shape
+    np.testing.assert_allclose(got, ref_img, rtol=2e-3, atol=2e-3)
+
+
+def _reference_resnet_importable():
+    """Stub wget/torchvision/util so the reference resnet_generator module
+    imports (its utils.py pulls them in at module scope), then return the
+    reference ResnetGenerator class."""
+    import sys
+    import types
+
+    if "wget" not in sys.modules:
+        sys.modules["wget"] = types.ModuleType("wget")
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tvt = types.ModuleType("torchvision.transforms")
+        tvm = types.ModuleType("torchvision.models")
+        tvv = types.ModuleType("torchvision.models.vgg")
+        tv.transforms, tv.models, tvm.vgg = tvt, tvm, tvv
+        sys.modules.update({
+            "torchvision": tv, "torchvision.transforms": tvt,
+            "torchvision.models": tvm, "torchvision.models.vgg": tvv})
+    if "util" not in sys.modules:
+        u = types.ModuleType("util")
+        uu = types.ModuleType("util.util")
+        uu.tensor2im = lambda *a, **k: None
+        u.util = uu
+        sys.modules.update({"util": u, "util.util": uu})
+    for name, path in [
+            ("models", "/root/reference/models"),
+            ("models.modules", "/root/reference/models/modules"),
+            ("models.modules.resnet_architecture",
+             "/root/reference/models/modules/resnet_architecture")]:
+        if name not in sys.modules:
+            m = types.ModuleType(name)
+            m.__path__ = [path]
+            sys.modules[name] = m
+    from models.modules.resnet_architecture.resnet_generator import (
+        ResnetGenerator)
+    return ResnetGenerator
+
+
+@pytest.mark.parity
+@pytest.mark.parametrize("mobile", [False, True])
+def test_full_chain_resnet_g_matches_reference_forward(mobile):
+    """GAN-family equivalence (the CUT/CycleGAN analog of the sampling-
+    chain tests): the reference ResnetGenerator
+    (resnet_generator.py:98-164) executed directly in torch vs our flax
+    ResnetGenerator with up_mode=convtranspose on map_resnet_g-converted
+    weights — full stem/downs/blocks/ConvTranspose-ups/head/tanh chain,
+    plain and mobile (SeparableConv2d) variants."""
+    import functools
+    import importlib.util as ilu
+    import types as _t
+
+    torch = pytest.importorskip("torch")
+    from torch import nn
+
+    import jax.numpy as jnp
+
+    RefG = _reference_resnet_importable()
+    torch.manual_seed(11 + mobile)
+    norm_layer = functools.partial(nn.InstanceNorm2d, affine=False)
+    ref = RefG(input_nc=3, output_nc=3, ngf=16, norm_layer=norm_layer,
+               use_dropout=False, n_blocks=2, mobile=mobile).eval()
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+
+    spec = ilu.spec_from_file_location(
+        "conv_ref_resnet",
+        os.path.join(REPO, "tools/convert_reference_checkpoint.py"))
+    conv = ilu.module_from_spec(spec)
+    spec.loader.exec_module(conv)
+    opt = _t.SimpleNamespace(G_norm="instance",
+                             G_netG="mobile_resnet" if mobile else "resnet",
+                             G_nblocks=2, G_dropout=False)
+    params = conv.map_resnet_g(sd, opt)
+
+    from joligen_tpu.models.modules.resnet_generator import ResnetGenerator
+    net = ResnetGenerator(out_channels=3, ngf=16, n_blocks=2,
+                          norm="instance", mobile=mobile,
+                          up_mode="convtranspose", dtype=jnp.float32)
+
+    rng = np.random.RandomState(23)
+    x = rng.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
+    ref_img = np.transpose(ref_out.numpy(), (0, 2, 3, 1))
+    got = np.asarray(net.apply(params, jnp.asarray(x)))
+    assert got.shape == ref_img.shape
+    np.testing.assert_allclose(got, ref_img, rtol=2e-4, atol=2e-4)

@@ -1,6 +1,7 @@
 """Convert a reference joliGEN checkpoint to this framework's format.
 
-Usage (palette/diffusion unet_mha checkpoints, the reference flagship):
+Usage (diffusion unet_mha checkpoints — palette/cm/sc — and GAN
+resnet/mobile_resnet checkpoints — cut/cycle_gan):
 
     python tools/convert_reference_checkpoint.py \
         --model_in_file /path/to/ckpt/latest_net_G_A.pth \
@@ -164,6 +165,71 @@ def map_palette_g(sd, opt):
     return {"params": params}
 
 
+def map_cm_g(sd, opt):
+    """Map a reference consistency-model checkpoint (CMGenerator state
+    dict, cm_generator.py:283-326: ``cm_model.*`` UNet + ``cm_cond_embed``
+    NoiseLevelEmbedding :255-281) onto our CMDenoiser(inner=UNetMHA) tree.
+    The Fourier W buffer copies verbatim; projection.0/2 transpose like
+    every linear."""
+    params = {"inner": map_unet(
+        sd, list(opt.G_unet_mha_res_blocks),
+        list(opt.G_unet_mha_channel_mults),
+        list(opt.G_unet_mha_attn_res),
+        opt.G_unet_mha_num_heads, opt.G_unet_mha_num_head_channels,
+        prefix="cm_model."),
+        "sigma_embed": {
+            "W": np.asarray(sd["cm_cond_embed.W"]),
+            "proj0": _linear(sd, "cm_cond_embed.projection.0"),
+            "proj1": _linear(sd, "cm_cond_embed.projection.2"),
+    }}
+    return {"params": params}
+
+
+def map_resnet_g(sd, opt):
+    """Map a reference GAN ResnetGenerator checkpoint (models/modules/
+    resnet_architecture/resnet_generator.py:98-347 — encoder.model /
+    decoder.model torch Sequentials) onto our ResnetGenerator tree. The
+    decoder's ConvTranspose2d kernels are flipped+transposed into the
+    TorchConvTranspose layout, and the emitted train_config.json sets
+    G_resnet_up_mode=convtranspose so the converted model reproduces
+    reference outputs exactly (the training default is resize+conv).
+    InstanceNorm2d is affine=False upstream, so norms carry no tensors;
+    mobile (SeparableConv2d) blocks map depthwise/pointwise pairs."""
+    assert opt.G_norm == "instance", (
+        f"resnet converter expects G_norm=instance (got {opt.G_norm}); "
+        "batch-norm checkpoints carry running stats our GroupNorm "
+        "replacement does not consume")
+    mobile = "mobile" in opt.G_netG
+    dropout = bool(getattr(opt, "G_dropout", False))
+    enc = {"stem": _conv(sd, "encoder.model.1"),
+           "down0": _conv(sd, "encoder.model.4"),
+           "down1": _conv(sd, "encoder.model.7")}
+    # ResnetBlock.conv_block indices (resnet_generator.py:51-90): pad(0)
+    # conv(1) norm(2) relu(3) [dropout(4)] pad conv norm — dropout shifts
+    # the second conv from 5 to 6
+    c2 = "6" if dropout else "5"
+    for i in range(opt.G_nblocks):
+        p = f"encoder.model.{10 + i}.conv_block"
+        blk = {}
+        for ours, idx in (("conv1", "1"), ("conv2", c2)):
+            if mobile:
+                blk[ours] = {
+                    "depthwise": _conv(sd, f"{p}.{idx}.conv.0"),
+                    "pointwise": _conv(sd, f"{p}.{idx}.conv.2")}
+            else:
+                blk[ours] = _conv(sd, f"{p}.{idx}")
+        enc[f"res{i}"] = blk
+    # decoder.model: convT(0) norm relu convT(3) norm relu pad conv(7) tanh
+    dec = {"head": _conv(sd, "decoder.model.7")}
+    for i, idx in ((0, "0"), (1, "3")):
+        w = np.asarray(sd[f"decoder.model.{idx}.weight"])  # (in,out,kh,kw)
+        dec[f"up{i}"] = {
+            "kernel": np.flip(np.transpose(w, (2, 3, 0, 1)),
+                              axis=(0, 1)).copy(),
+            "bias": np.asarray(sd[f"decoder.model.{idx}.bias"])}
+    return {"params": {"encoder": enc, "decoder": dec}}
+
+
 def _tree_check(got, want, path=""):
     if isinstance(want, dict) != isinstance(got, dict):
         raise SystemExit(f"structure mismatch at {path}")
@@ -209,25 +275,41 @@ def main():
 
     from joligen_tpu.options import TrainOptions
     flat = TrainOptions().parse_json(dict(cfg), verbose=False)
-    flat.G_unet_mha_attn_norm = "instance"
-    assert flat.model_type in ("palette", "cm", "sc"), (
-        "this converter handles the diffusion unet_mha family; "
-        f"got model_type={flat.model_type}")
-    assert flat.G_netG == "unet_mha", (
-        f"only G_netG=unet_mha is supported (got {flat.G_netG})")
-
-    params = map_palette_g(sd, flat)
-
-    # validate against a fresh init of the target model
     import jax
 
-    from joligen_tpu.models.diffusion_networks import define_G
-    net = define_G(flat)
-    size = flat.data_crop_size
-    cin = flat.model_input_nc + flat.model_output_nc
-    init = net.init(jax.random.PRNGKey(0),
-                    np.zeros((1, size, size, cin), np.float32),
-                    np.zeros((1,), np.float32))
+    gan_family = flat.model_type in ("cut", "cycle_gan", "re_cut",
+                                     "re_cycle_gan")
+    if gan_family:
+        assert flat.G_netG in ("resnet", "mobile_resnet", "resnet_9blocks",
+                               "resnet_6blocks"), (
+            "GAN conversion supports the resnet/mobile_resnet G family "
+            f"(got G_netG={flat.G_netG})")
+        flat.G_resnet_up_mode = "convtranspose"
+        mapper = map_resnet_g
+        params = mapper(sd, flat)
+        from joligen_tpu.models.gan_networks import define_G
+        net = define_G(flat)
+        size = flat.data_crop_size
+        init = net.init(jax.random.PRNGKey(0),
+                        np.zeros((1, size, size, flat.model_input_nc),
+                                 np.float32))
+    else:
+        flat.G_unet_mha_attn_norm = "instance"
+        assert flat.model_type in ("palette", "cm", "sc"), (
+            "this converter handles the diffusion unet_mha family and the "
+            f"GAN resnet family; got model_type={flat.model_type}")
+        assert flat.G_netG == "unet_mha", (
+            f"only G_netG=unet_mha is supported (got {flat.G_netG})")
+        mapper = map_palette_g
+        params = mapper(sd, flat)
+
+        from joligen_tpu.models.diffusion_networks import define_G
+        net = define_G(flat)
+        size = flat.data_crop_size
+        cin = flat.model_input_nc + flat.model_output_nc
+        init = net.init(jax.random.PRNGKey(0),
+                        np.zeros((1, size, size, cin), np.float32),
+                        np.zeros((1,), np.float32))
     _tree_check(params["params"], jax.device_get(init)["params"])
 
     os.makedirs(a.dir_out, exist_ok=True)
@@ -245,13 +327,16 @@ def main():
             ema_sd = ema_sd.state_dict()
         ema_sd = {k: (v.float().numpy() if hasattr(v, "numpy") else v)
                   for k, v in ema_sd.items()}
-        ema_params = map_palette_g(ema_sd, flat)
+        ema_params = mapper(ema_sd, flat)
         ema_path = out_path[:-4] + "_ema.pth"
         with open(ema_path, "wb") as f:
             f.write(serialization.to_bytes(ema_params))
         written.append(ema_path)
 
-    cfg["G_unet_mha_attn_norm"] = "instance"
+    if gan_family:
+        cfg["G_resnet_up_mode"] = "convtranspose"
+    else:
+        cfg["G_unet_mha_attn_norm"] = "instance"
     cfg_out = os.path.join(a.dir_out, "train_config.json")
     with open(cfg_out, "w") as f:
         json.dump(cfg, f, indent=2)
