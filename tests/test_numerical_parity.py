@@ -1937,3 +1937,194 @@ def test_full_chain_resnet_g_matches_reference_forward(mobile):
     got = np.asarray(net.apply(params, jnp.asarray(x)))
     assert got.shape == ref_img.shape
     np.testing.assert_allclose(got, ref_img, rtol=2e-4, atol=2e-4)
+
+
+def _assert_grad_trees_match(got_tree, want_tree, rtol=2e-3, rel_floor=1e-3):
+    """Leaf-for-leaf gradient comparison with a per-leaf absolute floor
+    scaled to the leaf's own magnitude (fp32 summation-order noise grows
+    with reduction size, so a single global atol is wrong for both the
+    1e-6-scale deep-layer grads and the 1e-1-scale head grads)."""
+    import jax
+
+    got_leaves = jax.tree_util.tree_leaves_with_path(got_tree)
+    want_flat = {jax.tree_util.keystr(k): v
+                 for k, v in jax.tree_util.tree_leaves_with_path(want_tree)}
+    assert len(got_leaves) == len(want_flat)
+    global_scale = max((float(np.abs(np.asarray(v)).max())
+                        for v in want_flat.values()
+                        if np.asarray(v).size), default=0.0)
+    for key, got in got_leaves:
+        want = np.asarray(want_flat[jax.tree_util.keystr(key)])
+        got = np.asarray(got)
+        assert got.shape == want.shape, jax.tree_util.keystr(key)
+        scale = float(np.abs(want).max()) if want.size else 0.0
+        # a leaf whose whole gradient sits ~1e-6 below the tree's largest
+        # gradient is summation noise (L1 sign cancellation), not signal
+        np.testing.assert_allclose(
+            got, want, rtol=rtol,
+            atol=rel_floor * scale + 1e-6 * global_scale + 1e-9,
+            err_msg=jax.tree_util.keystr(key))
+
+
+@pytest.mark.parity
+def test_training_step_gradients_match_reference_palette():
+    """Training-equivalence one level stronger than forward/sampling
+    parity: the reference palette TRAINING loss — q_sample + mask mixing +
+    UNet + min-SNR masked MSE (diffusion_generator.py:457-533,
+    palette_model.py:586-609), executed directly in torch with fixed
+    t/sample_gammas/noise — backpropagated, vs jax.grad of the identical
+    loss on map_palette_g-converted weights.
+
+    map_palette_g applies only index permutations (transpose / reshape /
+    flip / concat), which commute with differentiation: pushing the torch
+    parameter GRADIENTS through the same mapper must reproduce our grad
+    tree leaf for leaf. This is the strongest zero-egress proxy that a
+    training run of this framework follows the same trajectory as the
+    reference given the same data and weights."""
+    import importlib.util as ilu
+    import types as _t
+
+    torch = pytest.importorskip("torch")
+    import jax
+    import jax.numpy as jnp
+
+    from joligen_tpu.ops.schedules import NoiseSchedule
+
+    gen, params, _, apply_fn, (y_cond, y_0, mask, _) = _chain_fixture(
+        torch, "ddpm", t_test=5)
+    unet = gen.denoise_fn.model
+    sched = NoiseSchedule.for_phase(10, "train")
+    np.testing.assert_allclose(
+        np.asarray(sched.gammas), unet.gammas_train.numpy(), rtol=1e-6)
+
+    # fixed randomness: the reference forward draws t ~ randint, a uniform
+    # for the gamma interpolation, and the noise — pin all three
+    rng = np.random.RandomState(7)
+    b = y_0.shape[0]
+    t = np.array([3, 7], dtype=np.int64)
+    u = rng.rand(b, 1).astype(np.float32)
+    eps = rng.randn(*y_0.shape).astype(np.float32)
+
+    g_train = np.asarray(sched.gammas)
+    sample_gammas = ((g_train[t] - g_train[t - 1]) * u[:, 0]
+                     + g_train[t - 1]).astype(np.float32)  # (B,)
+    sg4 = sample_gammas.reshape(b, 1, 1, 1)
+
+    # min-SNR weight (diffusion_generator.py:503-520)
+    snr = (np.asarray(sched.sqrt_recip_gammas)[t]
+           / np.asarray(sched.sqrt_recipm1_gammas)[t]) ** 2
+    w = (np.minimum(snr, 5.0) / snr).reshape(b, 1, 1, 1).astype(np.float32)
+
+    m = np.clip(mask, 0.0, 1.0).astype(np.float32)
+
+    # --- torch side: loss + backward on the actual reference modules
+    y0_t = _nchw(torch, y_0)
+    yc_t = _nchw(torch, y_cond)
+    m_t = _nchw(torch, m)
+    eps_t = _nchw(torch, eps)
+    sg_t = torch.tensor(sg4.reshape(b, 1, 1, 1))
+    w_t = torch.tensor(w)
+
+    gen.zero_grad()
+    y_noisy = gen.q_sample(y0_t, sg_t, noise=eps_t)
+    y_noisy = y_noisy * m_t + (1.0 - m_t) * y0_t
+    inp = torch.cat([yc_t, y_noisy], dim=1)
+    emb = gen.compute_gammas(torch.tensor(sample_gammas.reshape(b, 1)))
+    noise_hat = gen.denoise_fn(inp, emb)
+    loss_t = torch.nn.MSELoss()(w_t * m_t * eps_t, w_t * m_t * noise_hat)
+    loss_t.backward()
+    grad_sd = {}
+    for name, p in gen.named_parameters():
+        grad_sd[name] = (np.zeros(p.shape, np.float32) if p.grad is None
+                         else p.grad.detach().numpy())
+
+    spec = ilu.spec_from_file_location(
+        "conv_ref_grad",
+        os.path.join(REPO, "tools/convert_reference_checkpoint.py"))
+    conv = ilu.module_from_spec(spec)
+    spec.loader.exec_module(conv)
+    opt = _t.SimpleNamespace(G_unet_mha_res_blocks=[1, 1],
+                             G_unet_mha_channel_mults=[1, 2],
+                             G_unet_mha_attn_res=[2],
+                             G_unet_mha_num_heads=1,
+                             G_unet_mha_num_head_channels=8)
+    want = conv.map_palette_g(grad_sd, opt)
+
+    # --- jax side: identical loss, jax.grad
+    jy0, jyc, jm, jeps = map(jnp.asarray, (y_0, y_cond, m, eps))
+    jsg4, jw = jnp.asarray(sg4), jnp.asarray(w)
+
+    def loss_fn(p):
+        y_noisy = jnp.sqrt(jsg4) * jy0 + jnp.sqrt(1.0 - jsg4) * jeps
+        y_noisy = y_noisy * jm + (1.0 - jm) * jy0
+        x = jnp.concatenate([jyc, y_noisy], axis=-1)
+        noise_hat = apply_fn(p, x, jnp.asarray(sample_gammas))
+        d = jw * jm * (noise_hat - jeps)
+        return jnp.mean(d ** 2)
+
+    # losses agree before grads do
+    np.testing.assert_allclose(float(loss_fn(params)),
+                               float(loss_t.detach()), rtol=1e-4)
+    got = jax.grad(loss_fn)(params)
+    _assert_grad_trees_match(got, want)
+
+
+@pytest.mark.parity
+@pytest.mark.parametrize("mobile", [False, True])
+def test_training_step_gradients_match_reference_resnet_g(mobile):
+    """GAN-family training-equivalence analog: L1 reconstruction loss on
+    the reference ResnetGenerator (resnet_generator.py:98-164)
+    backpropagated in torch vs jax.grad of the identical loss on
+    map_resnet_g-converted weights (gradients pushed through the same
+    index-permutation-only mapper)."""
+    import functools
+    import importlib.util as ilu
+    import types as _t
+
+    torch = pytest.importorskip("torch")
+    from torch import nn as tnn
+
+    import jax
+    import jax.numpy as jnp
+
+    RefG = _reference_resnet_importable()
+    torch.manual_seed(31 + mobile)
+    norm_layer = functools.partial(tnn.InstanceNorm2d, affine=False)
+    ref = RefG(input_nc=3, output_nc=3, ngf=16, norm_layer=norm_layer,
+               use_dropout=False, n_blocks=2, mobile=mobile)
+    rng = np.random.RandomState(29)
+    x = rng.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32)
+    tgt = rng.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32)
+
+    ref.zero_grad()
+    out = ref(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
+    loss_t = (out - torch.from_numpy(np.transpose(tgt, (0, 3, 1, 2)))
+              ).abs().mean()
+    loss_t.backward()
+    grad_sd = {name: p.grad.detach().numpy()
+               for name, p in ref.named_parameters()}
+
+    spec = ilu.spec_from_file_location(
+        "conv_ref_resnet_grad",
+        os.path.join(REPO, "tools/convert_reference_checkpoint.py"))
+    conv = ilu.module_from_spec(spec)
+    spec.loader.exec_module(conv)
+    opt = _t.SimpleNamespace(G_norm="instance",
+                             G_netG="mobile_resnet" if mobile else "resnet",
+                             G_nblocks=2, G_dropout=False)
+    want = conv.map_resnet_g(grad_sd, opt)
+
+    from joligen_tpu.models.modules.resnet_generator import ResnetGenerator
+    net = ResnetGenerator(out_channels=3, ngf=16, n_blocks=2,
+                          norm="instance", mobile=mobile,
+                          up_mode="convtranspose", dtype=jnp.float32)
+    params = conv.map_resnet_g({k: v.numpy()
+                                for k, v in ref.state_dict().items()}, opt)
+
+    def loss_fn(p):
+        return jnp.abs(net.apply(p, jnp.asarray(x)) - jnp.asarray(tgt)).mean()
+
+    np.testing.assert_allclose(float(loss_fn(params)),
+                               float(loss_t.detach()), rtol=1e-4)
+    got = jax.grad(loss_fn)(params)
+    _assert_grad_trees_match(got, want)
