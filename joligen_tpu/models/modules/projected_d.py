@@ -17,7 +17,8 @@ requires dropping in the ported weights.
 
 The temporal variant (reference TemporalProjectedDiscriminator,
 discriminator.py:289-422) runs the frozen trunk per frame and aggregates
-frame features with a small GRU-style recurrent mixer before MultiScaleD.
+frame features with a per-location LSTM cell (same recurrence type as the
+reference's MultiScaleLSTM) before MultiScaleD.
 """
 
 from __future__ import annotations
