@@ -235,7 +235,9 @@ def build(size, ngf, batch, smoke=False, remat=False):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--smoke", action="store_true", help="tiny CPU-runnable check")
-    ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--size", type=int, default=0,
+                    help="image size; 0 = per-workload default "
+                         "(64 for b2b_vid's mario shape, 256 otherwise)")
     ap.add_argument("--ngf", type=int, default=64)
     ap.add_argument("--batch", type=int, default=0,
                     help="per-chip batch; 0 = auto (16 with backoff — the "
@@ -261,6 +263,8 @@ def main():
 
     import sys
 
+    if a.size == 0:
+        a.size = 64 if a.workload == "b2b_vid" else 256
     if a.smoke:
         a.size, a.steps = 32, 3
 
@@ -435,10 +439,9 @@ def _measure_generic(a, batch):
         model, batch_np, global_batch = build_sc(a.size, batch)
         metric = f"sc_train_images_per_sec_per_chip_{a.size}px"
     elif a.workload == "b2b_vid":
-        size = a.size if a.size != 256 else 64   # mario example shape
-        model, batch_np, global_batch = build_b2b_vid(size, batch,
+        model, batch_np, global_batch = build_b2b_vid(a.size, batch,
                                                       frames=a.frames)
-        metric = (f"b2b_vid_train_frames_per_sec_per_chip_{size}px_"
+        metric = (f"b2b_vid_train_frames_per_sec_per_chip_{a.size}px_"
                   f"{a.frames}f")
     else:
         model, batch_np, global_batch = build_mat(a.size, batch)

@@ -14,9 +14,13 @@ python3 "$JOLIGEN/scripts/preprocess_viton.py" \
     --dilate 5
 
 # Train the diffusion model (train_config.json is written automatically
-# into the checkpoints dir)
+# into the checkpoints dir). The config's dataroot/checkpoints_dir are
+# repo-relative defaults; point them at the same $HOME locations the prep
+# and inference steps use.
 cd "$JOLIGEN"
-python3 train.py --config_json examples/example_ddpm_viton_tutorial.json
+python3 train.py --config_json examples/example_ddpm_viton_tutorial.json \
+    --dataroot "$HOME/datasets/VITON-HD" \
+    --checkpoints_dir "$HOME/checkpoints"
 
 # Inference
 mkdir -p ~/inferences

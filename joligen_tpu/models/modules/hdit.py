@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
@@ -98,8 +99,18 @@ class HDiTBlock(nn.Module):
                 return z.reshape(b * nwh * nww, wsz * wsz, self.num_heads, hd)
 
             qw, kw, vw = map(to_windows, (q, k, v))
-            from ...ops.flash_attention import flash_attention
-            aw = flash_attention(qw, kw, vw)
+            if shift:
+                # Swin seam mask: cyclically wrapped tokens (opposite image
+                # borders rolled into one window) must not attend to each
+                # other. Windows are tiny (wsz^2 tokens), so the XLA fused
+                # path with an additive bias beats the Pallas kernel here.
+                from .mat import _shift_attn_bias
+                bias = _shift_attn_bias(gh, gw, wsz, shift)
+                bias = jnp.tile(bias, (b, 1, 1))[:, None].astype(qw.dtype)
+                aw = jax.nn.dot_product_attention(qw, kw, vw, bias=bias)
+            else:
+                from ...ops.flash_attention import flash_attention
+                aw = flash_attention(qw, kw, vw)
             a = aw.reshape(b, nwh, nww, wsz, wsz, self.num_heads, hd)
             a = a.transpose(0, 1, 3, 2, 4, 5, 6)
             if shift:

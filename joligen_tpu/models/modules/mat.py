@@ -192,22 +192,18 @@ class PartialConv(nn.Module):
                           up=self.up, name="conv")(x)
             return y, None
         m = mask.astype(x.dtype)
-        if self.down:
-            # reference convs the mask with ones at stride=down; a 2x2
-            # average-pool + k-window coverage is the stride-2 equivalent
-            m = nn.avg_pool(m, (2, 2), strides=(2, 2)) * 4.0
-            scale_cov = 4.0
-        elif self.up:
+        if self.up:
             from ...ops.resize import nearest_up2
             m = nearest_up2(m)
-            scale_cov = 1.0
-        else:
-            scale_cov = 1.0
         ones = jnp.ones((k, k, 1, 1), x.dtype)
+        # reference: update_mask = conv2d(mask, ones(k,k), stride=down,
+        # padding=k//2) on the FULL-res mask — each output tap's support is
+        # exactly the kxk original-resolution window under its conv tap
+        stride = (2, 2) if self.down else (1, 1)
         cov = jax.lax.conv_general_dilated(
-            m, ones, (1, 1), "SAME",
+            m, ones, stride, [(k // 2, k // 2)] * 2,
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        ratio = (k * k * scale_cov) / (cov + 1e-8)
+        ratio = (k * k) / (cov + 1e-8)
         new_mask = jnp.clip(cov, 0.0, 1.0)
         y = EqualConv(self.features, kernel=k, down=self.down, up=self.up,
                       name="conv")(x)

@@ -91,12 +91,15 @@ def sc_training_outputs(apply_fn, params, rng, y0, y_cond=None, mask=None,
 
 
 def sc_sample(apply_fn, params, rng, y, y_cond=None, mask=None,
-              denoise_timesteps=8, clip_denoised=True):
-    """Euler sampler at a fixed step count (sc_generator.py:218-252)."""
+              denoise_timesteps=8, clip_denoised=True, noise=None):
+    """Euler sampler at a fixed step count (sc_generator.py:218-252).
+    ``noise`` overrides the initial randn draw (parity tests)."""
     b = y.shape[0]
     m = None if mask is None else jnp.clip(mask.astype(y.dtype), 0.0, 1.0)
     base = y * (1 - m) if m is not None else y
-    x = base + jax.random.normal(rng, y.shape, y.dtype)
+    if noise is None:
+        noise = jax.random.normal(rng, y.shape, y.dtype)
+    x = base + noise
     if m is not None:
         x = x * m + (1 - m) * y
     delta = 1.0 / denoise_timesteps

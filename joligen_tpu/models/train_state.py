@@ -106,11 +106,12 @@ def make_optimizer(opt, lr, iter_size=None):
     adam8bit maps to adamw (quantized optimizer states are not a win on TPU:
     optimizer state shards over the fsdp axis instead).
 
-    ``tpu_optim_moment_dtype=bfloat16`` stores the Adam FIRST moment in
-    bf16 (optax mu_dtype), halving its HBM read+write per step. The second
-    moment stays fp32: with b2=0.999 the per-step increment (1-b2)*g^2 is
-    ~1e-3 of nu — below bf16's 8-bit mantissa ulp, so a bf16 nu would stop
-    updating entirely."""
+    ``tpu_optim_moment_dtype=bfloat16`` stores the FIRST moment of
+    adam/adamw/radam/lion in bf16 (optax mu_dtype), halving its HBM
+    read+write per step (for lion that is the entire optimizer state). The
+    second moment stays fp32: with b2=0.999 the per-step increment
+    (1-b2)*g^2 is ~1e-3 of nu — below bf16's 8-bit mantissa ulp, so a bf16
+    nu would stop updating entirely. madgrad/muon ignore the flag."""
     name = getattr(opt, "train_optim", "adam")
     b1 = getattr(opt, "train_beta1", 0.9)
     b2 = getattr(opt, "train_beta2", 0.999)
@@ -123,12 +124,13 @@ def make_optimizer(opt, lr, iter_size=None):
     if name == "adam":
         tx = optax.adam(sched, b1=b1, b2=b2, eps=eps, mu_dtype=mu_dtype)
     elif name == "radam":
-        tx = optax.radam(sched, b1=b1, b2=b2, eps=eps)
+        tx = optax.radam(sched, b1=b1, b2=b2, eps=eps, mu_dtype=mu_dtype)
     elif name in ("adamw", "adam8bit"):
         tx = optax.adamw(sched, b1=b1, b2=b2, eps=eps, weight_decay=wd,
                          mu_dtype=mu_dtype)
     elif name == "lion":
-        tx = optax.lion(sched, b1=b1, b2=b2, weight_decay=wd)
+        tx = optax.lion(sched, b1=b1, b2=b2, weight_decay=wd,
+                        mu_dtype=mu_dtype)
     elif name == "madgrad":
         tx = madgrad(sched, momentum=b1, weight_decay=wd)
     elif name == "muon":

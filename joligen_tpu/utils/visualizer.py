@@ -98,6 +98,21 @@ class _AimTracker:
                   "a running server to enable")
             self.dead = True
 
+    # Runtime tracking errors (e.g. a transient aim-server connection
+    # reset) are reported and COUNTED, not fatal: the tracker keeps
+    # retrying on subsequent calls and only gives up for good after
+    # _MAX_FAILS consecutive failures, announcing that loudly.
+    _MAX_FAILS = 20
+
+    def _fail(self, what, e):
+        self._fails = getattr(self, "_fails", 0) + 1
+        print(f"aim {what} failed ({type(e).__name__}: {e}) "
+              f"[{self._fails}/{self._MAX_FAILS} consecutive]")
+        if self._fails >= self._MAX_FAILS:
+            print("aim tracking DISABLED for the rest of this run after "
+                  f"{self._fails} consecutive failures")
+            self.dead = True
+
     def track_scalars(self, scalars, step, context):
         if self.dead:
             return
@@ -105,8 +120,9 @@ class _AimTracker:
             for k, v in scalars.items():
                 self.run.track(float(v), name=k, step=int(step),
                                context={"subset": context})
-        except Exception:
-            self.dead = True
+            self._fails = 0
+        except Exception as e:
+            self._fail("scalar tracking", e)
 
     def track_image(self, img_hwc_uint8, name, step):
         if self.dead:
@@ -114,8 +130,9 @@ class _AimTracker:
         try:
             self.run.track(self._aim.Image(img_hwc_uint8), name=name,
                            step=int(step))
-        except Exception:
-            self.dead = True
+            self._fails = 0
+        except Exception as e:
+            self._fail("image tracking", e)
 
 
 class Visualizer:

@@ -310,3 +310,38 @@ def test_mat_first_stage_progressive_mask():
     nm = np.asarray(new_mask)[0, :, :, 0]
     assert (nm[:, :5] > 0).all()      # 1px growth from 3x3 coverage
     assert (nm[:, 6:] == 0).all()     # interior of the hole stays invalid
+
+
+def test_mat_partial_conv_downsample_mask_parity():
+    """Down-mask semantics vs the reference Conv2dLayerPartial formula
+    (mat/mat.py:95-155): update_mask = conv2d(mask, ones(k,k), stride=2,
+    padding=k//2) on the FULL-res mask; mask_ratio = k^2/coverage *
+    clamp01(coverage). Computed here directly with torch.F.conv2d."""
+    import jax
+    import torch
+    import torch.nn.functional as F
+
+    from joligen_tpu.models.modules.mat import PartialConv
+
+    k = 3
+    rng = np.random.RandomState(7)
+    mask = (rng.rand(2, 16, 16, 1) > 0.6).astype(np.float32)
+    x = rng.randn(2, 16, 16, 3).astype(np.float32)
+
+    cov = F.conv2d(torch.from_numpy(mask.transpose(0, 3, 1, 2)),
+                   torch.ones(1, 1, k, k), stride=2, padding=k // 2)
+    ratio_ref = (k * k / (cov + 1e-8)) * cov.clamp(0, 1)
+    new_mask_ref = cov.clamp(0, 1).numpy()[:, 0]
+
+    pc = PartialConv(4, kernel=k, down=True)
+    params = pc.init(jax.random.PRNGKey(0), x, mask)
+    y, new_mask = pc.apply(params, x, mask)
+    y0, _ = pc.apply(params, x, None)   # same conv, no mask scaling
+
+    np.testing.assert_allclose(np.asarray(new_mask)[..., 0], new_mask_ref,
+                               atol=1e-6)
+    got_scale = np.asarray(y) / np.where(np.abs(np.asarray(y0)) < 1e-12,
+                                         1.0, np.asarray(y0))
+    want = ratio_ref.numpy()[:, 0, :, :, None] * np.ones_like(got_scale)
+    keep = np.abs(np.asarray(y0)) > 1e-6
+    np.testing.assert_allclose(got_scale[keep], want[keep], rtol=1e-4)

@@ -1854,6 +1854,97 @@ def test_full_chain_cm_matches_reference_restoration():
     np.testing.assert_allclose(got, ref_img, rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.parity
+def test_full_chain_sc_matches_reference_restoration():
+    """End-to-end shortcut-model Euler sampling equivalence: the reference
+    SCGenerator.restoration (sc_generator.py:218-252, executed directly in
+    torch around a reference UNet) vs our sc_sample lax.scan on
+    converter-mapped weights (map_sc_g) with an identical injected initial
+    noise. Unconditional + mask only: the reference's conditional branch
+    (sc_generator.py:126 ``len(x.shape)``) references an undefined ``x``
+    and NameErrors upstream, so there is nothing to be parity with."""
+    import importlib.util as ilu
+
+    torch = pytest.importorskip("torch")
+    import jax
+    import jax.numpy as jnp
+
+    UNet = _reference_unet_importable()
+    spec = ilu.spec_from_file_location(
+        "ref_sc_gen", "/root/reference/models/modules/sc_generator.py")
+    scg = ilu.module_from_spec(spec)
+    spec.loader.exec_module(scg)
+
+    torch.manual_seed(11)
+    ngf, cond_dim = 16, 64
+    res_blocks, mults, attn_res = [1, 1], (1, 2), [2]
+    unet = UNet(image_size=16, in_channel=3, inner_channel=ngf,
+                out_channel=3, res_blocks=res_blocks, attn_res=attn_res,
+                channel_mults=mults, num_head_channels=8, tanh=False,
+                n_timestep_train=10, n_timestep_test=5,
+                norm="groupnorm", group_norm_size=8,
+                cond_embed_dim=cond_dim).eval()
+    with torch.no_grad():
+        for p in unet.parameters():
+            if p.abs().sum() == 0:
+                p.add_(0.05 * torch.randn_like(p))
+
+    gen = scg.SCGenerator(sc_model=unet, sampling_method="",
+                          image_size=16, G_ngf=ngf).eval()
+    sd = {k: v.numpy() for k, v in gen.state_dict().items()
+          if "gammas" not in k and "_train" not in k and "_test" not in k}
+
+    spec2 = ilu.spec_from_file_location(
+        "conv_ref_sc", os.path.join(REPO,
+                                    "tools/convert_reference_checkpoint.py"))
+    conv = ilu.module_from_spec(spec2)
+    spec2.loader.exec_module(conv)
+    import types as _t
+    opt = _t.SimpleNamespace(G_unet_mha_res_blocks=res_blocks,
+                             G_unet_mha_channel_mults=list(mults),
+                             G_unet_mha_attn_res=attn_res,
+                             G_unet_mha_num_heads=1,
+                             G_unet_mha_num_head_channels=8)
+    params = conv.map_sc_g(sd, opt)
+
+    from joligen_tpu.models.modules.sc import SCDenoiser, sc_sample
+    from joligen_tpu.models.modules.unet_mha import UNetMHA
+    net = SCDenoiser(
+        inner=UNetMHA(in_channel=3, out_channel=3, inner_channel=ngf,
+                      cond_embed_dim=cond_dim, res_blocks=tuple(res_blocks),
+                      attn_res=tuple(attn_res), channel_mults=mults,
+                      num_head_channels=8, group_size=8,
+                      attn_norm="instance"),
+        cond_embed_dim=cond_dim)
+
+    rng = np.random.RandomState(23)
+    y = rng.uniform(-1, 1, (2, 16, 16, 3)).astype(np.float32)
+    mask = (rng.rand(2, 16, 16, 1) > 0.4).astype(np.float32)
+    noise = rng.randn(2, 16, 16, 3).astype(np.float32)
+    steps = 4
+
+    orig = torch.randn_like
+    torch.randn_like = lambda t, *a, **kw: _nchw(torch, noise).to(t.dtype)
+    try:
+        with torch.no_grad():
+            ref_out = gen.restoration(
+                _nchw(torch, y), None, denoise_timesteps=steps,
+                mask=_nchw(torch, mask))
+    finally:
+        torch.randn_like = orig
+    ref_img = np.transpose(ref_out.numpy(), (0, 2, 3, 1))
+
+    def apply_fn(p, x, t, dt, xc):
+        return net.apply(p, x, t, dt, x_cond=xc)
+
+    got = np.asarray(sc_sample(
+        apply_fn, params, jax.random.PRNGKey(0), jnp.asarray(y),
+        y_cond=None, mask=jnp.asarray(mask), denoise_timesteps=steps,
+        noise=jnp.asarray(noise)))
+    assert got.shape == ref_img.shape
+    np.testing.assert_allclose(got, ref_img, rtol=2e-3, atol=2e-3)
+
+
 def _reference_resnet_importable():
     """Stub wget/torchvision/util so the reference resnet_generator module
     imports (its utils.py pulls them in at module scope), then return the

@@ -185,6 +185,25 @@ def map_cm_g(sd, opt):
     return {"params": params}
 
 
+def map_sc_g(sd, opt):
+    """Map a reference shortcut-model checkpoint (SCGenerator state dict,
+    sc_generator.py:104-135: ``sc_model.*`` UNet + ``t_embedder``/
+    ``dt_embedder`` TimestepEmbedder MLPs :17-66) onto our
+    SCDenoiser(inner=UNetMHA) tree."""
+    return {"params": {
+        "inner": map_unet(
+            sd, list(opt.G_unet_mha_res_blocks),
+            list(opt.G_unet_mha_channel_mults),
+            list(opt.G_unet_mha_attn_res),
+            opt.G_unet_mha_num_heads, opt.G_unet_mha_num_head_channels,
+            prefix="sc_model."),
+        "t_0": _linear(sd, "t_embedder.mlp.0"),
+        "t_1": _linear(sd, "t_embedder.mlp.2"),
+        "dt_0": _linear(sd, "dt_embedder.mlp.0"),
+        "dt_1": _linear(sd, "dt_embedder.mlp.2"),
+    }}
+
+
 def map_resnet_g(sd, opt):
     """Map a reference GAN ResnetGenerator checkpoint (models/modules/
     resnet_architecture/resnet_generator.py:98-347 — encoder.model /
@@ -295,21 +314,53 @@ def main():
                                  np.float32))
     else:
         flat.G_unet_mha_attn_norm = "instance"
-        assert flat.model_type in ("palette", "cm", "sc"), (
+        assert flat.model_type in ("palette", "cm", "cm_gan", "sc"), (
             "this converter handles the diffusion unet_mha family and the "
             f"GAN resnet family; got model_type={flat.model_type}")
         assert flat.G_netG == "unet_mha", (
             f"only G_netG=unet_mha is supported (got {flat.G_netG})")
-        mapper = map_palette_g
-        params = mapper(sd, flat)
-
-        from joligen_tpu.models.diffusion_networks import define_G
-        net = define_G(flat)
         size = flat.data_crop_size
-        cin = flat.model_input_nc + flat.model_output_nc
-        init = net.init(jax.random.PRNGKey(0),
-                        np.zeros((1, size, size, cin), np.float32),
-                        np.zeros((1,), np.float32))
+        # cm/sc generators concat x_cond only when conditioned on an image
+        # (cm_model.py / sc_model.py conditional flag); mirror that here so
+        # net.init produces the same input_blocks.0.0 fan-in as the ckpt.
+        conditional = (getattr(flat, "alg_diffusion_cond_image_creation",
+                               "y_t") != "y_t"
+                       or getattr(flat, "dataset_mode", "") == "pix2pix")
+        if flat.model_type in ("cm", "cm_gan"):
+            mapper = map_cm_g
+            params = mapper(sd, flat)
+            from joligen_tpu.models.modules.cm import CMDenoiser
+            from joligen_tpu.models.diffusion_networks import define_inner_G
+            net = CMDenoiser(
+                inner=define_inner_G(flat),
+                cond_embed_dim=flat.alg_diffusion_cond_embed_dim,
+                ft_proj=getattr(flat, "alg_diffusion_ddpm_cm_ft", False))
+            ex_x = np.zeros((1, size, size, flat.model_output_nc), np.float32)
+            init = net.init(jax.random.PRNGKey(0), ex_x,
+                            np.ones((1,), np.float32),
+                            x_cond=ex_x if conditional else None, train=True)
+        elif flat.model_type == "sc":
+            mapper = map_sc_g
+            params = mapper(sd, flat)
+            from joligen_tpu.models.modules.sc import SCDenoiser
+            from joligen_tpu.models.diffusion_networks import define_inner_G
+            net = SCDenoiser(inner=define_inner_G(flat),
+                             cond_embed_dim=flat.alg_diffusion_cond_embed_dim)
+            ex_x = np.zeros((1, size, size, flat.model_output_nc), np.float32)
+            init = net.init(jax.random.PRNGKey(0), ex_x,
+                            np.ones((1,), np.float32),
+                            np.zeros((1,), np.float32),
+                            x_cond=ex_x if conditional else None)
+        else:
+            mapper = map_palette_g
+            params = mapper(sd, flat)
+
+            from joligen_tpu.models.diffusion_networks import define_G
+            net = define_G(flat)
+            cin = flat.model_input_nc + flat.model_output_nc
+            init = net.init(jax.random.PRNGKey(0),
+                            np.zeros((1, size, size, cin), np.float32),
+                            np.zeros((1,), np.float32))
     _tree_check(params["params"], jax.device_get(init)["params"])
 
     os.makedirs(a.dir_out, exist_ok=True)
