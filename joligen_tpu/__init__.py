@@ -30,10 +30,21 @@ def _enable_compilation_cache():
         # Env unset: jax auto-selects a TPU backend only when a PJRT TPU
         # plugin is importable; otherwise this process runs XLA:CPU — the
         # backend whose persistent AOT cache is host-feature flaky — so
-        # don't enable the cache on a plain-CPU host either.
+        # don't enable the cache on a plain-CPU host either. Probe for TPU
+        # plugins specifically (NOT the jax_plugins namespace package,
+        # which exists whenever ANY PJRT plugin — e.g. jax-cuda — is
+        # installed).
         import importlib.util
-        if (importlib.util.find_spec("libtpu") is None
-                and importlib.util.find_spec("jax_plugins") is None):
+
+        def _tpu_plugin_present():
+            if importlib.util.find_spec("libtpu") is not None:
+                return True
+            try:
+                return importlib.util.find_spec("jax_plugins.tpu") is not None
+            except (ImportError, ModuleNotFoundError):
+                return False
+
+        if not _tpu_plugin_present():
             return
     cache = os.environ.get("JOLIGEN_JAX_CACHE",
                            os.path.join(os.path.dirname(__file__), "..",

@@ -187,6 +187,11 @@ class PartialConv(nn.Module):
     @nn.compact
     def __call__(self, x, mask=None):
         k = self.kernel
+        # EqualConv pads SAME (== k//2 for odd k) while the reference
+        # Conv2dLayerPartial pads 0 for even kernels; support odd k only so
+        # the two can never silently diverge (all reference MAT sites are
+        # odd-kernel).
+        assert k % 2 == 1, "PartialConv requires an odd kernel"
         if mask is None:
             y = EqualConv(self.features, kernel=k, down=self.down,
                           up=self.up, name="conv")(x)
@@ -198,10 +203,14 @@ class PartialConv(nn.Module):
         ones = jnp.ones((k, k, 1, 1), x.dtype)
         # reference: update_mask = conv2d(mask, ones(k,k), stride=down,
         # padding=k//2) on the FULL-res mask — each output tap's support is
-        # exactly the kxk original-resolution window under its conv tap
+        # exactly the kxk original-resolution window under its conv tap.
+        # Conv2dLayerPartial pads k//2 only for ODD kernels (0 for even) —
+        # mirror that so an even-kernel PartialConv keeps reference output
+        # size and mask semantics (all current call sites use k=3).
+        pad = k // 2 if k % 2 else 0
         stride = (2, 2) if self.down else (1, 1)
         cov = jax.lax.conv_general_dilated(
-            m, ones, stride, [(k // 2, k // 2)] * 2,
+            m, ones, stride, [(pad, pad)] * 2,
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
         ratio = (k * k) / (cov + 1e-8)
         new_mask = jnp.clip(cov, 0.0, 1.0)

@@ -100,8 +100,13 @@ def sc_sample(apply_fn, params, rng, y, y_cond=None, mask=None,
     if noise is None:
         noise = jax.random.normal(rng, y.shape, y.dtype)
     x = base + noise
+    # Recombine with the zeroed ``base`` (NOT the original y): the reference
+    # mutates y = y*(1-mask) up front and recombines with that, so the kept
+    # region is effectively (1-m)^2 * y_orig — identical for binary masks,
+    # divergent for fractional ones; mirror it exactly (sc_generator.py
+    # restoration).
     if m is not None:
-        x = x * m + (1 - m) * y
+        x = x * m + (1 - m) * base
     delta = 1.0 / denoise_timesteps
     dt_base = jnp.full((b,), math.log2(denoise_timesteps), y.dtype)
 
@@ -112,7 +117,7 @@ def sc_sample(apply_fn, params, rng, y, y_cond=None, mask=None,
         if clip_denoised:
             x = jnp.clip(x, -1.0, 1.0)
         if m is not None:
-            x = x * m + (1 - m) * y
+            x = x * m + (1 - m) * base
         return x, None
 
     x, _ = jax.lax.scan(step, x, jnp.arange(denoise_timesteps))

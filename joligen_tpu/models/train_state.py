@@ -101,6 +101,40 @@ def madgrad(learning_rate, momentum=0.9, weight_decay=0.0, eps=1e-6):
     return optax.GradientTransformation(init, update)
 
 
+def _cast_mu(tx, dtype):
+    """Store the ``mu`` field of any ScaleByAdam-style NamedTuple state in
+    ``dtype`` (for optimizers whose optax factory lacks a ``mu_dtype``
+    kwarg, e.g. optax 0.2.6 radam). The update still computes the moment in
+    the promoted dtype (g is fp32), then the store is down-cast — the same
+    numerics as optax's own mu_dtype handling."""
+
+    def walk(s):
+        if hasattr(s, "_fields"):  # NamedTuple state
+            kw = {}
+            for f in s._fields:
+                v = getattr(s, f)
+                if f == "mu":
+                    v = jax.tree.map(lambda x: x.astype(dtype), v)
+                else:
+                    v = walk(v)
+                kw[f] = v
+            return type(s)(**kw)
+        if isinstance(s, tuple):
+            return tuple(walk(x) for x in s)
+        if isinstance(s, list):
+            return [walk(x) for x in s]
+        return s
+
+    def init(params):
+        return walk(tx.init(params))
+
+    def update(grads, state, params=None):
+        upd, new_state = tx.update(grads, state, params)
+        return upd, walk(new_state)
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(opt, lr, iter_size=None):
     """adam/radam/adamw/lion factory (reference train.py:51-62).
     adam8bit maps to adamw (quantized optimizer states are not a win on TPU:
@@ -124,7 +158,11 @@ def make_optimizer(opt, lr, iter_size=None):
     if name == "adam":
         tx = optax.adam(sched, b1=b1, b2=b2, eps=eps, mu_dtype=mu_dtype)
     elif name == "radam":
-        tx = optax.radam(sched, b1=b1, b2=b2, eps=eps, mu_dtype=mu_dtype)
+        # optax.radam (0.2.6) has no mu_dtype kwarg; cast mu after the fact
+        # via tree-map so tpu_optim_moment_dtype still applies.
+        tx = optax.radam(sched, b1=b1, b2=b2, eps=eps)
+        if mu_dtype is not None:
+            tx = _cast_mu(tx, mu_dtype)
     elif name in ("adamw", "adam8bit"):
         tx = optax.adamw(sched, b1=b1, b2=b2, eps=eps, weight_decay=wd,
                          mu_dtype=mu_dtype)

@@ -432,3 +432,33 @@ ENTRY %main.1 {
         ps._rank_entry_outputs(fake)
     out = buf.getvalue()
     assert "convolution" in out and "999" not in out
+
+
+def test_make_optimizer_all_names_smoke():
+    """Every optimizer name the factory advertises must init+update, with
+    and without tpu_optim_moment_dtype=bfloat16 (optax 0.2.6 radam has no
+    mu_dtype kwarg — regression guard for the _cast_mu fallback)."""
+    import jax
+    import jax.numpy as jnp
+    from types import SimpleNamespace
+
+    from joligen_tpu.models.train_state import make_optimizer
+
+    params = {"w": jnp.ones((4, 4), jnp.float32), "b": jnp.zeros((4,))}
+    grads = {"w": jnp.full((4, 4), 0.1, jnp.float32),
+             "b": jnp.full((4,), 0.1, jnp.float32)}
+    for name in ("adam", "radam", "adamw", "adam8bit", "lion",
+                 "madgrad", "muon"):
+        for moment_dtype in ("", "bfloat16"):
+            opt = SimpleNamespace(train_optim=name, steps_per_epoch=1,
+                                  tpu_optim_moment_dtype=moment_dtype)
+            tx = make_optimizer(opt, 1e-3)
+            state = tx.init(params)
+            upd, state = tx.update(grads, state, params)
+            upd, state = tx.update(grads, state, params)
+            assert jnp.isfinite(upd["w"]).all()
+            if moment_dtype == "bfloat16" and name in ("adam", "radam",
+                                                       "adamw", "lion"):
+                leaves = [x for x in jax.tree.leaves(state)
+                          if hasattr(x, "dtype") and x.dtype == jnp.bfloat16]
+                assert leaves, f"{name}: no bf16 moment stored"

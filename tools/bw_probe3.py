@@ -45,15 +45,19 @@ def make_copy(n_rows, row, chunk_rows, dtype):
                 slot = i % 2
                 nxt = (i + 1) % 2
 
+                # WAR hazard guard: in_dma(nxt, i+1) writes scratch[nxt],
+                # which out_dma(nxt, i-1) (started last iteration) is still
+                # reading — wait that out-DMA BEFORE starting the input DMA
+                # into the same slot.
+                @pl.when((i >= 1) & (i + 1 < n_chunks))
+                def _():
+                    out_dma(nxt, i - 1).wait()
+
                 @pl.when(i + 1 < n_chunks)
                 def _():
                     in_dma(nxt, i + 1).start()
 
                 in_dma(slot, i).wait()
-                # previous out-DMA from this slot must be done before reuse
-                @pl.when(i >= 2)
-                def _():
-                    out_dma(slot, i - 2).wait()
                 out_dma(slot, i).start()
                 return 0
 
@@ -89,7 +93,10 @@ def main():
     for dtype, bytes_per in ((jnp.float32, 4), (jnp.bfloat16, 2)):
         n_rows = (1 << 30) // (row * bytes_per)  # 1 GB array
         for chunk_rows in (256, 1024, 4096):
-            x = jnp.ones((n_rows, row), dtype)
+            # position-dependent content so stale-slot reads are detectable
+            # (an all-ones source would verify even under a WAR hazard)
+            x = (jnp.arange(n_rows, dtype=jnp.float32)[:, None] % 997.0
+                 ).astype(dtype) * jnp.ones((1, row), dtype)
             jax.block_until_ready(x)
             run = make_copy(n_rows, row, chunk_rows, dtype)
             y = run(x)
@@ -101,9 +108,14 @@ def main():
             _ = float(y[0, 0])
             dt = time.perf_counter() - t0
             total = reps * n_rows * row * bytes_per * 2  # read + write
+            # correctness check (outside the timed window): the copy must
+            # reproduce the source exactly — catches DMA hazards that would
+            # otherwise just inflate the measured rate
+            ok = bool(jnp.all(y == x))
             print(f"pallas-dma {jnp.dtype(dtype).name:9s} "
                   f"chunk={chunk_rows * row * bytes_per // 1024:6d}KiB "
-                  f"{total / dt / 1e9:7.1f} GB/s")
+                  f"{total / dt / 1e9:7.1f} GB/s "
+                  f"{'ok' if ok else 'CORRUPT'}")
 
 
 if __name__ == "__main__":
