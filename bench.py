@@ -276,12 +276,13 @@ def main():
         candidates = [8, 4]   # G+F+2D+f_s states: batch 12 misses HBM by
         # 18M at 256px; 10 pads WORSE than 12 (non-power-of-two tiling)
     elif a.workload in ("cm", "sc"):
-        candidates = [4, 2]   # measured: batch 8 compiles >10 min through
-        # the tunnel for no throughput gain (bandwidth-bound like palette)
+        candidates = [8, 4]   # r3 measured: 57.5 img/s @8 vs 18.3 @4 vs
+        # 58.4 @16 — saturates at 8 (r2's ">10 min compile at 8" was
+        # testbed contention, not a property of the program)
     elif a.workload == "b2b_vid":
-        candidates = [2, 1]   # 8-frame clips fold into batch
+        candidates = [4, 2]   # 8-frame clips fold into batch
     elif a.workload == "mat":
-        candidates = [4, 2]
+        candidates = [8, 4]   # r3: 45.6 img/s @8 vs 23.3 @4
     else:
         # honest-completion measurements: 66.5 img/s @16 > 63 @32 > 57 @40
         # (the step is compute-bound; larger batches only add memory

@@ -2343,3 +2343,27 @@ def test_training_trajectory_matches_reference_palette():
         np.testing.assert_allclose(
             got_np, want_np, rtol=5e-3, atol=0.3 * 12 * lr,
             err_msg=jax.tree_util.keystr(key))
+
+
+@pytest.mark.parity
+@pytest.mark.slow
+def test_convergence_ab_independent_training():
+    """Final rung of the zero-egress quality-parity ladder: BOTH frameworks
+    train the same masked-inpainting task from INDEPENDENT inits (reference
+    torch UNet + DiffusionGenerator vs our UNetMHA + optax), then each
+    reconstructs held-out images with its OWN DDIM sampler. The tpu side
+    must converge (tail loss well below the untrained level) and match the
+    reference's held-out masked PSNR within 1.5 dB. A longer run (400
+    steps) is recorded in BASELINE.md; this CI version uses 160 steps."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.convergence_ab import main
+
+    r = main(["--steps", "160", "--batch", "8", "--n_train", "32",
+              "--n_test", "8"])
+    # both sides learned something (untrained tail loss is ~0.08 on this
+    # task; trained runs reach <0.03 by step 160)
+    assert r["tail_loss_tpu"] < 0.05, r
+    assert r["tail_loss_ref"] < 0.05, r
+    # held-out reconstruction quality within 1.5 dB of the reference
+    assert r["psnr_masked_tpu"] > r["psnr_masked_ref"] - 1.5, r

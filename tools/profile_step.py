@@ -101,7 +101,8 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--ngf", type=int, default=64)
     ap.add_argument("--remat", action="store_true")
-    ap.add_argument("--workload", choices=["palette", "gan", "sample"],
+    ap.add_argument("--workload",
+                    choices=["palette", "gan", "sample", "cm", "sc"],
                     default="palette")
     ap.add_argument("--ddim_steps", type=int, default=10)
     ap.add_argument("--trace", default=None,
@@ -124,6 +125,27 @@ def main():
         args = (model.states, model.pool, model.apa_p, model.next_rng(), dev)
         t0 = time.time()
         compiled = model._jit_step.lower(*args).compile()
+    elif a.workload in ("cm", "sc"):
+        from bench import build_cm, build_sc
+        model, batch_np, _ = (build_cm if a.workload == "cm"
+                              else build_sc)(a.size, a.batch)
+        dev = model.prepare_batch(batch_np)
+        if a.workload == "cm":
+            from joligen_tpu.models.modules.cm import (
+                improved_timesteps_schedule)
+            stage = improved_timesteps_schedule(model.step_count,
+                                                model.total_steps)
+            fn = model._jit_steps.setdefault(stage, model._make_step(stage))
+            args = (model.states, None, model.next_rng(), dev["gt"],
+                    dev.get("y_cond"), dev.get("mask"))
+        else:
+            if model._jit_step is None:
+                model.optimize_prepared(dev)   # builds + compiles the step
+            fn = model._jit_step
+            args = (model.states["G_A"], model.next_rng(), dev["gt"],
+                    dev.get("y_cond"), dev.get("mask"))
+        t0 = time.time()
+        compiled = fn.lower(*args).compile()
     elif a.workload == "sample":
         model, batch_np, _ = build(a.size, a.ngf, a.batch, remat=a.remat)
         model.inference(batch_np, sampling_method="ddim",
