@@ -97,8 +97,9 @@ def define_inner_G(opt):
         )
     if netG == "hdit":
         from .modules.hdit import HDiT
-        widths = tuple(getattr(opt, "G_hdit_widths", None) or (128, 256))
-        depths = tuple(getattr(opt, "G_hdit_depths", None) or (2, 4))
+        widths = tuple(getattr(opt, "G_hdit_widths", None)
+                       or (192, 384, 768))
+        depths = tuple(getattr(opt, "G_hdit_depths", None) or (2, 2, 4))
         return HDiT(
             patch_size=getattr(opt, "G_hdit_patch_size", 4) or 4,
             widths=widths, depths=depths,

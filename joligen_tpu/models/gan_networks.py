@@ -62,6 +62,18 @@ def define_G(opt):
             out_channels=opt.model_output_nc,
             nb_mask_attn=opt.G_attn_nb_mask_attn,
             nb_mask_input=opt.G_attn_nb_mask_input, dtype=dtype)
+    if netG == "hdit":
+        # hourglass transformer as a GAN generator (reference
+        # gan_networks.py:247-263: constant mapping conditioning,
+        # last_zero_init=False)
+        from .modules.hdit import HDiT
+        return HDiT(
+            patch_size=getattr(opt, "G_hdit_patch_size", 4) or 4,
+            widths=tuple(getattr(opt, "G_hdit_widths", None)
+                         or (192, 384, 768)),
+            depths=tuple(getattr(opt, "G_hdit_depths", None) or (2, 2, 4)),
+            out_channels=opt.model_output_nc, last_zero_init=False,
+            dtype=dtype)
     if netG == "hat":
         from .modules.hat import HAT
         return HAT(out_channels=opt.model_output_nc,

@@ -15,12 +15,36 @@ from joligen_tpu.options import TrainOptions  # noqa: E402
 
 def test_rope_preserves_norm():
     import jax.numpy as jnp
-    from joligen_tpu.models.modules.hdit import apply_rope, axial_rope_freqs
-    x = np.random.RandomState(0).randn(2, 16, 32).astype(np.float32)
-    ang = axial_rope_freqs(32, 4, 4)
-    y = apply_rope(jnp.asarray(x), jnp.asarray(ang))
+    from joligen_tpu.models.modules.hdit import (apply_rope, make_axial_pos,
+                                                 rope_theta)
+    # (B, heads, T, d_head)
+    x = np.random.RandomState(0).randn(2, 2, 16, 32).astype(np.float32)
+    theta = rope_theta(make_axial_pos(4, 4), d_head=32, n_heads=2)
+    assert theta.shape == (16, 2, 8)   # rotates hd//4 pairs per head
+    y = apply_rope(jnp.asarray(x), theta)
     np.testing.assert_allclose(np.linalg.norm(np.asarray(y), axis=-1),
                                np.linalg.norm(x, axis=-1), rtol=1e-5)
+    # only the first half of the head dim rotates (reference
+    # AxialRoPE(dim=d_head//2)); the second half passes through
+    np.testing.assert_allclose(np.asarray(y)[..., 16:], x[..., 16:])
+    assert np.abs(np.asarray(y)[..., :16] - x[..., :16]).max() > 1e-3
+
+
+def test_hdit_cosine_sim_attention_scale():
+    """q/k are L2-normalized with a learnable per-head scale (init 10):
+    the qk logits must be bounded by the scale regardless of input
+    magnitude (reference hdit.py scale_for_cosine_sim)."""
+    import jax.numpy as jnp
+    from joligen_tpu.models.modules.hdit import scale_for_cosine_sim
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(1, 2, 8, 16).astype(np.float32) * 100)
+    k = jnp.asarray(rng.randn(1, 2, 8, 16).astype(np.float32) * 100)
+    qs, ks = scale_for_cosine_sim(q, k, jnp.asarray([10.0, 10.0]))
+    logits = np.asarray(jnp.einsum("bhqd,bhkd->bhqk", qs, ks))
+    assert np.abs(logits).max() <= 10.0 + 1e-3
+    # per-head norms: sqrt(scale) each side
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(qs), axis=-1),
+                               np.sqrt(10.0), rtol=1e-4)
 
 
 def test_hdit_forward():
@@ -52,13 +76,16 @@ def test_hdit_shifted_window_seam_mask():
     x = jax.random.normal(jax.random.PRNGKey(0), (1, gh * gw, d))
     c = jax.random.normal(jax.random.PRNGKey(1), (1, d))
     params = blk.init(jax.random.PRNGKey(2), x, c)
-    # adaLN is zero-init (gates the attention branch shut); randomize all
-    # params so gradients actually flow through attention
-    leaves, tree = jax.tree.flatten(params)
+    # output projections are zero-init (gate the attention branch shut);
+    # randomize all params so gradients actually flow through attention —
+    # except attn_scale, whose sqrt requires positivity (reference keeps
+    # it positive from its 10.0 init)
+    leaves, tree = jax.tree_util.tree_flatten_with_path(params)
     keys = jax.random.split(jax.random.PRNGKey(3), len(leaves))
     params = jax.tree.unflatten(
-        tree, [0.05 * jax.random.normal(k, l.shape)
-               for k, l in zip(keys, leaves)])
+        tree, [l if "attn_scale" in jax.tree_util.keystr(p)
+               else 0.05 * jax.random.normal(k, l.shape)
+               for k, (p, l) in zip(keys, leaves)])
 
     def tok_out(xin, r, co):
         return blk.apply(params, xin, c)[0, r * gw + co].sum()
@@ -107,3 +134,20 @@ def test_palette_hdit_train(tmp_path, tmp_path_factory):
     fake = m.inference(batch, sampling_method="ddim", num_steps=3)
     assert fake.shape[1:] == (16, 16, 3)
     assert np.isfinite(fake).all()
+
+
+def test_hdit_gan_mode_and_nce_feats():
+    """GAN variant (reference gan_networks.py:247-263): no timestep (the
+    mapping network sees a constant embedding), non-zero output init, and
+    encoder feature taps for CUT NCE."""
+    import jax
+    from joligen_tpu.models.modules.hdit import HDiT
+    net = HDiT(patch_size=2, widths=(32, 64), depths=(1, 1), window=4,
+               out_channels=3, last_zero_init=False)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 3))
+    params = net.init(jax.random.PRNGKey(1), x)
+    y = net.apply(params, x)
+    assert y.shape == (2, 16, 16, 3)
+    assert np.abs(np.asarray(y)).max() > 0  # not zero-gated
+    feats = net.apply(params, x, extract_layer_ids=[0])
+    assert len(feats) == 1 and feats[0].shape == (2, 4, 4, 64)
