@@ -2367,3 +2367,220 @@ def test_convergence_ab_independent_training():
     assert r["tail_loss_ref"] < 0.05, r
     # held-out reconstruction quality within 1.5 dB of the reference
     assert r["psnr_masked_tpu"] > r["psnr_masked_ref"] - 1.5, r
+
+
+@pytest.mark.parity
+def test_adversarial_trajectory_matches_reference_cyclegan():
+    """Adversarial (two-optimizer) trajectory equivalence — the GAN-family
+    analog of the palette trajectory test. K=8 alternating G/D Adam steps
+    of the reference CycleGAN recipe — forward/compute_G_loss
+    (cycle_gan_model.py:263-347: lsgan adversarial + lambda_A/B cycle L1 +
+    lambda_idt identity L1), DiscriminatorGANLoss.compute_loss_D
+    (loss.py:288-307: 0.5*(MSE(D(real),1)+MSE(D(fake.detach()),0))), group
+    order G-then-D on the same forward's fakes (base_gan_model network
+    groups), pool_size=0 — executed in torch on the reference modules
+    (ResnetGenerator x2 + NLayerDiscriminator x2, one chained Adam per
+    group exactly like the reference optimizer construction,
+    cycle_gan_model.py:135-161) vs the identical recipe on our flax
+    modules from map_resnet_g/map_nlayer_d-converted initial weights with
+    optax.adam. Asserts per-step G/D loss curves track and the final
+    parameter trees still agree through the mappers — i.e. the whole
+    adversarial dance (two optimizers, detach semantics, loss weighting)
+    follows the same trajectory."""
+    import importlib.util as ilu
+    import itertools
+    import types as _t
+
+    torch = pytest.importorskip("torch")
+    from torch import nn as tnn
+
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    RefG = _reference_resnet_importable()
+    from models.modules.discriminators import (
+        NLayerDiscriminator as RefD)
+
+    torch.manual_seed(97)
+    norm_layer = functools.partial(tnn.InstanceNorm2d, affine=False)
+    refs = {
+        "gA": RefG(input_nc=3, output_nc=3, ngf=16, norm_layer=norm_layer,
+                   use_dropout=False, n_blocks=2, mobile=False),
+        "gB": RefG(input_nc=3, output_nc=3, ngf=16, norm_layer=norm_layer,
+                   use_dropout=False, n_blocks=2, mobile=False),
+        "dA": RefD(input_nc=3, ndf=8, n_layers=3, norm_layer=norm_layer),
+        "dB": RefD(input_nc=3, ndf=8, n_layers=3, norm_layer=norm_layer),
+    }
+
+    spec = ilu.spec_from_file_location(
+        "conv_ref_cyc",
+        os.path.join(REPO, "tools/convert_reference_checkpoint.py"))
+    conv = ilu.module_from_spec(spec)
+    spec.loader.exec_module(conv)
+    gopt = _t.SimpleNamespace(G_norm="instance", G_netG="resnet",
+                              G_nblocks=2, G_dropout=False)
+
+    from joligen_tpu.models.modules.discriminators import (
+        NLayerDiscriminator)
+    from joligen_tpu.models.modules.resnet_generator import ResnetGenerator
+    jg = ResnetGenerator(out_channels=3, ngf=16, n_blocks=2,
+                         norm="instance", mobile=False,
+                         up_mode="convtranspose", dtype=jnp.float32)
+    jd = NLayerDiscriminator(ndf=8, n_layers=3, norm="instance",
+                             antialias=False, dtype=jnp.float32)
+
+    def sd(m):
+        # .numpy() returns VIEWS of torch storage — copy, or the in-place
+        # torch optimizer steps silently mutate the mapped jax params
+        return {k: v.detach().numpy().copy()
+                for k, v in m.state_dict().items()}
+
+    params = {
+        "gA": conv.map_resnet_g(sd(refs["gA"]), gopt),
+        "gB": conv.map_resnet_g(sd(refs["gB"]), gopt),
+        "dA": conv.map_nlayer_d(sd(refs["dA"])),
+        "dB": conv.map_nlayer_d(sd(refs["dB"])),
+    }
+
+    lr, betas, eps_adam = 2e-4, (0.5, 0.999), 1e-8
+    topt_G = torch.optim.Adam(
+        itertools.chain(refs["gA"].parameters(), refs["gB"].parameters()),
+        lr=lr, betas=betas, eps=eps_adam)
+    topt_D = torch.optim.Adam(
+        itertools.chain(refs["dA"].parameters(), refs["dB"].parameters()),
+        lr=lr, betas=betas, eps=eps_adam)
+    jopt = optax.adam(lr, b1=betas[0], b2=betas[1], eps=eps_adam)
+    g_state = jopt.init((params["gA"], params["gB"]))
+    d_state = jopt.init((params["dA"], params["dB"]))
+
+    lam_A = lam_B = 10.0
+    lam_idt = 0.5
+    mse_t, l1_t = tnn.MSELoss(), tnn.L1Loss()
+
+    def jmse(pred, target):
+        return jnp.mean((pred - target) ** 2)
+
+    losses = {"G_t": [], "G_j": [], "D_t": [], "D_j": []}
+    for k in range(8):
+        rng = np.random.RandomState(500 + k)
+        real_A = rng.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32)
+        real_B = rng.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32)
+        rA_t = _nchw(torch, real_A)
+        rB_t = _nchw(torch, real_B)
+
+        # ---- torch: forward + G step (cycle_gan_model.py:263-347)
+        fake_B = refs["gA"](rA_t)
+        rec_A = refs["gB"](fake_B)
+        fake_A = refs["gB"](rB_t)
+        rec_B = refs["gA"](fake_A)
+        idt_A = refs["gA"](rB_t)
+        idt_B = refs["gB"](rA_t)
+        ones_B = torch.ones_like(refs["dB"](fake_B))
+        ones_A = torch.ones_like(refs["dA"](fake_A))
+        loss_G = (mse_t(refs["dB"](fake_B), ones_B)
+                  + mse_t(refs["dA"](fake_A), ones_A)
+                  + lam_A * l1_t(rec_A, rA_t)
+                  + lam_B * l1_t(rec_B, rB_t)
+                  + lam_B * lam_idt * l1_t(idt_A, rB_t)
+                  + lam_A * lam_idt * l1_t(idt_B, rA_t))
+        topt_G.zero_grad()
+        loss_G.backward()
+        topt_G.step()
+        losses["G_t"].append(float(loss_G.detach()))
+
+        # ---- torch: D step on the SAME forward's fakes (detached)
+        fB_d, fA_d = fake_B.detach(), fake_A.detach()
+        loss_D = (0.5 * (mse_t(refs["dB"](rB_t),
+                                torch.ones_like(refs["dB"](rB_t)))
+                         + mse_t(refs["dB"](fB_d),
+                                 torch.zeros_like(refs["dB"](fB_d))))
+                  + 0.5 * (mse_t(refs["dA"](rA_t),
+                                  torch.ones_like(refs["dA"](rA_t)))
+                           + mse_t(refs["dA"](fA_d),
+                                   torch.zeros_like(refs["dA"](fA_d)))))
+        topt_D.zero_grad()
+        loss_D.backward()
+        topt_D.step()
+        losses["D_t"].append(float(loss_D.detach()))
+
+        # ---- jax: identical recipe
+        jrA, jrB = jnp.asarray(real_A), jnp.asarray(real_B)
+
+        def g_loss_fn(gparams, dA, dB):
+            gA, gB = gparams
+            fake_B = jg.apply(gA, jrA)
+            rec_A = jg.apply(gB, fake_B)
+            fake_A = jg.apply(gB, jrB)
+            rec_B = jg.apply(gA, fake_A)
+            idt_A = jg.apply(gA, jrB)
+            idt_B = jg.apply(gB, jrA)
+            loss = (jmse(jd.apply(dB, fake_B), 1.0)
+                    + jmse(jd.apply(dA, fake_A), 1.0)
+                    + lam_A * jnp.abs(rec_A - jrA).mean()
+                    + lam_B * jnp.abs(rec_B - jrB).mean()
+                    + lam_B * lam_idt * jnp.abs(idt_A - jrB).mean()
+                    + lam_A * lam_idt * jnp.abs(idt_B - jrA).mean())
+            return loss, (fake_B, fake_A)
+
+        (loss_Gj, (jfake_B, jfake_A)), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True)(
+            (params["gA"], params["gB"]), params["dA"], params["dB"])
+        g_updates, g_state = jopt.update(
+            g_grads, g_state, (params["gA"], params["gB"]))
+        params["gA"], params["gB"] = optax.apply_updates(
+            (params["gA"], params["gB"]), g_updates)
+        losses["G_j"].append(float(loss_Gj))
+
+        jfake_B = jax.lax.stop_gradient(jfake_B)
+        jfake_A = jax.lax.stop_gradient(jfake_A)
+
+        def d_loss_fn(dparams):
+            dA, dB = dparams
+            return (0.5 * (jmse(jd.apply(dB, jrB), 1.0)
+                           + jmse(jd.apply(dB, jfake_B), 0.0))
+                    + 0.5 * (jmse(jd.apply(dA, jrA), 1.0)
+                             + jmse(jd.apply(dA, jfake_A), 0.0)))
+
+        loss_Dj, d_grads = jax.value_and_grad(d_loss_fn)(
+            (params["dA"], params["dB"]))
+        d_updates, d_state = jopt.update(
+            d_grads, d_state, (params["dA"], params["dB"]))
+        params["dA"], params["dB"] = optax.apply_updates(
+            (params["dA"], params["dB"]), d_updates)
+        losses["D_j"].append(float(loss_Dj))
+
+    # step 0 runs on identical weights — tight; later steps accumulate fp
+    # drift that Adam's sign-like early updates amplify (same tolerance
+    # rationale as the palette trajectory test)
+    np.testing.assert_allclose(losses["G_j"][0], losses["G_t"][0],
+                               rtol=2e-4)
+    np.testing.assert_allclose(losses["D_j"][0], losses["D_t"][0],
+                               rtol=2e-4)
+    np.testing.assert_allclose(losses["G_j"], losses["G_t"], rtol=5e-2,
+                               err_msg=f"t={losses['G_t']}\nj={losses['G_j']}")
+    np.testing.assert_allclose(losses["D_j"], losses["D_t"], rtol=5e-2,
+                               err_msg=f"t={losses['D_t']}\nj={losses['D_j']}")
+
+    # final weights still agree through the mappers. Adam's per-step
+    # update magnitude is ~lr, so two trajectories from identical weights
+    # can differ by at most ~2*K*lr per element — reached in practice on
+    # bias leaves whose tiny L1-sign gradients flip direction between
+    # frameworks (fp noise), while the loss curves above still track.
+    final = {
+        "gA": conv.map_resnet_g(sd(refs["gA"]), gopt),
+        "gB": conv.map_resnet_g(sd(refs["gB"]), gopt),
+        "dA": conv.map_nlayer_d(sd(refs["dA"])),
+        "dB": conv.map_nlayer_d(sd(refs["dB"])),
+    }
+    for name in final:
+        flat_got = jax.tree_util.tree_leaves_with_path(params[name])
+        flat_want = jax.tree_util.tree_leaves_with_path(final[name])
+        assert len(flat_got) == len(flat_want)
+        for (key, got_leaf), (_, want_leaf) in zip(flat_got, flat_want):
+            np.testing.assert_allclose(
+                np.asarray(got_leaf), np.asarray(want_leaf),
+                rtol=5e-3, atol=2 * 8 * lr,
+                err_msg=name + jax.tree_util.keystr(key))

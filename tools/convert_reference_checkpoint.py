@@ -249,6 +249,24 @@ def map_resnet_g(sd, opt):
     return {"params": {"encoder": enc, "decoder": dec}}
 
 
+def map_nlayer_d(sd):
+    """Map a reference NLayerDiscriminator state_dict (models/modules/
+    discriminators.py:10-104 — a flat torch Sequential of stride-2 4x4
+    convs with non-affine InstanceNorm/LeakyReLU between, so the only
+    tensors are the conv weights/biases at model.<i>) onto our flax
+    NLayerDiscriminator(antialias=False) tree, whose convs auto-name
+    Conv_0..Conv_{n+1} in call order. Instance norms carry no tensors on
+    either side; order-preserving index sort keeps the mapping valid for
+    any n_layers and for dropout variants (Dropout has no tensors)."""
+    idxs = sorted(
+        {int(k.split(".")[1]) for k in sd
+         if k.startswith("model.") and k.endswith(".weight")})
+    params = {}
+    for n, i in enumerate(idxs):
+        params[f"Conv_{n}"] = _conv(sd, f"model.{i}")
+    return {"params": params}
+
+
 def _tree_check(got, want, path=""):
     if isinstance(want, dict) != isinstance(got, dict):
         raise SystemExit(f"structure mismatch at {path}")
