@@ -58,7 +58,12 @@ class MATModel(BaseModel):
         self.num_frames = int(getattr(opt, "data_temporal_number_frames", 1)
                               or 1)
 
+        # bf16 compute with fp32 params/optimizer (same policy as
+        # gan_networks._dtype); logits/losses return fp32
+        self.compute_dtype = (jnp.bfloat16 if getattr(opt, "tpu_bf16", True)
+                              else jnp.float32)
         self.netG = MATGenerator(
+            dtype=self.compute_dtype,
             base=base, out_channels=cout,
             w_dim=self.w_dim, z_dim=self.z_dim,
             frames=(self.num_frames if self.motion else 1),
@@ -74,7 +79,8 @@ class MATModel(BaseModel):
             stage1_dim=int(getattr(opt, "alg_mat_first_stage_dim", 180)
                            or 180))
         self.netD = MATDiscriminator(base=max(16, int(getattr(opt, "D_ndf",
-                                                              64))))
+                                                              64))),
+                                     dtype=self.compute_dtype)
 
         if self.motion:
             ex_img = jnp.zeros((1, self.num_frames, size, size, cout),
@@ -205,9 +211,12 @@ class MATModel(BaseModel):
             rngs = jax.random.split(rng, 4)
             z = jax.random.normal(rngs[0], (real.shape[0], self.z_dim))
 
-            # ---- G update
-            def fold(a):
-                return (a.reshape((-1,) + a.shape[2:]) if a.ndim == 5 else a)
+            # ---- G update. Video (motion) mode generates ONLY the last
+            # frame (reference _forward_motion / mat_model losses on the
+            # current frame); history frames are conditioning, so every
+            # loss and both D passes see the last frame alone.
+            def last(a):
+                return a[:, -1] if a.ndim == 5 else a
 
             def g_loss(pG):
                 fake, stg1, w = self.netG.apply(
@@ -218,12 +227,12 @@ class MATModel(BaseModel):
                     return_stg1=True,
                     return_w=True)
                 lg, lg1 = self.netD.apply(
-                    jax.lax.stop_gradient(states["D"].params), fold(fake),
-                    fold(mask), fold(stg1))
+                    jax.lax.stop_gradient(states["D"].params), last(fake),
+                    last(mask), last(stg1))
                 adv = jnp.mean(softplus(-lg))
                 adv1 = jnp.mean(softplus(-lg1))
-                pcp = self._pcp(fold(fake), fold(real)) * self.pcp_ratio
-                l1 = jnp.mean(jnp.abs(fake - real))
+                pcp = self._pcp(last(fake), last(real)) * self.pcp_ratio
+                l1 = jnp.mean(jnp.abs(last(fake) - last(real)))
                 tot = adv + adv1 + pcp
                 return tot, {"G_adv": adv, "G_adv_stg1": adv1, "G_pcp": pcp,
                              "G_l1": l1, "G_tot": tot,
@@ -243,10 +252,10 @@ class MATModel(BaseModel):
             w_avg = w_avg * 0.995 + jnp.mean(w, axis=0) * 0.005
 
             # ---- D update (+ lazy R1)
-            real_d = fold(real)
-            mask_d = fold(mask)
-            fake_d = fold(fake)
-            stg1_d = fold(stg1)
+            real_d = last(real)
+            mask_d = last(mask)
+            fake_d = last(fake)
+            stg1_d = last(stg1)
 
             def d_loss(pD):
                 lf, lf1 = self.netD.apply(pD, fake_d, mask_d, stg1_d)

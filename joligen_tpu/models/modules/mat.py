@@ -26,8 +26,19 @@ from ...ops.upfirdn2d import setup_filter, upfirdn2d
 lrelu = lambda x: nn.leaky_relu(x, 0.2) * math.sqrt(2.0)
 
 
+def nf(stage, base=64, div=1):
+    """Reference channel table (mat.py:27-29): NF[2^stage] =
+    min(32768/2^stage, 512), scaled by base/64 (the G_ngf/D_ndf knob —
+    base=64 reproduces the reference widths exactly) and an optional
+    divisor (the reference stg1 D trunk runs at half width)."""
+    return max(int(min(32768 // (2 ** stage), 512)) * base // (64 * div), 8)
+
+
 def blur_up(x, factor=2):
-    f = setup_filter([1, 3, 3, 1], gain=factor ** 2)
+    """Antialiased 2x upsample (reference upfirdn2d.upsample2d). Our
+    upfirdn2d already multiplies by up^2, so the filter carries NO extra
+    gain (a constant image stays constant)."""
+    f = setup_filter([1, 3, 3, 1])
     p = f.shape[0] - factor
     pt, pb = (p + 1) // 2 + factor - 1, p // 2
     return upfirdn2d(x, f, up=factor, padding=(pt, pb, pt, pb))
@@ -38,6 +49,43 @@ def blur_down(x, factor=2):
     p = f.shape[0] - factor
     return upfirdn2d(x, f, down=factor,
                      padding=((p + 1) // 2, p // 2, (p + 1) // 2, p // 2))
+
+
+# Resampling convs follow the reference op order EXACTLY
+# (torch_utils/ops/conv2d_resample.py:147-195) so converted reference
+# weights reproduce outputs including the boundary pixels:
+#   down=2, k>1 : FIR at FULL resolution (pad k//2 + 1 each side), then a
+#                 stride-2 VALID conv — NOT decimate-then-conv.
+#   up=2,  k>1 : transpose conv (lhs_dilation=2, pad k-1), then FIR with
+#                 gain up^2 and pad (k//2+2-(k-1), k//2+1-(k-2)).
+#   k=1        : reference fast paths — decimate-first / conv-first.
+
+def _conv_plain(x, w, k):
+    return jax.lax.conv_general_dilated(
+        x, w, (1, 1), "SAME" if k > 1 else "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def _conv_down2(x, w, k):
+    if k == 1:
+        return _conv_plain(blur_down(x), w, k)
+    f = setup_filter([1, 3, 3, 1])
+    p = k // 2 + 1
+    x = upfirdn2d(x, f, padding=(p, p, p, p))
+    return jax.lax.conv_general_dilated(
+        x, w, (2, 2), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def _conv_up2(x, w, k):
+    if k == 1:
+        return blur_up(_conv_plain(x, w, k))
+    y = jax.lax.conv_general_dilated(
+        x, w, (1, 1), [(k - 1, k - 1)] * 2, lhs_dilation=(2, 2),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    f = setup_filter([1, 3, 3, 1])
+    p0 = k // 2 + 2 - (k - 1)
+    p1 = k // 2 + 1 - (k - 2)
+    return upfirdn2d(y, f, padding=(p0, p1, p0, p1), gain=4.0)
 
 
 class EqualDense(nn.Module):
@@ -55,7 +103,10 @@ class EqualDense(nn.Module):
         b = self.param("bias",
                        nn.initializers.constant(self.bias_init),
                        (self.features,))
-        y = x @ (w * (self.lr_mul / math.sqrt(in_f))) + b * self.lr_mul
+        # params live in fp32; compute follows the input dtype (bf16 under
+        # the TPU policy) so dense chains don't silently upcast
+        w = (w * (self.lr_mul / math.sqrt(in_f))).astype(x.dtype)
+        y = x @ w + (b * self.lr_mul).astype(x.dtype)
         return lrelu(y) if self.act else y
 
 
@@ -98,21 +149,24 @@ class ModulatedConv(nn.Module):
         # conv(x, W * s) == conv(x * s, W): scale inputs per sample, keep ONE
         # shared kernel (no per-sample weights -> shards cleanly over the
         # batch axis and runs as a single MXU conv). Demodulation factors
-        # depend only on (s, W): d_o = rsqrt(sum_ki (W_kio * s_i)^2).
-        if self.up:
-            x = blur_up(x)
+        # depend only on (s, W): d_o = rsqrt(sum_ki (W_kio * s_i)^2); both
+        # the input scaling (per in-channel) and the demod (per sample/out
+        # channel) commute with the zero-stuffing and the depthwise FIR, so
+        # the reference transpose-conv-then-FIR pipeline stays exact.
         xs = x * s[:, None, None, :].astype(x.dtype)
-        y = jax.lax.conv_general_dilated(
-            xs, weight.astype(x.dtype), (1, 1), "SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        wd = weight.astype(x.dtype)
+        if self.up:
+            y = _conv_up2(xs, wd, k)
+        elif self.down:
+            y = _conv_down2(xs, wd, k)
+        else:
+            y = _conv_plain(xs, wd, k)
         if self.demodulate:
             wsq = jnp.sum(weight.astype(jnp.float32) ** 2, axis=(0, 1))
             d = jax.lax.rsqrt((s.astype(jnp.float32) ** 2) @ wsq + 1e-8)
             y = y * d[:, None, None, :].astype(y.dtype)
-        if self.down:
-            y = blur_down(y)
         b = self.param("bias", nn.initializers.zeros, (self.features,))
-        return y + b
+        return y + b.astype(y.dtype)
 
 
 class NoiseInject(nn.Module):
@@ -122,17 +176,22 @@ class NoiseInject(nn.Module):
         if rng is None:
             return x
         noise = jax.random.normal(rng, x.shape[:3] + (1,), x.dtype)
-        return x + noise * strength
+        return x + noise * strength.astype(x.dtype)
 
 
 class StyleConv(nn.Module):
+    """Modulated conv + optional per-pixel noise + bias + lrelu (reference
+    StyleConv, basic_module.py:416-466). ``use_noise=False`` mirrors the
+    reference FirstStage (use_noise=False there — no noise params)."""
     features: int
     up: bool = False
+    use_noise: bool = True
 
     @nn.compact
     def __call__(self, x, style, rng=None):
         y = ModulatedConv(self.features, up=self.up, name="conv")(x, style)
-        y = NoiseInject(name="noise")(y, rng)
+        if self.use_noise:
+            y = NoiseInject(name="noise")(y, rng)
         return lrelu(y)
 
 
@@ -150,11 +209,16 @@ class ToRGB(nn.Module):
 
 
 class EqualConv(nn.Module):
+    """Equalized-lr conv (reference Conv2dLayer, basic_module.py): optional
+    blur-resample, bias+lrelu, and a post-activation gain (the reference's
+    bias_act `gain` arg, used by residual D blocks at sqrt(0.5))."""
     features: int
     kernel: int = 3
     down: bool = False
     up: bool = False
     act: bool = True
+    use_bias: bool = True
+    gain: float = 1.0
 
     @nn.compact
     def __call__(self, x):
@@ -162,16 +226,18 @@ class EqualConv(nn.Module):
         cin = x.shape[-1]
         w = self.param("weight", nn.initializers.normal(1.0),
                        (k, k, cin, self.features)) / math.sqrt(k * k * cin)
+        wd = w.astype(x.dtype)
         if self.up:
-            x = blur_up(x)
-        if self.down:
-            x = blur_down(x)
-        y = jax.lax.conv_general_dilated(
-            x, w.astype(x.dtype), (1, 1), "SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        b = self.param("bias", nn.initializers.zeros, (self.features,))
-        y = y + b
-        return lrelu(y) if self.act else y
+            y = _conv_up2(x, wd, k)
+        elif self.down:
+            y = _conv_down2(x, wd, k)
+        else:
+            y = _conv_plain(x, wd, k)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + b.astype(y.dtype)
+        y = lrelu(y) if self.act else y
+        return y * self.gain if self.gain != 1.0 else y
 
 
 class PartialConv(nn.Module):
@@ -438,9 +504,6 @@ class FirstStage(nn.Module):
         mid = len(self.depths) // 2
         token_skips = []
         style = None
-        n_rngs = 1 + 2 * max(down_time, 1)
-        rngs = (jax.random.split(rng, n_rngs)
-                if rng is not None else [None] * n_rngs)
         for i, depth in enumerate(self.depths):
             resample = ("down" if ratios[i] < 1
                         else "up" if ratios[i] > 1 else "")
@@ -461,10 +524,10 @@ class FirstStage(nn.Module):
                     add_n = jax.image.resize(
                         add_n, (b, t.shape[1]), "linear")
                 add_n = add_n[:, :, None].astype(t.dtype)
-                if rngs[0] is not None:
+                if rng is not None:
                     # F.dropout(0.5*ones, p=0.5, training=True): 0 or 1
                     mul_map = jax.random.bernoulli(
-                        rngs[0], 0.5, t.shape).astype(t.dtype)
+                        rng, 0.5, t.shape).astype(t.dtype)
                 else:
                     mul_map = jnp.full_like(t, 0.5)
                 t = t * mul_map + add_n * (1 - mul_map)
@@ -481,11 +544,14 @@ class FirstStage(nn.Module):
 
         h = t.reshape(b, res, res, dim)
         img_out = None
+        # reference FirstStage builds its DecStyleBlocks with
+        # use_noise=False (mat.py:1056 via FirstStage use_noise arg) —
+        # no noise params, no noise injection
         for i in range(down_time):
-            h = StyleConv(dim, up=True, name=f"dec{i}a")(h, style,
-                                                         rngs[1 + 2 * i])
+            h = StyleConv(dim, up=True, use_noise=False,
+                          name=f"dec{i}a")(h, style)
             h = h + conv_skips[down_time - 1 - i]
-            h = StyleConv(dim, name=f"dec{i}b")(h, style, rngs[2 + 2 * i])
+            h = StyleConv(dim, use_noise=False, name=f"dec{i}b")(h, style)
             img_out = ToRGB(img.shape[-1], name=f"dec{i}rgb")(h, style,
                                                               img_out)
         if img_out is None:   # coarse == input resolution (small inputs)
@@ -496,95 +562,150 @@ class FirstStage(nn.Module):
 
 
 class Encoder(nn.Module):
-    """Conv encoder of [stg1*(1-m)+img*m, m] to multi-scale skips
-    (reference Encoder, mat.py:679-716)."""
+    """Second-stage conv encoder (reference Encoder, mat.py:679-714):
+    EncFromRGB (1x1 + 3x3) at input resolution, then ConvBlockDown
+    (3x3-down + 3x3) per octave to the 16x16 bottleneck, reference nf
+    widths. Returns (bottleneck, {res_log2: feature}). Inputs below 32px
+    (CI miniatures) stop at their own bottom octave >= 4px."""
     base: int = 64
-    levels: int = 4
 
     @nn.compact
     def __call__(self, x):
+        res_log2 = int(math.log2(x.shape[1]))
+        bottom = min(4, res_log2)
         feats = {}
-        h = EqualConv(self.base, name="from_rgb")(x)
-        for i in range(self.levels):
-            ch = min(self.base * (2 ** (i + 1)), 512)
-            h = EqualConv(ch, down=True, name=f"down{i}")(h)
+        h = x
+        for i in range(res_log2, bottom - 1, -1):
+            ch = nf(i, self.base)
+            if i == res_log2:
+                h = EqualConv(ch, kernel=1, name=f"enc{i}_c0")(h)
+            else:
+                h = EqualConv(ch, down=True, name=f"enc{i}_c0")(h)
+            h = EqualConv(ch, name=f"enc{i}_c1")(h)
             feats[i] = h
         return h, feats
 
 
-class Decoder(nn.Module):
-    """StyleGAN2 decoder with skips and RGB accumulation
-    (reference Decoder + DecBlock, mat.py:815-905). With ``frames > 1`` a
-    temporal MotionModule follows each level (reference MAT motion
-    finetuning, mat_model.py:404-520 — zero-init so image checkpoints
-    finetune into video)."""
-    base: int = 64
-    levels: int = 4
-    out_channels: int = 3
-    frames: int = 1
-    motion_heads: int = 4
-    motion_blocks: int = 1
-    motion_max_frames: int = 25
+class ToStyle(nn.Module):
+    """Global style code from the encoder bottleneck (reference ToStyle,
+    mat.py:717-757): three 3x3 down convs, global average pool, dense."""
+    features: int
 
     @nn.compact
-    def __call__(self, h, feats, ws, rng=None, ws2=None, mix_from=None):
-        rngs = jax.random.split(rng, 2 * self.levels) if rng is not None \
-            else [None] * (2 * self.levels)
+    def __call__(self, x):
+        for j in range(3):
+            if x.shape[1] > 1:
+                x = EqualConv(x.shape[-1], down=True, name=f"down{j}")(x)
+        x = jnp.mean(x, axis=(1, 2))
+        return EqualDense(self.features, act=True, name="fc")(x)
 
-        def w_at(layer_idx):
-            # StyleGAN-style style mixing: layers >= the crossover index use
-            # the second latent's w (reference mat_model.py:705-716)
-            if ws2 is None or mix_from is None:
-                return ws
-            use2 = (layer_idx >= mix_from)
-            return jnp.where(use2, ws2, ws)
 
-        img = None
-        for i in range(self.levels):
-            ch = min(self.base * (2 ** (self.levels - 1 - i)), 512)
-            h = StyleConv(ch, up=True, name=f"up{i}a")(h, w_at(3 * i),
-                                                       rngs[2 * i])
-            skip = feats.get(self.levels - 2 - i)
-            if skip is not None:
-                h = h + EqualConv(ch, kernel=1, act=False,
-                                  name=f"skip{i}")(skip)
-            h = StyleConv(ch, name=f"up{i}b")(h, w_at(3 * i + 1),
-                                              rngs[2 * i + 1])
-            if self.frames > 1:
-                from .motion import MotionModule
-                bf, hh, ww, c = h.shape
-                h5 = h.reshape(bf // self.frames, self.frames, hh, ww, c)
-                h5 = MotionModule(num_heads=self.motion_heads,
-                                  num_transformer_blocks=self.motion_blocks,
-                                  max_len=self.motion_max_frames,
-                                  name=f"motion{i}")(h5)
-                h = h5.reshape(bf, hh, ww, c)
-            img = ToRGB(self.out_channels, name=f"rgb{i}")(h, w_at(3 * i + 2),
-                                                           img)
+class DecBlockFirst(nn.Module):
+    """Bottleneck decoder block (reference DecBlockFirstV2, mat.py:760-813):
+    plain 3x3 conv, + encoder skip at the same resolution, StyleConv,
+    ToRGB — styles are per-layer [w, gs] codes."""
+    features: int
+    out_channels: int = 3
+
+    @nn.compact
+    def __call__(self, x, skip, style0, style1, rng=None):
+        h = EqualConv(x.shape[-1], name="conv0")(x)
+        h = h + skip
+        h = StyleConv(self.features, name="conv1")(h, style0, rng)
+        img = ToRGB(self.out_channels, name="rgb")(h, style1)
+        return h, img
+
+
+class DecBlockRef(nn.Module):
+    """Upsampling decoder block (reference DecBlock, mat.py:818-877):
+    StyleConv up, + encoder skip, StyleConv, RGB accumulation."""
+    features: int
+    out_channels: int = 3
+
+    @nn.compact
+    def __call__(self, x, img, skip, styles, rngs):
+        h = StyleConv(self.features, up=True, name="conv0")(x, styles[0],
+                                                            rngs[0])
+        h = h + skip
+        h = StyleConv(self.features, name="conv1")(h, styles[1], rngs[1])
+        img = ToRGB(self.out_channels, name="rgb")(h, styles[2], img)
+        return h, img
+
+
+class Decoder(nn.Module):
+    """Refinement decoder (reference Decoder, mat.py:880-905): bottleneck
+    block at 16x16 then one DecBlock per octave with encoder skips and RGB
+    accumulation; every style is concat(per-layer w, global gs) (reference
+    get_style_code)."""
+    base: int = 64
+    out_channels: int = 3
+
+    @nn.compact
+    def __call__(self, h, feats, w_at, gs, rng=None):
+        res_log2 = max(feats)
+        bottom = min(feats)
+        n_up = res_log2 - bottom
+        rngs = (jax.random.split(rng, 1 + 2 * n_up) if rng is not None
+                else [None] * (1 + 2 * n_up))
+
+        def style(i):
+            return jnp.concatenate([w_at(i), gs.astype(w_at(i).dtype)],
+                                   axis=-1)
+
+        # reference per-layer w indices (mat.py Decoder): the bottleneck
+        # block uses ws[:, 0] / ws[:, 1]; the block at res uses
+        # ws[:, 2d-1], ws[:, 2d], ws[:, 2d+1] with d = res - bottom
+        # (res*2-9/-8/-7 when bottom=4) — consecutive blocks SHARE the
+        # boundary index. num_ws = 2*(res_log2-bottom) + 2.
+        h, img = DecBlockFirst(nf(bottom, self.base), self.out_channels,
+                               name=f"dec{bottom}")(
+            h, feats[bottom], style(0), style(1), rngs[0])
+        for j, res in enumerate(range(bottom + 1, res_log2 + 1)):
+            d = res - bottom
+            h, img = DecBlockRef(nf(res, self.base), self.out_channels,
+                                 name=f"dec{res}")(
+                h, img, feats[res],
+                (style(2 * d - 1), style(2 * d), style(2 * d + 1)),
+                (rngs[1 + 2 * j], rngs[2 + 2 * j]))
         return img
 
 
 class MATGenerator(nn.Module):
     """Full MAT synthesis: first stage + refinement
-    (reference SynthesisNet + Generator). call(img, mask 1=known, z)."""
+    (reference SynthesisNet + Generator, mat.py:1136-1470).
+    call(img, mask 1=known, z). The refinement stage follows the reference
+    exactly: encoder over [mask-0.5, composed, img*mask], latent injection
+    at the 16x16 bottleneck (to_square + random mul_map blend), gs =
+    ToStyle(bottleneck) concatenated into every decoder style, skip-adds
+    per octave. With ``frames > 1`` and 5D input, a single MotionModule
+    runs over the frame axis at the encoder bottleneck and ONLY THE LAST
+    frame is decoded (reference _forward_motion, mat.py:1286-1366);
+    history frames pass through unchanged in the returned clip."""
     base: int = 64
     w_dim: int = 512
     z_dim: int = 512
     c_dim: int = 0
     out_channels: int = 3
-    frames: int = 1   # >1 = video finetuning (motion modules in the decoder)
+    frames: int = 1   # >1 = video finetuning (bottleneck motion module)
     motion_heads: int = 4
     motion_blocks: int = 1
     motion_max_frames: int = 25
     mask_class: bool = False   # alg_mat_mask_class_conditioning
     style_mixing_prob: float = 0.0   # alg_mat_style_mixing_prob
     stage1_dim: int = 180   # first-stage token width (reference dim=180)
+    dtype: jnp.dtype = jnp.float32   # compute dtype (params stay fp32)
 
     @nn.compact
     def __call__(self, img, mask, z, c=None, rng=None, mask_class=None,
                  mix_rng=None, truncation_psi=1.0, w_avg=None,
                  return_stg1=False, return_w=False):
         video = img.ndim == 5
+        if video and self.frames <= 1:
+            raise ValueError("5D input requires frames > 1 (motion mode)")
+        img_raw = img.astype(jnp.float32)   # original precision, for the
+        # final known-pixel composition (bf16 compute must not round the
+        # pass-through pixels)
+        img_full = img = img.astype(self.dtype)
         if video:
             b, f = img.shape[:2]
             img = img.reshape((b * f,) + img.shape[2:])
@@ -596,91 +717,191 @@ class MATGenerator(nn.Module):
         mask = jnp.clip(mask.astype(img.dtype), 0.0, 1.0)
         mapping = MappingNet(w_dim=self.w_dim, c_dim=self.c_dim,
                              name="mapping")
-        w = mapping(z, c)
+        w = mapping(z.astype(jnp.float32), c)   # mapping stays fp32
         if w_avg is not None and truncation_psi != 1.0:
             # truncation trick: lerp toward the tracked w average
             # (reference mat_model.py truncation_psi on MappingNet.w_avg)
             w = w_avg[None].astype(w.dtype) + truncation_psi * (
                 w - w_avg[None].astype(w.dtype))
-        # style mixing (training only — mix_rng given): with prob p, decoder
-        # layers past a random crossover use a second latent's w (reference
-        # mat_model.py:705-716; applied to the refinement decoder — the
-        # first stage keeps the primary w)
-        ws2 = mix_from = None
-        if self.style_mixing_prob > 0 and mix_rng is not None:
-            n_style_layers = 3 * 4   # decoder: 2 convs + ToRGB per level
-            r_z, r_p, r_c = jax.random.split(mix_rng, 3)
-            if video:
-                # one second latent per sequence, shared across frames
-                z2 = jnp.repeat(jax.random.normal(
-                    r_z, (b, z.shape[-1]), z.dtype), f, axis=0)
-            else:
-                z2 = jax.random.normal(r_z, z.shape, z.dtype)
-            ws2 = mapping(z2, c)
-            do = jax.random.uniform(r_p, ()) < self.style_mixing_prob
-            cut = jax.random.randint(r_c, (), 1, n_style_layers)
-            mix_from = jnp.where(do, cut, n_style_layers)
-        r1, r2 = (jax.random.split(rng) if rng is not None else (None, None))
+        r1, r2, r_inj = (jax.random.split(rng, 3) if rng is not None
+                         else (None, None, None))
         stg1 = FirstStage(base=self.base, w_dim=self.w_dim,
                           dim=self.stage1_dim, name="first_stage")(
             img, mask, w, r1,
             mask_class=(mask_class if self.mask_class else None))
-        parts = [stg1 * (1 - mask) + img * mask, mask.astype(img.dtype)]
+        # second-stage input (reference _forward_single_frame,
+        # mat.py:1270-1273): [mask-0.5, composed, img*mask (, mask_class)]
+        parts = [mask - 0.5, img * mask + stg1 * (1 - mask), img * mask]
         if self.mask_class:
-            # per-pixel class-id channel inside the hole (reference
-            # mat_model.py:585-620 mask_class_channels)
             mc = (mask_class if mask_class is not None
                   else jnp.zeros_like(mask))
             parts.append(mc.astype(img.dtype))
         x = jnp.concatenate(parts, axis=-1)
         h, feats = Encoder(base=self.base, name="encoder")(x)
-        out = Decoder(base=self.base, levels=4,
-                      out_channels=self.out_channels,
-                      frames=(self.frames if video else 1),
-                      motion_heads=self.motion_heads,
-                      motion_blocks=self.motion_blocks,
-                      motion_max_frames=self.motion_max_frames,
-                      name="decoder")(h, feats, w, r2, ws2=ws2,
-                                      mix_from=mix_from)
-        out = out * (1 - mask) + img * mask
-        if video:
-            out = out.reshape((b, f) + out.shape[1:])
-            stg1 = stg1.reshape((b, f) + stg1.shape[1:])
+        bottom = min(feats)
+
+        if video and self.frames > 1:
+            # temporal mixing at the bottleneck, then decode the LAST
+            # frame only (reference _forward_motion: fea_16 =
+            # motion_module(seq)[:, -1])
+            from .motion import MotionModule
+            bf, hh, ww, cch = h.shape
+            h5 = h.reshape(b, f, hh, ww, cch)
+            h5 = MotionModule(num_heads=self.motion_heads,
+                              num_transformer_blocks=self.motion_blocks,
+                              max_len=self.motion_max_frames,
+                              dtype=self.dtype,
+                              name="motion")(h5)
+            h = h5[:, -1]
+            feats = {k: v.reshape((b, f) + v.shape[1:])[:, -1]
+                     for k, v in feats.items()}
+            img = img_full[:, -1]
+            mask = mask.reshape((b, f) + mask.shape[1:])[:, -1]
+            stg1_last = stg1.reshape((b, f) + stg1.shape[1:])[:, -1]
             w = w.reshape(b, f, -1)[:, 0]
+        else:
+            stg1_last = stg1
+
+        # latent injection at the bottleneck (reference
+        # _inject_latent_into_bottleneck, mat.py:1237-1244): blend the
+        # feature map with a w-derived 16x16 spatial code under a random
+        # binary mul_map (F.dropout(0.5*ones, 0.5) -> exactly 0 or 1)
+        add_n = EqualDense(16 * 16, act=True, name="to_square")(w)
+        add_n = add_n.reshape(-1, 16, 16, 1)
+        if add_n.shape[1] != h.shape[1]:
+            add_n = jax.image.resize(
+                add_n, (add_n.shape[0], h.shape[1], h.shape[2], 1),
+                "bilinear")
+        add_n = add_n.astype(h.dtype)
+        if r_inj is not None:
+            mul_map = jax.random.bernoulli(r_inj, 0.5,
+                                           h.shape).astype(h.dtype)
+        else:
+            mul_map = jnp.full_like(h, 0.5)
+        h = h * mul_map + add_n * (1 - mul_map)
+        feats = dict(feats)
+        feats[bottom] = h
+
+        # global style (reference: gs = to_style(fea_16), style_dim =
+        # w_dim + nf(2)*2)
+        gs = ToStyle(nf(2, self.base) * 2, name="to_style")(h)
+
+        # style mixing (training only — mix_rng given): with prob p,
+        # decoder layers past a random crossover use a second latent's w
+        # (reference mat_model.py:705-743)
+        res_log2 = max(feats)
+        # reference SynthesisNet.num_layers = 2*res_log2 - 6 at bottom=4
+        n_style_layers = 2 * (res_log2 - bottom) + 2
+        ws2 = mix_from = None
+        if self.style_mixing_prob > 0 and mix_rng is not None:
+            r_z, r_p, r_c = jax.random.split(mix_rng, 3)
+            z2 = jax.random.normal(r_z, (w.shape[0], self.z_dim),
+                                   jnp.float32)
+            ws2 = mapping(z2, c)
+            do = jax.random.uniform(r_p, ()) < self.style_mixing_prob
+            cut = jax.random.randint(r_c, (), 1, n_style_layers)
+            mix_from = jnp.where(do, cut, n_style_layers)
+
+        def w_at(layer_idx):
+            if ws2 is None or mix_from is None:
+                return w
+            return jnp.where(layer_idx >= mix_from, ws2, w)
+
+        out = Decoder(base=self.base, out_channels=self.out_channels,
+                      name="decoder")(h, feats, w_at, gs, r2)
+        # compose + clamp in fp32 against the ORIGINAL input so known
+        # pixels pass through exactly (reference clamp(-1,1))
+        mask_f = mask.astype(jnp.float32)
+        img_keep = img_raw[:, -1] if video else img_raw
+        out = out.astype(jnp.float32) * (1 - mask_f) + img_keep * mask_f
+        out = jnp.clip(out, -1.0, 1.0)
+        # stg1 is returned AS COMPOSED by FirstStage (reference
+        # _forward_single_frame returns out_stg1 untouched) — no second
+        # recomposition, which would diverge for fractional masks
+        stg1_last = stg1_last.astype(jnp.float32)
+        if video:
+            # reassemble the clip: history frames are pure conditioning
+            # (mask all-known) and pass through unchanged
+            hist = img_raw[:, :-1]
+            out = jnp.concatenate([hist, out[:, None]], axis=1)
+            stg1_last = jnp.concatenate([hist, stg1_last[:, None]], axis=1)
         extra = ()
         if return_stg1:
-            extra += (stg1,)
+            extra += (stg1_last,)
         if return_w:
             extra += (w,)
         return (out,) + extra if extra else out
 
 
+class DisBlock(nn.Module):
+    """Residual StyleGAN2 D block (reference DisBlock,
+    basic_module.py:596-629): 3x3 conv at width, 3x3 down conv with
+    post-activation gain sqrt(0.5), biasless 1x1 down skip at the same
+    gain."""
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        skip = EqualConv(self.features, kernel=1, down=True, act=False,
+                         use_bias=False, gain=math.sqrt(0.5),
+                         name="skip")(x)
+        h = EqualConv(x.shape[-1], name="conv0")(x)
+        h = EqualConv(self.features, down=True, gain=math.sqrt(0.5),
+                      name="conv1")(h)
+        return skip + h
+
+
+def minibatch_std(x, group_size=4):
+    """Grouped minibatch-stddev channel (reference MinibatchStdLayer,
+    basic_module.py:635-662): per-group stddev averaged over channels and
+    pixels, broadcast back as one extra channel. Stats in fp32."""
+    n, h, w, c = x.shape
+    g = min(group_size, n)
+    while n % g:
+        g -= 1
+    y = x.astype(jnp.float32).reshape(g, n // g, h, w, c)
+    y = y - y.mean(axis=0)
+    y = jnp.sqrt(jnp.mean(y * y, axis=0) + 1e-8)   # (n/g, h, w, c)
+    y = y.mean(axis=(1, 2, 3))                     # (n/g,)
+    y = jnp.tile(y, (g,))                          # batch idx = gi*(n/g)+k
+    sd = jnp.broadcast_to(y[:, None, None, None], (n, h, w, 1))
+    return jnp.concatenate([x, sd.astype(x.dtype)], axis=-1)
+
+
 class MATDiscriminator(nn.Module):
-    """StyleGAN2 D over [img, mask, stg1] with minibatch stddev
-    (reference Discriminator, mat.py:1472-1594). Returns
-    (logits, logits_stg1)."""
+    """StyleGAN2 D over ([mask-0.5, img], [mask-0.5, stg1]) (reference
+    Discriminator, mat.py:1472-1594 + basic_module.py:576-662): two
+    residual trunks of DisBlocks downsampling to 4x4 (the stg1 trunk at
+    half width), grouped minibatch stddev, a 3x3 conv, then
+    fc0(nf(2)*16 -> nf(2)) and fc1 -> 1. base=64 reproduces the reference
+    nf table exactly. Returns fp32 (logits, logits_stg1)."""
     base: int = 64
-    levels: int = 4
+    dtype: jnp.dtype = jnp.float32
+    mbstd_group: int = 4
 
     @nn.compact
     def __call__(self, img, mask, stg1):
-        def trunk(x, prefix):
-            h = EqualConv(self.base, kernel=1, name=f"{prefix}_from_rgb")(x)
-            for i in range(self.levels):
-                ch = min(self.base * (2 ** (i + 1)), 512)
-                h = EqualConv(ch, name=f"{prefix}_c{i}a")(h)
-                h = EqualConv(ch, down=True, name=f"{prefix}_c{i}b")(h)
-            # minibatch stddev
-            sd = jnp.std(h, axis=0, keepdims=True).mean()
-            sd = jnp.broadcast_to(sd, h.shape[:3] + (1,))
-            h = jnp.concatenate([h, sd.astype(h.dtype)], axis=-1)
-            h = EqualConv(min(self.base * 8, 512), name=f"{prefix}_final")(h)
-            h = h.reshape(h.shape[0], -1)
-            h = EqualDense(min(self.base * 8, 512), act=True,
-                           name=f"{prefix}_fc")(h)
-            return EqualDense(1, name=f"{prefix}_out")(h)
+        res_log2 = int(math.log2(img.shape[1]))
+        bottom = min(2, res_log2 - 1)
 
-        m = jnp.clip(mask.astype(img.dtype), 0.0, 1.0)
-        logits = trunk(jnp.concatenate([img, m], axis=-1), "main")
-        logits_stg1 = trunk(jnp.concatenate([stg1, m], axis=-1), "stg1")
-        return logits, logits_stg1
+        def trunk(x, prefix, div):
+            h = EqualConv(nf(res_log2, self.base, div), kernel=1,
+                          name=f"{prefix}_from_rgb")(x)
+            for res in range(res_log2, bottom, -1):
+                h = DisBlock(nf(res - 1, self.base, div),
+                             name=f"{prefix}_b{res}")(h)
+            h = minibatch_std(h, self.mbstd_group)
+            h = EqualConv(nf(bottom, self.base, div),
+                          name=f"{prefix}_final")(h)
+            h = h.reshape(h.shape[0], -1)
+            h = EqualDense(nf(bottom, self.base, div), act=True,
+                           name=f"{prefix}_fc0")(h)
+            return EqualDense(1, name=f"{prefix}_fc1")(h)
+
+        dt = self.dtype
+        m = jnp.clip(mask, 0.0, 1.0).astype(dt) - 0.5
+        img = img.astype(dt)
+        stg1 = stg1.astype(dt)
+        logits = trunk(jnp.concatenate([m, img], axis=-1), "main", 1)
+        logits_stg1 = trunk(jnp.concatenate([m, stg1], axis=-1), "stg1", 2)
+        return logits.astype(jnp.float32), logits_stg1.astype(jnp.float32)

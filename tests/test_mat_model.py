@@ -153,8 +153,10 @@ def test_mat_knobs_mask_class_noise_tf_lr(fakeds, tmp_path):
 
 
 def test_mat_motion_knob_plumbing():
-    """Motion decoder honors heads/blocks/max_frames
-    (reference mat_model.py:271-276)."""
+    """Motion mode: ONE MotionModule at the encoder bottleneck (reference
+    SynthesisNet motion_module, mat.py:1200-1209 + _forward_motion
+    fea_16 = motion(seq)[:, -1]), only the last frame generated — history
+    frames pass through unchanged in the returned clip."""
     import jax
     import jax.numpy as jnp
 
@@ -163,17 +165,20 @@ def test_mat_motion_knob_plumbing():
     g = MATGenerator(base=16, w_dim=32, z_dim=32, frames=2,
                      stage1_dim=36,
                      motion_heads=2, motion_blocks=2, motion_max_frames=8)
-    img = jnp.zeros((1, 2, 32, 32, 3))
+    img = jax.random.uniform(jax.random.PRNGKey(9), (1, 2, 32, 32, 3),
+                             minval=-1, maxval=1)
     mask = jnp.ones((1, 2, 32, 32, 1))
     z = jnp.zeros((1, 32))
     params = g.init(jax.random.PRNGKey(0), img, mask, z,
                     rng=jax.random.PRNGKey(1))
     out = g.apply(params, img, mask, z, rng=jax.random.PRNGKey(2))
     assert out.shape == img.shape
+    # history frames are conditioning, returned unchanged
+    np.testing.assert_allclose(np.asarray(out[:, :-1]),
+                               np.asarray(img[:, :-1]), atol=1e-6)
     flat = jax.tree_util.tree_leaves_with_path(params)
     names = {jax.tree_util.keystr(p) for p, _ in flat}
-    assert any("motion0" in n and "block1" in n for n in names) or \
-        any("motion0" in n for n in names)
+    assert any("['motion']" in n for n in names), sorted(names)[:5]
 
 
 def test_mat_style_mixing():

@@ -2370,6 +2370,26 @@ def test_convergence_ab_independent_training():
 
 
 @pytest.mark.parity
+@pytest.mark.slow
+def test_convergence_ab_gan_independent_training():
+    """GAN-family convergence A/B (tools/convergence_ab_gan.py): both
+    frameworks train the reference CycleGAN recipe on the same unpaired
+    blobs -> negated-blobs task from INDEPENDENT inits; a converged G_A
+    must discover pixel negation. The tpu side must learn the mapping
+    (held-out PSNR above the untrained level, ~5 dB) and land within
+    2.5 dB of the reference (GAN training is noisier than diffusion —
+    single-seed snapshots at equal steps wobble a couple of dB). A longer
+    600-step run is recorded in BASELINE.md; CI uses 200 steps."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.convergence_ab_gan import main
+
+    r = main(["--steps", "200", "--batch", "8"])
+    assert r["psnr_tpu"] > 8.0, r
+    assert r["psnr_tpu"] > r["psnr_ref"] - 2.5, r
+
+
+@pytest.mark.parity
 def test_adversarial_trajectory_matches_reference_cyclegan():
     """Adversarial (two-optimizer) trajectory equivalence — the GAN-family
     analog of the palette trajectory test. K=8 alternating G/D Adam steps
@@ -2584,3 +2604,80 @@ def test_adversarial_trajectory_matches_reference_cyclegan():
                 np.asarray(got_leaf), np.asarray(want_leaf),
                 rtol=5e-3, atol=2 * 8 * lr,
                 err_msg=name + jax.tree_util.keystr(key))
+
+
+@pytest.mark.parity
+def test_mat_generator_and_discriminator_match_reference(tmp_path):
+    """Converted-weight forward parity for the FULL MAT family against the
+    ACTUAL reference torch modules executed on CPU
+    (models/modules/mat/mat.py Generator + Discriminator at 256px):
+    random-init reference G/D -> tools/convert_mat_checkpoint.py -> our
+    MATGenerator/MATDiscriminator reproduce the stage-1 image, the refined
+    image, and both D logit heads to fp32 precision. Covers the Swin token
+    pyramid (window/shifted-window attention, partial convs, progressive
+    mask validity), the style fusion (ws_style/to_square/mul_map/ToStyle),
+    the conv encoder + latent injection + style-indexed decoder, and the
+    two-trunk StyleGAN2 D (residual DisBlocks, minibatch-std, fc heads).
+    Noise is disabled on both sides (reference use_noise=False config —
+    noise_mode='none' with use_noise=True crashes upstream,
+    basic_module.py:243-257) and F.dropout is patched to identity so the
+    mul_map blend is the deterministic 0.5 both sides (our rng=None
+    path)."""
+    torch = pytest.importorskip("torch")
+    import sys
+
+    sys.path.insert(0, REPO)
+    from tools.convert_mat_checkpoint import (
+        load_reference_mat, disable_noise, convert_generator,
+        convert_discriminator)
+
+    import jax
+    import jax.numpy as jnp
+
+    from joligen_tpu.models.modules.mat import (MATDiscriminator,
+                                                MATGenerator)
+
+    mat = load_reference_mat()
+    RES = 256
+    torch.manual_seed(0)
+    G = mat.Generator(z_dim=64, c_dim=0, w_dim=64, img_resolution=RES,
+                      img_channels=3)
+    G.eval()
+    disable_noise(G)
+    D = mat.Discriminator(c_dim=0, img_resolution=RES, img_channels=3)
+    D.eval()
+
+    orig_dropout = mat.F.dropout
+    mat.F.dropout = lambda x, *a, **k: x
+    try:
+        rng = np.random.RandomState(42)
+        img_np = rng.uniform(-1, 1, (2, 3, RES, RES)).astype(np.float32)
+        mask_np = (rng.rand(2, 1, RES, RES) > 0.4).astype(np.float32)
+        z_np = rng.randn(2, 64).astype(np.float32)
+        with torch.no_grad():
+            out_t, stg1_t = G(torch.from_numpy(img_np),
+                              torch.from_numpy(mask_np),
+                              torch.from_numpy(z_np), None,
+                              noise_mode="none", return_stg1=True)
+            d_t, d1_t = D(out_t, torch.from_numpy(mask_np), stg1_t, None)
+    finally:
+        mat.F.dropout = orig_dropout
+
+    g = MATGenerator(base=64, w_dim=64, z_dim=64, stage1_dim=180)
+    img_j = jnp.asarray(img_np.transpose(0, 2, 3, 1))
+    mask_j = jnp.asarray(mask_np.transpose(0, 2, 3, 1))
+    pc = convert_generator(G.state_dict(), RES)
+    out_j, stg1_j = g.apply(pc, img_j, mask_j, jnp.asarray(z_np),
+                            return_stg1=True)
+    np.testing.assert_allclose(
+        np.asarray(stg1_j).transpose(0, 3, 1, 2), stg1_t.numpy(),
+        atol=5e-4)
+    np.testing.assert_allclose(
+        np.asarray(out_j).transpose(0, 3, 1, 2), out_t.numpy(), atol=5e-4)
+
+    d = MATDiscriminator(base=64)
+    pdc = convert_discriminator(D.state_dict(), RES)
+    l, l1 = d.apply(pdc, jnp.asarray(out_t.numpy().transpose(0, 2, 3, 1)),
+                    mask_j, jnp.asarray(stg1_t.numpy().transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(l), d_t.numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(l1), d1_t.numpy(), atol=1e-5)

@@ -102,8 +102,11 @@ def main():
     ap.add_argument("--ngf", type=int, default=64)
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--workload",
-                    choices=["palette", "gan", "sample", "cm", "sc"],
+                    choices=["palette", "gan", "sample", "cm", "sc", "mat",
+                             "b2b_vid"],
                     default="palette")
+    ap.add_argument("--frames", type=int, default=8,
+                    help="clip length for --workload b2b_vid")
     ap.add_argument("--ddim_steps", type=int, default=10)
     ap.add_argument("--trace", default=None,
                     help="directory for a jax.profiler trace (executes steps)")
@@ -123,6 +126,27 @@ def main():
         if model._jit_step is None:
             model._jit_step = model._make_step()
         args = (model.states, model.pool, model.apa_p, model.next_rng(), dev)
+        t0 = time.time()
+        compiled = model._jit_step.lower(*args).compile()
+    elif a.workload == "mat":
+        from bench import build_mat
+        model, batch_np, _ = build_mat(a.size, a.batch)
+        dev = model.prepare_batch(batch_np)
+        if model._jit_step is None:
+            model._jit_step = model._make_step(dev["real"].shape[0])
+        args = (model.states, model.w_avg, model.next_rng(), dev["real"],
+                dev["mask"], dev.get("mask_class"))
+        t0 = time.time()
+        compiled = model._jit_step.lower(*args).compile()
+    elif a.workload == "b2b_vid":
+        from bench import build_b2b_vid
+        model, batch_np, _ = build_b2b_vid(a.size, a.batch, frames=a.frames)
+        dev = model.prepare_batch(batch_np)
+        model.optimize_prepared(dev)   # builds the closure-captured step
+        args = (model.states if model.use_lora else model.states["G_A"],
+                model.next_rng(), dev["gt"], dev.get("y_cond"),
+                dev.get("mask"), dev.get("labels"), dev.get("frame_step"),
+                dev.get("global_context"))
         t0 = time.time()
         compiled = model._jit_step.lower(*args).compile()
     elif a.workload in ("cm", "sc"):
