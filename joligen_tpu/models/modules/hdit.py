@@ -109,6 +109,25 @@ def apply_rope(x, theta):
     return jnp.concatenate([y1, y2, rest], axis=-1)
 
 
+def _shifted_window_mask(nwh, nww, wsz, shift):
+    """Boolean allow-mask (nwh*nww, wsz*wsz, wsz*wsz) replicating the
+    reference make_shifted_window_masks (hdit.py:307-338): after the
+    +shift roll, tokens at h/w < shift in the top/left patches are
+    wrapped and may only attend within their wrap group."""
+    ph, pw, qh, qw_, kh, kw = np.meshgrid(
+        np.arange(nwh), np.arange(nww), np.arange(wsz), np.arange(wsz),
+        np.arange(wsz), np.arange(wsz), indexing="ij")
+    is_top = ph == 0
+    is_left = pw == 0
+    q_up, k_up = qh < shift, kh < shift
+    q_lf, k_lf = qw_ < shift, kw < shift
+    m = ((is_left & is_top & (q_lf == k_lf) & (q_up == k_up))
+         | (is_left & ~is_top & (q_lf == k_lf))
+         | (~is_left & is_top & (q_up == k_up))
+         | (~is_left & ~is_top))
+    return m.reshape(nwh * nww, wsz * wsz, wsz * wsz)
+
+
 def rms_norm(x, scale, eps=1e-6):
     """x * scale / rms(x) with fp32 statistics (reference hdit.py:127-131)."""
     f32 = x.astype(jnp.float32)
@@ -186,26 +205,26 @@ class HDiTBlock(nn.Module):
         v = v.transpose(0, 2, 1, 3)
 
         if self.window and self.window < min(gh, gw):
+            # Reference apply_window_attention (hdit.py:295-360): roll by
+            # +shift before windowing (wrapped tokens land in the TOP/LEFT
+            # patches at coords < shift), Swin seam mask separating wrap
+            # groups, roll back by -shift after.
             wsz = self.window
+            shift = self.shift
             nwh, nww = gh // wsz, gw // wsz
-            shift = self.shift % wsz
 
             def to_windows(z):
                 z = z.reshape(b, gh, gw, self.num_heads, hd)
                 if shift:
-                    z = jnp.roll(z, (-shift, -shift), axis=(1, 2))
+                    z = jnp.roll(z, (shift, shift), axis=(1, 2))
                 z = z.reshape(b, nwh, wsz, nww, wsz, self.num_heads, hd)
                 z = z.transpose(0, 1, 3, 2, 4, 5, 6)
                 return z.reshape(b * nwh * nww, wsz * wsz, self.num_heads, hd)
 
             qw, kw, vw = map(to_windows, (q, k, v))
             if shift:
-                # Swin seam mask: cyclically wrapped tokens (opposite image
-                # borders rolled into one window) must not attend to each
-                # other. Windows are tiny (wsz^2 tokens), so the XLA fused
-                # path with an additive bias beats the Pallas kernel here.
-                from .mat import _shift_attn_bias
-                bias = _shift_attn_bias(gh, gw, wsz, shift)
+                allow = _shifted_window_mask(nwh, nww, wsz, shift)
+                bias = jnp.where(jnp.asarray(allow), 0.0, -jnp.inf)
                 bias = jnp.tile(bias, (b, 1, 1))[:, None].astype(qw.dtype)
                 aw = jax.nn.dot_product_attention(qw, kw, vw, bias=bias,
                                                   scale=1.0)
@@ -213,9 +232,9 @@ class HDiTBlock(nn.Module):
                 aw = jax.nn.dot_product_attention(qw, kw, vw, scale=1.0)
             a = aw.reshape(b, nwh, nww, wsz, wsz, self.num_heads, hd)
             a = a.transpose(0, 1, 3, 2, 4, 5, 6)
+            a = a.reshape(b, gh, gw, self.num_heads, hd)
             if shift:
-                a = a.reshape(b, gh, gw, self.num_heads, hd)
-                a = jnp.roll(a, (shift, shift), axis=(1, 2))
+                a = jnp.roll(a, (-shift, -shift), axis=(1, 2))
             a = a.reshape(b, t, d)
         else:
             a = jax.nn.dot_product_attention(q, k, v, scale=1.0)
@@ -230,7 +249,7 @@ class HDiTBlock(nn.Module):
         u = nn.Dense(2 * d * 3, use_bias=False, dtype=self.dtype,
                      name="ff_in")(h)
         uu, gate = jnp.split(u, 2, axis=-1)
-        h = uu * nn.gelu(gate)
+        h = uu * nn.gelu(gate, approximate=False)   # reference F.gelu (erf)
         if self.dropout > 0:
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = nn.Dense(d, use_bias=False, dtype=self.dtype,
@@ -255,7 +274,8 @@ class MappingNetwork(nn.Module):
             uu, gate = jnp.split(u, 2, axis=-1)
             h = nn.Dense(d, use_bias=False, dtype=self.dtype,
                          kernel_init=nn.initializers.zeros,
-                         name=f"down{i}")(uu * nn.gelu(gate))
+                         name=f"down{i}")(uu * nn.gelu(gate,
+                                                      approximate=False))
             x = x + h
         return RMSNorm(name="out_norm")(x)
 
@@ -301,7 +321,7 @@ class HDiT(nn.Module):
 
     @nn.compact
     def __call__(self, x, t=None, y=None, deterministic=True,
-                 extract_layer_ids=None):
+                 extract_layer_ids=None, emb=None):
         b, H, W, C = x.shape
         p = self.patch_size
         gh, gw = H // p, W // p
@@ -312,7 +332,11 @@ class HDiT(nn.Module):
                      name="patch_in")(patches)
 
         mw = self.widths[-1]
-        if t is None:
+        if emb is not None:
+            # precomputed conditioning fed straight to the mapping network
+            # (the reference's embed_gammas path, hdit.py:866-881)
+            c = emb.astype(self.dtype)
+        elif t is None:
             # GAN mode: constant conditioning (reference compute_feats
             # passes embed_gammas = ones into the mapping network)
             c = jnp.ones((b, mw), self.dtype)
@@ -333,8 +357,10 @@ class HDiT(nn.Module):
         cur_gh, cur_gw = gh, gw
 
         def shift_for(index):
-            # layer index continues from encoder into decoder
-            # (reference hdit.py:546-560: up layers get index i+depth)
+            # ShiftedWindowTransformerLayer derives the shift from the
+            # layer index (hdit.py:551: window//2 for odd layers); the
+            # index continues from encoder into decoder (layer_factory(i)
+            # down, layer_factory(i+depth) up)
             return self.window // 2 if index % 2 == 1 else 0
 
         # encoder levels (shifted-window attention)

@@ -42,7 +42,9 @@ class GEGLU(nn.Module):
     def __call__(self, x):
         h = nn.Dense(2 * self.dim_out, dtype=self.dtype, name="proj")(x)
         a, gate = jnp.split(h, 2, axis=-1)
-        return a * nn.gelu(gate)
+        # exact (erf) gelu — reference GEGLU uses F.gelu's default
+        # (vit_vid.py:618-640), not the tanh approximation
+        return a * nn.gelu(gate, approximate=False)
 
 
 class TemporalSelfAttention(nn.Module):

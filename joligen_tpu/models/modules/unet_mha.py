@@ -16,6 +16,7 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 zeros_init = nn.initializers.zeros
@@ -216,29 +217,108 @@ class AttentionBlock(nn.Module):
         return x + a.reshape(n, h, w, c)
 
 
-class TransformerBlock(nn.Module):
-    """UViT middle block: attention + MLP residual pair with FiLM timestep
-    conditioning (reference unet_generator_attn.py:283-330 AttentionBlock
-    with use_transformer=True)."""
+def sinu_pos_encoding_1d(n, channels):
+    """Interleaved [sin f0, cos f0, sin f1, ...] 1D table — the
+    positional_encodings package's PositionalEncoding1D used by the
+    reference UViT (unet_generator_attn.py:877-878,975-977)."""
+    ch = int(np.ceil(channels / 2) * 2)
+    inv = 1.0 / (10000 ** (np.arange(0, ch, 2, dtype=np.float64) / ch))
+    sin_inp = np.arange(n, dtype=np.float64)[:, None] * inv[None]
+    emb = np.stack([np.sin(sin_inp), np.cos(sin_inp)], -1).reshape(n, ch)
+    return emb[:, :channels].astype(np.float32)
+
+
+def _uvit_layernorm(x):
+    """Reference LayerNorm(scale=False) (unet_generator_attn.py:714-731):
+    fp32 stats over the last dim, rsqrt of var CLAMPED at eps (not
+    var+eps), no affine."""
+    x32 = x.astype(jnp.float32)
+    mean = x32.mean(axis=-1, keepdims=True)
+    var = x32.var(axis=-1, keepdims=True)
+    return ((x32 - mean)
+            * jax.lax.rsqrt(jnp.clip(var, 1e-5))).astype(x.dtype)
+
+
+class UViTFeedForward(nn.Module):
+    """Reference UViT FeedForward (unet_generator_attn.py:734-763):
+    NON-residual token MLP — LayerNorm(no scale) -> bias-free Dense(4C) ->
+    SiLU -> FiLM on the HIDDEN dim (zero-init from emb) -> bias-free
+    Dense(C). Output REPLACES the input (EmbedSequential chaining)."""
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, emb):
+        c = x.shape[-1]
+        h = _uvit_layernorm(x)
+        h = nn.silu(nn.Dense(4 * c, use_bias=False, dtype=self.dtype,
+                             name="proj_in")(h))
+        e = nn.Dense(8 * c, dtype=self.dtype, kernel_init=zeros_init,
+                     bias_init=zeros_init,
+                     name="to_scale_shift")(nn.silu(emb))
+        scale, shift = jnp.split(e[:, None, :], 2, axis=-1)
+        h = h * (scale + 1) + shift
+        return nn.Dense(c, use_bias=False, dtype=self.dtype,
+                        name="proj_out")(h)
+
+
+class UViTAttention(nn.Module):
+    """Reference UViT middle attention (AttentionBlock with
+    use_transformer=True, unet_generator_attn.py:269-319): the (B, N, C)
+    token buffer is REINTERPRETED (reshape, not transpose) as (B, C, N),
+    InstanceNorm1d'd per channel, 1x1-conv qkv'd, QKVAttentionLegacy'd
+    with the double-sqrt scale, zero-init projected, residually added,
+    and reinterpreted back. The reshapes are memory reinterpretations in
+    the reference; parity requires reproducing them exactly."""
     num_heads: int = 1
     num_head_channels: int = -1
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, emb):
-        h = AttentionBlock(num_heads=self.num_heads,
-                           num_head_channels=self.num_head_channels,
-                           dtype=self.dtype, name="attn")(x)
-        n, hh, ww, c = h.shape
-        y = _norm("groupnorm", 32)(h)
-        e = nn.Dense(2 * c, dtype=self.dtype, name="emb_proj")(nn.silu(emb))
-        scale, shift = jnp.split(e[:, None, None, :], 2, axis=-1)
-        y = y * (1 + scale) + shift
-        y = nn.Dense(4 * c, dtype=self.dtype, name="mlp_in")(y)
-        y = nn.gelu(y)
-        y = nn.Dense(c, dtype=self.dtype, kernel_init=zeros_init,
-                     bias_init=zeros_init, name="mlp_out")(y)
-        return h + y
+    def __call__(self, z):
+        b, n, c = z.shape
+        za = z.reshape(b, c, n)            # memory reinterpretation
+        # InstanceNorm1d (no affine): fp32 stats per channel over length
+        za32 = za.astype(jnp.float32)
+        mu = za32.mean(axis=-1, keepdims=True)
+        var = za32.var(axis=-1, keepdims=True)
+        zn = ((za32 - mu) * jax.lax.rsqrt(var + 1e-5)).astype(self.dtype)
+
+        heads = (self.num_heads if self.num_head_channels == -1
+                 else max(1, c // self.num_head_channels))
+        hd = c // heads
+        wq = self.param("qkv_kernel", nn.initializers.lecun_normal(),
+                        (3 * c, c)).astype(self.dtype)
+        bq = self.param("qkv_bias", zeros_init, (3 * c,)).astype(self.dtype)
+        qkv = jnp.einsum("oc,bcn->bon", wq, zn) + bq[None, :, None]
+        # QKVAttentionLegacy: (B, heads*3*hd, N) -> (B*heads, 3hd, N)
+        qkv = qkv.reshape(b * heads, 3 * hd, n)
+        q, k, v = jnp.split(qkv, 3, axis=1)
+        scale = 1.0 / jnp.sqrt(jnp.sqrt(jnp.asarray(hd, jnp.float32)))
+        w = jnp.einsum("bct,bcs->bts", (q * scale).astype(jnp.float32),
+                       (k * scale).astype(jnp.float32))
+        w = jax.nn.softmax(w, axis=-1).astype(self.dtype)
+        a = jnp.einsum("bts,bcs->bct", w, v).reshape(b, c, n)
+        wo = self.param("proj_kernel", zeros_init, (c, c)).astype(self.dtype)
+        bo = self.param("proj_bias", zeros_init, (c,)).astype(self.dtype)
+        a = jnp.einsum("oc,bcn->bon", wo, a) + bo[None, :, None]
+        return (za + a).reshape(b, n, c)   # reinterpretation back
+
+
+class TransformerBlock(nn.Module):
+    """One UViT middle entry: EmbedSequential(FeedForward, AttentionBlock)
+    — FF first (non-residual), then attention (reference
+    unet_generator_attn.py:879-893). Operates on the (B, N, C) token
+    buffer produced by UNetMHA's CHW-memory reshape."""
+    num_heads: int = 1
+    num_head_channels: int = -1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, z, emb):
+        z = UViTFeedForward(dtype=self.dtype, name="ff")(z, emb)
+        return UViTAttention(num_heads=self.num_heads,
+                             num_head_channels=self.num_head_channels,
+                             dtype=self.dtype, name="attn")(z)
 
 
 class UNetMHA(nn.Module):
@@ -332,19 +412,23 @@ class UNetMHA(nn.Module):
         h = nn.Conv(ch, (3, 3), padding=1, dtype=self.dtype, name="in_conv")(x)
         hs = [h]
         ds = 1
+        # Reference UViT (unet_generator_attn.py:835-923) has NO
+        # encoder/decoder attention and always uses plain conv resampling,
+        # regardless of attn_res / resblock_updown.
+        is_uvit = self.transformer_blocks > 0
         # encoder
         for level, mult in enumerate(self.channel_mults):
             for _ in range(self.res_blocks[level]):
                 ch = int(mult * self.inner_channel)
                 h = Res(out_channel=ch, **args)(h, emb, deterministic)
-                if ds in self.attn_res:
+                if ds in self.attn_res and not is_uvit:
                     h = Attn(num_heads=self.num_heads,
                                        num_head_channels=self.num_head_channels,
                                        norm_kind=self.attn_norm,
                                        dtype=self.dtype)(h)
                 hs.append(h)
             if level != len(self.channel_mults) - 1:
-                if self.resblock_updown:
+                if self.resblock_updown and not is_uvit:
                     h = Res(out_channel=ch, down=True, **args)(h, emb, deterministic)
                 else:
                     h = Downsample(ch, freq_space=self.freq_space,
@@ -357,10 +441,19 @@ class UNetMHA(nn.Module):
 
         # middle
         if self.transformer_blocks > 0:   # UViT variant
+            # Reference UViT tokenization (unet_generator_attn.py:973-982):
+            # the NCHW buffer is reshaped (B, H*W, C) WITHOUT a transpose —
+            # tokens are contiguous C-sized chunks of the CHW-flat volume —
+            # then the positional_encodings-package 1D table is added.
+            n_, hh_, ww_, c_ = h.shape
+            z = h.transpose(0, 3, 1, 2).reshape(n_, hh_ * ww_, c_)
+            z = z + jnp.asarray(sinu_pos_encoding_1d(hh_ * ww_, c_),
+                                z.dtype)[None]
             for ti in range(self.transformer_blocks):
-                h = TransformerBlock(num_heads=self.num_heads,
+                z = TransformerBlock(num_heads=self.num_heads,
                                      num_head_channels=self.num_head_channels,
-                                     dtype=self.dtype, name=f"mid_t{ti}")(h, emb)
+                                     dtype=self.dtype, name=f"mid_t{ti}")(z, emb)
+            h = z.reshape(n_, c_, hh_, ww_).transpose(0, 2, 3, 1)
         else:
             h = Res(out_channel=ch, dropout=self.dropout, **args)(h, emb, deterministic)
             h = Attn(num_heads=self.num_heads,
@@ -375,13 +468,13 @@ class UNetMHA(nn.Module):
                 h = jnp.concatenate([h, skip.astype(h.dtype)], axis=-1)
                 ch = int(mult * self.inner_channel)
                 h = Res(out_channel=ch, **args)(h, emb, deterministic)
-                if ds in self.attn_res:
+                if ds in self.attn_res and not is_uvit:
                     h = Attn(num_heads=self.num_heads,
                                        num_head_channels=self.num_head_channels,
                                        norm_kind=self.attn_norm,
                                        dtype=self.dtype)(h)
                 if level and i == self.res_blocks[level]:
-                    if self.resblock_updown:
+                    if self.resblock_updown and not is_uvit:
                         h = Res(out_channel=ch, up=True, **args)(h, emb, deterministic)
                     else:
                         h = Upsample(ch, freq_space=self.freq_space,

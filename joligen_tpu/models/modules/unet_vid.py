@@ -121,13 +121,14 @@ class UNetVid(nn.Module):
                 hs.append(h)
                 ds *= 2
 
-        # middle
+        # middle — ResBlock, Attention, ResBlock; the reference has NO
+        # motion module in the middle block (unet_generator_attn_vid.py:
+        # 1234-1263)
         h = Res(out_channel=ch, dropout=self.dropout, **args)(h, emb_bf, deterministic)
         h = AttentionBlock(norm_kind=self.attn_norm,
                            num_heads=self.num_heads,
                            num_head_channels=self.num_head_channels,
                            dtype=self.dtype)(h)
-        h = fold(MotionModule(**motion_args, name="motion_mid")(unfold(h)))
         h = Res(out_channel=ch, dropout=self.dropout, **args)(h, emb_bf, deterministic)
 
         # decoder

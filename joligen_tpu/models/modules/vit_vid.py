@@ -23,7 +23,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ...ops.schedules import timestep_embedding
-from .jit import JiTBlock, RMSNorm, modulate, sincos_2d_pos_embed
+from .jit import (JiTBlock, RMSNorm, axial_rope_tables, modulate,
+                  sincos_2d_pos_embed)
 from .motion import TemporalTransformerBlock
 
 zeros_init = nn.initializers.zeros
@@ -36,6 +37,8 @@ JiTVid_VARIANT_CONFIGS = {
         num_heads={"B": 12, "L": 16, "H": 16}[k.split("-")[1].split("/")[0]],
         bottleneck_dim={"B": 128, "L": 128, "H": 256}[k.split("-")[1].split("/")[0]],
         patch_size=int(k.split("/")[1]),
+        in_context_len=32,
+        in_context_start={"B": 4, "L": 8, "H": 10}[k.split("-")[1].split("/")[0]],
     )
     for k in ("JiT-B/2", "JiT-B/4", "JiT-B/8", "JiT-B/16", "JiT-B/32",
               "JiT-L/16", "JiT-L/32", "JiT-H/16", "JiT-H/32")
@@ -54,9 +57,15 @@ class TokenMotionModule(nn.Module):
     def __call__(self, x):
         b, f, t, d = x.shape
         res = x
-        # fp32 statistics, compute-dtype IO (flax accumulates stats in
-        # fp32 regardless; see unet_mha.GroupNorm32)
-        y = nn.LayerNorm(dtype=self.dtype, name="norm")(x.astype(self.dtype))
+        # Reference TemporalTransformer3DModel normalizes the token grid
+        # with GroupNorm(32) over the channel dim, stats per (b, f) sample
+        # over (tokens, d/groups) (vit_vid.py:375-407) — NOT LayerNorm.
+        groups = 32
+        while d % groups:
+            groups -= 1
+        y = nn.GroupNorm(num_groups=groups, epsilon=1e-6, dtype=self.dtype,
+                         name="norm")(
+            x.reshape(b * f, t, d).astype(self.dtype)).reshape(x.shape)
         y = nn.Dense(d, dtype=self.dtype, name="proj_in")(y)
         y = y.transpose(0, 2, 1, 3).reshape(b * t, f, d)
         for i in range(self.num_layers):
@@ -106,7 +115,9 @@ class _BottleneckPatchEmbed(nn.Module):
         gh, gw = H // p, W // p
         patches = x.reshape(n, gh, p, gw, p, C).transpose(0, 1, 3, 2, 4, 5)
         patches = patches.reshape(n, gh * gw, p * p * C).astype(self.dtype)
-        h = nn.Dense(self.bottleneck_dim, dtype=self.dtype, name="proj1")(patches)
+        # proj1 is bias-free, proj2 biased (vit_vid.py BottleneckPatchEmbed)
+        h = nn.Dense(self.bottleneck_dim, use_bias=False, dtype=self.dtype,
+                     name="proj1")(patches)
         return nn.Dense(self.hidden_size, dtype=self.dtype, name="proj2")(h)
 
 
@@ -121,6 +132,8 @@ class JiTViD(nn.Module):
     bottleneck_dim: int = 128
     num_classes: int = 1
     num_register_tokens: int = 0
+    in_context_len: int = 32
+    in_context_start: int = 4
     out_channels: Optional[int] = None
     mask_size_conditioning: bool = False
     temporal_frame_step_conditioning: bool = False
@@ -145,15 +158,19 @@ class JiTViD(nn.Module):
         # explicit G_vit_* attrs override the variant table
         # (reference diffusion_networks.py:308-330)
         for key in ("depth", "hidden_size", "num_heads", "patch_size",
-                    "bottleneck_dim"):
+                    "bottleneck_dim", "in_context_len", "in_context_start"):
             v = getattr(opt, f"G_vit_{key}", None)
             if v is not None:
                 cfg[key] = v
+        if getattr(opt, "G_vit_disable_bottleneck", False):
+            cfg["bottleneck_dim"] = cfg["hidden_size"]
         gcm = getattr(opt, "alg_b2b_global_context_mode", "") or "none"
         return cls(
             patch_size=cfg["patch_size"], hidden_size=cfg["hidden_size"],
             depth=cfg["depth"], num_heads=cfg["num_heads"],
             bottleneck_dim=cfg["bottleneck_dim"],
+            in_context_len=cfg.get("in_context_len", 32),
+            in_context_start=cfg.get("in_context_start", 4),
             num_classes=max(1, getattr(opt, "G_vit_num_classes", 1)),
             num_register_tokens=getattr(opt, "G_vit_num_register_tokens", 0),
             out_channels=opt.model_output_nc,
@@ -171,20 +188,26 @@ class JiTViD(nn.Module):
             remat=getattr(opt, "tpu_remat", False),
             dtype=dtype)
 
-    def _segments(self):
-        """Split depth into scanned segments separated by motion modules.
-        Returns list of (n_blocks, has_motion_after)."""
+    def _segments(self, split_at):
+        """Split depth into scanned segments separated by motion modules
+        AND by the prefix-insertion block. Returns a list of
+        (start, end, has_motion_after): blocks [start, end) run as one
+        ``nn.scan``, then a motion module if has_motion_after (reference
+        vit_vid.py:1040-1055 motion_insert_layers; insertion boundary
+        vit_vid.py:1296-1318)."""
         if self.motion_every <= 0:
-            return [(self.depth, True)]
-        inserts = sorted({i for i in range(self.depth)
-                          if (i + 1) % self.motion_every == 0} | {self.depth - 1})
-        segs, prev = [], -1
-        for i in inserts:
-            segs.append((i - prev, True))
-            prev = i
-        if prev < self.depth - 1:
-            segs.append((self.depth - 1 - prev, False))
-        return segs
+            motion_after = {self.depth - 1}
+        else:
+            motion_after = {i for i in range(self.depth)
+                            if (i + 1) % self.motion_every == 0}
+            motion_after.add(self.depth - 1)
+        bounds = {0, self.depth}
+        bounds |= {i + 1 for i in motion_after if i + 1 < self.depth}
+        if 0 < split_at < self.depth:
+            bounds.add(split_at)
+        bounds = sorted(bounds)
+        return [(a, b, (b - 1) in motion_after)
+                for a, b in zip(bounds[:-1], bounds[1:])]
 
     @nn.compact
     def __call__(self, x, t, y=None, mask_size=None, temporal_frame_step=None,
@@ -202,23 +225,25 @@ class JiTViD(nn.Module):
         pos = sincos_2d_pos_embed(d, gh, gw)
         h = h + jnp.asarray(pos, h.dtype)[None]
 
-        # ---- conditioning vector c per (B*F)
+        # ---- conditioning vector c per (B*F). The reference embeds RAW
+        # fractional t (vit_vid.py TimestepEmbedder) — no x1000 scaling.
         t = jnp.asarray(t)
         if t.ndim == 1:                         # (B,) -> per-frame
             t = jnp.repeat(t, F)
         else:                                   # (B,F)
             t = t.reshape(bf)
-        t_emb = timestep_embedding(t * 1000.0, 256)
+        t_emb = timestep_embedding(t, 256)
         t_emb = nn.Dense(d, dtype=self.dtype, name="t_0")(t_emb)
         c = nn.Dense(d, dtype=self.dtype, name="t_1")(nn.silu(t_emb))
 
-        if self.num_classes > 1:
-            ytab = self.param("y_embed", nn.initializers.normal(0.02),
-                              (self.num_classes + 1, d))
-            if y is None:
-                y = jnp.full((B,), self.num_classes, jnp.int32)
-            yf = jnp.repeat(y, F) if y.shape[0] == B else y
-            c = c + jnp.take(ytab, yf, axis=0).astype(c.dtype)
+        # class table always exists (vit_vid.py LabelEmbedder)
+        ytab = self.param("y_embed", nn.initializers.normal(0.02),
+                          (self.num_classes + 1, d))
+        if y is None:
+            y = jnp.full((B,), self.num_classes, jnp.int32)
+        yf = jnp.repeat(y, F) if y.shape[0] == B else y
+        y_emb = jnp.take(ytab, yf, axis=0).astype(c.dtype)
+        c = c + y_emb
 
         if self.mask_size_conditioning:
             if mask_size is None:
@@ -254,56 +279,107 @@ class JiTViD(nn.Module):
                 gc = gc.reshape((bf,) + gc.shape[2:])
             c = c + GlobalContextEncoder(d, dtype=self.dtype, name="gc_enc")(gc)
 
-        # ---- prefix tokens: register + object-ref + global-context tokens
-        n_prefix = 0
-        prefix = []
-        if self.num_register_tokens > 0:
-            reg = self.param("register_tokens", nn.initializers.normal(0.02),
-                             (1, self.num_register_tokens, d))
-            prefix.append(jnp.tile(reg.astype(h.dtype), (bf, 1, 1)))
-            n_prefix += self.num_register_tokens
-        if self.object_ref_num_images > 0 and object_ref is not None:
-            # object_ref: (B, N, s, s, 3) shared across frames
-            n_ref = object_ref.shape[1]
-            o = object_ref.reshape((B * n_ref,) + object_ref.shape[2:])
-            otok = _BottleneckPatchEmbed(self.bottleneck_dim, d, p,
-                                         dtype=self.dtype, name="oref_embed")(o)
-            otok = otok.reshape(B, -1, d)
-            opos = self.param("oref_posemb", nn.initializers.normal(0.02),
-                              (1, otok.shape[1], d))
-            otype = self.param("oref_type", nn.initializers.normal(0.02),
-                               (1, 1, d))
-            otok = otok + opos.astype(otok.dtype) + otype.astype(otok.dtype)
-            prefix.append(jnp.repeat(otok, F, axis=0))
-            n_prefix += otok.shape[1]
-        if self.global_context_mode == "tokens" and global_context is not None:
-            gc = global_context
-            if gc.ndim == 4:
-                gc = jnp.repeat(gc, F, axis=0)
-            else:
-                gc = gc.reshape((bf,) + gc.shape[2:])
-            gtok = _BottleneckPatchEmbed(self.bottleneck_dim, d, p,
-                                         dtype=self.dtype, name="gc_embed")(gc)
-            gpos = self.param("gc_posemb", nn.initializers.normal(0.02),
-                              (1, gtok.shape[1], d))
-            gtype = self.param("gc_type", nn.initializers.normal(0.02),
-                               (1, 1, d))
-            prefix.append(gtok + gpos.astype(gtok.dtype) + gtype.astype(gtok.dtype))
-            n_prefix += gtok.shape[1]
-        if prefix:
-            h = jnp.concatenate(prefix + [h], axis=1)
+        # ---- prefix tokens, reference order [registers, global-context,
+        # object-refs, in-context] (vit_vid.py:1296-1318), inserted at
+        # block ``in_context_start`` — NOT at the input
+        def _build_prefix():
+            n_prefix, prefix = 0, []
+            if self.num_register_tokens > 0:
+                reg = self.param("register_tokens",
+                                 nn.initializers.normal(0.02),
+                                 (1, self.num_register_tokens, d))
+                prefix.append(jnp.tile(reg.astype(h.dtype), (bf, 1, 1)))
+                n_prefix += self.num_register_tokens
+            if self.global_context_mode == "tokens":
+                # tokens are ALWAYS inserted in this mode — zero context
+                # image when absent (vit_vid.py:1183-1196)
+                gc = global_context
+                if gc is None:
+                    s = self.global_context_size
+                    gc = jnp.zeros((bf, s, s, 3), jnp.float32)
+                elif gc.ndim == 4:
+                    gc = jnp.repeat(gc, F, axis=0)
+                else:
+                    gc = gc.reshape((bf,) + gc.shape[2:])
+                gtok = _BottleneckPatchEmbed(self.bottleneck_dim, d, p,
+                                             dtype=self.dtype, name="gc_embed")(gc)
+                gpos = self.param("gc_posemb", nn.initializers.normal(0.02),
+                                  (1, gtok.shape[1], d))
+                gtype = self.param("gc_type", nn.initializers.normal(0.02),
+                                   (1, 1, d))
+                prefix.append(gtok + gpos.astype(gtok.dtype)
+                              + gtype.astype(gtok.dtype))
+                n_prefix += gtok.shape[1]
+            if self.object_ref_num_images > 0:
+                # object_ref: (B, N, s, s, 3) shared across frames; zero
+                # refs when absent (vit_vid.py:1198-1232)
+                if object_ref is None:
+                    object_ref = jnp.zeros(
+                        (B, self.object_ref_num_images, self.object_ref_size,
+                         self.object_ref_size, 3), jnp.float32)
+                n_ref = object_ref.shape[1]
+                o = object_ref.reshape((B * n_ref,) + object_ref.shape[2:])
+                otok = _BottleneckPatchEmbed(self.bottleneck_dim, d, p,
+                                             dtype=self.dtype,
+                                             name="oref_embed")(o)
+                otok = otok.reshape(B, -1, d)
+                opos = self.param("oref_posemb", nn.initializers.normal(0.02),
+                                  (1, otok.shape[1], d))
+                otype = self.param("oref_type", nn.initializers.normal(0.02),
+                                   (1, 1, d))
+                otok = otok + opos.astype(otok.dtype) + otype.astype(otok.dtype)
+                prefix.append(jnp.repeat(otok, F, axis=0))
+                n_prefix += otok.shape[1]
+            if self.in_context_len > 0:
+                icp = self.param("in_context_posemb",
+                                 nn.initializers.normal(0.02),
+                                 (1, self.in_context_len, d))
+                ctx = (jnp.tile(y_emb[:, None, :], (1, self.in_context_len, 1))
+                       + icp.astype(h.dtype))
+                prefix.append(ctx)
+                n_prefix += self.in_context_len
+            return n_prefix, prefix
 
-        # ---- transformer segments with motion modules between
+        would_insert = (self.num_register_tokens > 0
+                        or self.in_context_len > 0
+                        or self.global_context_mode == "tokens"
+                        or self.object_ref_num_images > 0)
+        split_at = self.in_context_start if would_insert else self.depth
+
+        hd = d // self.num_heads
+        cos0, sin0 = axial_rope_tables(gh, gw, hd, prefix=0)
+        cos0, sin0 = jnp.asarray(cos0), jnp.asarray(sin0)
+        cos1 = sin1 = None
+
+        # ---- transformer segments (split at motion inserts and at the
+        # prefix-insertion block) with motion modules between
         Block = JiTBlock
         if self.remat:
             Block = nn.remat(JiTBlock, prevent_cse=False)
+
+        class _Scanned(nn.Module):
+            num_heads: int
+            dtype: jnp.dtype = jnp.float32
+
+            @nn.compact
+            def __call__(self, x, c, rc, rs):
+                return Block(num_heads=self.num_heads, dtype=self.dtype,
+                             name="block")(x, c, rc, rs), None
+
         share_motion = self.motion_every <= 0
-        for si, (n_blocks, has_motion) in enumerate(self._segments()):
-            Scan = nn.scan(Block, variable_axes={"params": 0},
-                           split_rngs={"params": True}, length=n_blocks,
-                           in_axes=nn.broadcast)
+        n_prefix = 0
+        for si, (a, b2, has_motion) in enumerate(self._segments(split_at)):
+            if a == split_at and a < self.depth and would_insert:
+                n_prefix, prefix = _build_prefix()
+                h = jnp.concatenate(prefix + [h], axis=1)
+                cs, ss = axial_rope_tables(gh, gw, hd, prefix=n_prefix)
+                cos1, sin1 = jnp.asarray(cs), jnp.asarray(ss)
+            rc, rs = (cos1, sin1) if (a >= split_at and n_prefix) else (cos0, sin0)
+            Scan = nn.scan(_Scanned, variable_axes={"params": 0},
+                           split_rngs={"params": True}, length=b2 - a,
+                           in_axes=(nn.broadcast,) * 3)
             h, _ = Scan(num_heads=self.num_heads, dtype=self.dtype,
-                        name=f"blocks{si}")(h, c)
+                        name=f"blocks{si}")(h, c, rc, rs)
             if has_motion:
                 pre = h[:, :n_prefix] if n_prefix else None
                 tok = h[:, n_prefix:].reshape(B, F, gh * gw, d)
@@ -321,7 +397,7 @@ class JiTViD(nn.Module):
         mod = nn.Dense(2 * d, dtype=self.dtype, kernel_init=zeros_init,
                        name="final_adaLN")(nn.silu(c))
         shift, scale = jnp.split(mod, 2, axis=-1)
-        h = modulate(RMSNorm(scale=False, name="final_norm")(h), shift, scale)
+        h = modulate(RMSNorm(name="final_norm")(h), shift, scale)
         h = nn.Dense(p * p * out_c, dtype=self.dtype, kernel_init=zeros_init,
                      name="final_proj")(h)
         h = h.reshape(bf, gh, gw, p, p, out_c).transpose(0, 1, 3, 2, 4, 5)

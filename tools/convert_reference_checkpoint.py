@@ -145,6 +145,64 @@ def map_unet(sd, res_blocks, channel_mults, attn_res, num_heads,
     return out
 
 
+def map_uvit(sd, res_blocks, channel_mults, prefix="denoise_fn.model."):
+    """Reference UViT (unet_generator_attn.py:765-1010) -> UNetMHA params
+    with transformer_blocks>0. UViT has NO encoder/decoder attention,
+    plain conv resampling (Downsample.op / Upsample.conv), and an
+    EmbedSequential(FeedForward, AttentionBlock) middle stack on the
+    CHW-memory token reshape."""
+    sd = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+    out = {"in_conv": _conv(sd, "input_blocks.0.0"),
+           "GroupNorm32_0": _gn(sd, "out.0.norm"),
+           "out_proj": _conv(sd, "out.2")}
+    res_i = down_i = up_i = 0
+    ib = 1
+    for level in range(len(channel_mults)):
+        for _ in range(res_blocks[level]):
+            out[f"ResBlock_{res_i}"] = convert_resblock(
+                sd, f"input_blocks.{ib}.0")
+            res_i += 1
+            ib += 1
+        if level != len(channel_mults) - 1:
+            out[f"Downsample_{down_i}"] = {
+                "Conv_0": _conv(sd, f"input_blocks.{ib}.0.op")}
+            down_i += 1
+            ib += 1
+    ti = 0
+    while f"middle_blocks.{ti}.0.proj_in.0.weight" in sd:
+        p = f"middle_blocks.{ti}"
+        qkv_w = np.asarray(sd[p + ".1.qkv.weight"])[:, :, 0]
+        proj_w = np.asarray(sd[p + ".1.proj_out.weight"])[:, :, 0]
+        out[f"mid_t{ti}"] = {
+            "ff": {
+                "proj_in": {"kernel": np.asarray(
+                    sd[p + ".0.proj_in.0.weight"]).T},
+                "to_scale_shift": _linear(sd, p + ".0.to_scale_shift.1"),
+                "proj_out": {"kernel": np.asarray(
+                    sd[p + ".0.proj_out.1.weight"]).T},
+            },
+            "attn": {
+                "qkv_kernel": qkv_w,
+                "qkv_bias": np.asarray(sd[p + ".1.qkv.bias"]),
+                "proj_kernel": proj_w,
+                "proj_bias": np.asarray(sd[p + ".1.proj_out.bias"]),
+            },
+        }
+        ti += 1
+    ob = 0
+    for level in reversed(range(len(channel_mults))):
+        for i in range(res_blocks[level] + 1):
+            out[f"ResBlock_{res_i}"] = convert_resblock(
+                sd, f"output_blocks.{ob}.0")
+            res_i += 1
+            if level and i == res_blocks[level]:
+                out[f"Upsample_{up_i}"] = {
+                    "Conv_0": _conv(sd, f"output_blocks.{ob}.1.conv")}
+                up_i += 1
+            ob += 1
+    return out
+
+
 def map_palette_g(sd, opt):
     params = {"inner": map_unet(
         sd, list(opt.G_unet_mha_res_blocks),
