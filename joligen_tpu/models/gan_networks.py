@@ -76,8 +76,10 @@ def define_G(opt):
             dtype=dtype)
     if netG == "hat":
         from .modules.hat import HAT
-        return HAT(out_channels=opt.model_output_nc,
-                   window_size=min(16, max(4, opt.data_crop_size // 8)),
+        # reference config (gan_networks.py:264-273): window_size=16,
+        # upsampler=pixelshuffle with default upscale 1; small crops are
+        # handled by HAT's internal window clamp
+        return HAT(out_channels=opt.model_output_nc, window_size=16,
                    upscale=1, dtype=dtype)
     if netG == "ittr":
         from .modules.ittr import ITTRGenerator

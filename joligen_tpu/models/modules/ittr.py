@@ -16,11 +16,29 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .resnet_generator import InstanceNorm
+from .resnet_generator import InstanceNorm, TorchConvTranspose
 
 
 def l2norm(t, axis=-1, eps=1e-12):
-    return t / jnp.sqrt(jnp.sum(t * t, axis=axis, keepdims=True) + eps)
+    # F.normalize: x / max(||x||, eps)
+    n = jnp.sqrt(jnp.sum(t * t, axis=axis, keepdims=True))
+    return t / jnp.maximum(n, eps)
+
+
+class ChanLayerNorm(nn.Module):
+    """Reference ChanLayerNorm (ittr_generator.py:34-44): affine LN over
+    the channel dim, biased var, eps INSIDE the sqrt, eps=1e-5."""
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        g = self.param("g", nn.initializers.ones, (x.shape[-1],))
+        b = self.param("b", nn.initializers.zeros, (x.shape[-1],))
+        f32 = x.astype(jnp.float32)
+        mean = f32.mean(axis=-1, keepdims=True)
+        var = f32.var(axis=-1, keepdims=True)
+        y = (f32 - mean) / jnp.sqrt(var + self.eps)
+        return (y * g + b).astype(x.dtype)
 
 
 class DPSA(nn.Module):
@@ -36,45 +54,55 @@ class DPSA(nn.Module):
     def __call__(self, x):
         b, h, w, c = x.shape
         inner = self.heads * self.dim_head
-        y = nn.LayerNorm(dtype=jnp.float32, name="norm")(x).astype(self.dtype)
+        y = ChanLayerNorm(name="norm")(x).astype(self.dtype)
         qkv = nn.Conv(inner * 3, (1, 1), use_bias=False, dtype=self.dtype,
                       name="to_qkv")(y)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
-        def heads_first(t):  # (B,h,w,heads*dh) -> (B*heads,h,w,dh)
-            t = t.reshape(b, h, w, self.heads, self.dim_head)
-            return t.transpose(0, 3, 1, 2, 4).reshape(
-                b * self.heads, h, w, self.dim_head)
+        # Reference quirk reproduced bit-for-bit (ittr_generator.py:
+        # 131-214): after the head fold the tensor is ((B*heads),
+        # dim_head, H, W), but the einops patterns relabel those axes as
+        # (b, h, w, d) — so l2norm/attention FEATURES are the WIDTH axis,
+        # tokens are (channel, row) pairs, "height" pruning selects
+        # CHANNELS and "width" pruning selects ROWS. This is only
+        # shape-consistent because the generator sets dim_head = the stem
+        # feature-map side (ittr_generator.py:292), making all three axes
+        # equal.
+        def fold(t):  # (B,H,W,heads*dh) -> (B*heads, dh, H, W)
+            t = t.transpose(0, 3, 1, 2).reshape(
+                b, self.heads, self.dim_head, h, w)
+            return t.reshape(b * self.heads, self.dim_head, h, w)
 
-        q, k, v = map(heads_first, (q, k, v))
-        q = l2norm(q)
+        q, k, v = map(fold, (q, k, v))     # axes: (bh, A=dh, B=H, D=W)
+        q = l2norm(q)                      # over the W axis
         k = l2norm(k)
 
         if self.height_top_k < h:
-            q_probe = q.sum(axis=(1, 2))                       # (bh, d)
-            k_height = k.sum(axis=2)                           # (bh, h, d)
+            q_probe = q.sum(axis=(1, 2))                       # (bh, W)
+            k_height = k.sum(axis=2)                           # (bh, A, W)
             scores = jnp.einsum("bd,bhd->bh", q_probe, k_height)
-            idx = jax.lax.top_k(scores, self.height_top_k)[1]  # (bh, k)
-            gather = idx[:, :, None, None]
-            k = jnp.take_along_axis(k, gather, axis=1)
-            v = jnp.take_along_axis(v, gather, axis=1)
+            idx = jax.lax.top_k(scores, self.height_top_k)[1]  # over A
+            k = jnp.take_along_axis(k, idx[:, :, None, None], axis=1)
+            v = jnp.take_along_axis(v, idx[:, :, None, None], axis=1)
         if self.width_top_k < w:
             q_probe = q.sum(axis=(1, 2))
-            k_width = k.sum(axis=1)                            # (bh, w, d)
+            k_width = k.sum(axis=1)                            # (bh, B, W)
             scores = jnp.einsum("bd,bwd->bw", q_probe, k_width)
-            idx = jax.lax.top_k(scores, self.width_top_k)[1]
-            gather = idx[:, None, :, None]
-            k = jnp.take_along_axis(k, gather, axis=2)
-            v = jnp.take_along_axis(v, gather, axis=2)
+            idx = jax.lax.top_k(scores, self.width_top_k)[1]   # over B
+            k = jnp.take_along_axis(k, idx[:, None, :, None], axis=2)
+            v = jnp.take_along_axis(v, idx[:, None, :, None], axis=2)
 
-        qf = q.reshape(q.shape[0], -1, self.dim_head)
-        kf = k.reshape(k.shape[0], -1, self.dim_head)
-        vf = v.reshape(v.shape[0], -1, self.dim_head)
+        qf = q.reshape(q.shape[0], -1, w)       # tokens (A*B), features W
+        kf = k.reshape(k.shape[0], -1, w)
+        vf = v.reshape(v.shape[0], -1, w)
         sim = jnp.einsum("bid,bjd->bij", qf, kf).astype(jnp.float32)
         attn = jax.nn.softmax(sim, axis=-1).astype(self.dtype)
         out = jnp.einsum("bij,bjd->bid", attn, vf)
-        out = out.reshape(b, self.heads, h, w, self.dim_head)
-        out = out.transpose(0, 2, 3, 1, 4).reshape(b, h, w, inner)
+        # "(b h) (x y) d -> b (h d) x y" with x=H, y=W (token dim A*B
+        # reinterpreted as the pixel grid) -> NHWC
+        out = out.reshape(b, self.heads, h, w, w)       # (b,hd,x,y,d)
+        out = out.transpose(0, 1, 4, 2, 3)              # (b,hd,d,x,y)
+        out = out.reshape(b, self.heads * w, h, w).transpose(0, 2, 3, 1)
         return nn.Conv(c, (1, 1), dtype=self.dtype, name="to_out")(out)
 
 
@@ -97,13 +125,19 @@ class HPB(nn.Module):
         combined = jnp.concatenate([attn_out, conv_out], axis=-1)
         h = nn.Conv(c, (1, 1), dtype=self.dtype,
                     name="combine")(combined) + x
-        # conv FFN with residual
-        y = nn.LayerNorm(dtype=jnp.float32, name="ff_norm")(h).astype(self.dtype)
-        y = nn.Conv(c * self.ff_mult, (1, 1), dtype=self.dtype,
-                    name="ff_in")(y)
-        y = nn.gelu(y)
+        # reference conv FFN (ittr_generator.py:79-106): conv1x1 -> IN ->
+        # GELU -> [residual: dwconv3x3 -> IN -> GELU] -> conv1x1 -> IN.
+        # The FFN output REPLACES h (HPB.forward returns self.ff(attn_out)
+        # with NO outer residual) and all GELUs are exact (erf).
+        inner = c * self.ff_mult
+        y = nn.Conv(inner, (1, 1), dtype=self.dtype, name="ff_in")(h)
+        y = nn.gelu(InstanceNorm()(y), approximate=False)
+        z = nn.Conv(inner, (3, 3), padding=1, feature_group_count=inner,
+                    dtype=self.dtype, name="ff_dw")(y)
+        z = nn.gelu(InstanceNorm()(z), approximate=False)
+        y = y + z
         y = nn.Conv(c, (1, 1), dtype=self.dtype, name="ff_out")(y)
-        return h + y
+        return InstanceNorm()(y)
 
 
 class ITTRGenerator(nn.Module):
@@ -113,6 +147,8 @@ class ITTRGenerator(nn.Module):
     ngf: int = 64
     n_blocks: int = 9
     img_size: int = 256
+    height_top_k: int = 16   # reference fixed attn_height_top_k
+    width_top_k: int = 16
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -123,18 +159,22 @@ class ITTRGenerator(nn.Module):
         h = nn.Conv(self.ngf, (7, 7), padding=0, dtype=self.dtype,
                     name="stem0")(h)
         h = InstanceNorm()(h)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)
         for i in range(2):
             mult = 2 ** i
             h = nn.Conv(self.ngf * mult * 2, (3, 3), strides=2, padding=1,
                         dtype=self.dtype, name=f"stem_down{i}")(h)
             h = InstanceNorm()(h)
-            h = nn.gelu(h)
+            h = nn.gelu(h, approximate=False)
 
-        dim_head = max(8, self.img_size // 4 // 4)
+        # reference: dim_head = img_size / 4 (the stem output feature-map
+        # side, ittr_generator.py:292)
+        dim_head = self.img_size // 4
         feats = []
         for i in range(self.n_blocks):
-            h = HPB(dim_head=dim_head, dtype=self.dtype, name=f"hpb{i}")(h)
+            h = HPB(dim_head=dim_head, height_top_k=self.height_top_k,
+                    width_top_k=self.width_top_k, dtype=self.dtype,
+                    name=f"hpb{i}")(h)
             if extract_layer_ids is not None and i in extract_layer_ids:
                 feats.append(h)
         if extract_layer_ids is not None:
@@ -143,11 +183,10 @@ class ITTRGenerator(nn.Module):
         # decoder
         for i in range(2):
             mult = 2 ** (2 - i)
-            h = nn.ConvTranspose(self.ngf * mult // 2, (3, 3), strides=(2, 2),
-                                 padding="SAME", dtype=self.dtype,
-                                 name=f"dec_up{i}")(h)
+            h = TorchConvTranspose(self.ngf * mult // 2, dtype=self.dtype,
+                                   name=f"dec_up{i}")(h)
             h = InstanceNorm()(h)
-            h = nn.gelu(h)
+            h = nn.gelu(h, approximate=False)
         h = jnp.pad(h, ((0, 0), (3, 3), (3, 3), (0, 0)), mode="reflect")
         h = nn.Conv(self.out_channels, (7, 7), padding=0, dtype=self.dtype,
                     name="dec_out")(h)

@@ -209,6 +209,81 @@ def test_uvit_converted_weight_forward_parity():
     np.testing.assert_allclose(got, ref_out, rtol=1e-4, atol=1e-4)
 
 
+def test_hat_converted_weight_forward_parity():
+    """HAT: RHAG groups (shifted-window HABs with relative-position bias
+    + CAB conv branch, OCAB overlapping cross-attention), pixelshuffle
+    head (hat/hat.py:851-1160 executed directly)."""
+    torch = pytest.importorskip("torch")
+    _ref_package("models", "/root/reference/models")
+    _ref_package("models.modules", "/root/reference/models/modules")
+    _ref_package("models.modules.hat", "/root/reference/models/modules/hat")
+    from models.modules.hat import hat as ref_hat
+
+    torch.manual_seed(59)
+    depths, heads = (2, 2), (2, 2)
+    ref = ref_hat.HAT(img_size=16, patch_size=1, in_chans=3, out_chans=3,
+                      embed_dim=24, depths=depths, num_heads=heads,
+                      window_size=4, upsampler="pixelshuffle", upscale=1,
+                      squeeze_factor=6, drop_path_rate=0.0).eval()
+    rng = np.random.RandomState(61)
+    x_np = rng.uniform(-1, 1, (2, 16, 16, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.tensor(x_np).permute(0, 3, 1, 2))
+    ref_out = ref_out.permute(0, 2, 3, 1).numpy()
+
+    conv = _load_tool("convert_vit_checkpoint")
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+    params = conv.map_hat(sd, depths)
+
+    import jax.numpy as jnp
+
+    from joligen_tpu.models.modules.hat import HAT
+    net = HAT(out_channels=3, embed_dim=24, depths=depths,
+              num_heads=heads, window_size=4, upscale=1,
+              squeeze_factor=6, drop_path_rate=0.0)
+    got = np.asarray(net.apply(
+        jax.tree_util.tree_map(jnp.asarray, params), jnp.asarray(x_np)))
+    assert got.shape == ref_out.shape
+    np.testing.assert_allclose(got, ref_out, rtol=2e-4, atol=2e-4)
+
+
+def test_ittr_converted_weight_forward_parity():
+    """ITTR: stem -> HPB blocks (dual-pruned cosine attention + depthwise
+    conv branch, non-residual IN/GELU conv FFN) -> ConvTranspose decoder
+    (ittr/ittr_generator.py:283-342 executed directly)."""
+    torch = pytest.importorskip("torch")
+    _ref_package("models", "/root/reference/models")
+    _ref_package("models.modules", "/root/reference/models/modules")
+    _ref_package("models.modules.ittr", "/root/reference/models/modules/ittr")
+    from models.modules.ittr import ittr_generator as ref_ittr
+
+    torch.manual_seed(47)
+    # img 32 -> stem map 8x8; dim_head = 8; top_k 4 prunes both axes
+    ref = ref_ittr.ITTRGenerator(input_nc=3, output_nc=3, img_size=32,
+                                 n_blocks=2, ngf=16).eval()
+    for blk in ref.ittr:
+        blk.attn.height_top_k = blk.attn.width_top_k = 4
+    rng = np.random.RandomState(53)
+    x_np = rng.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.tensor(x_np).permute(0, 3, 1, 2))
+    ref_out = ref_out.permute(0, 2, 3, 1).numpy()
+
+    conv = _load_tool("convert_vit_checkpoint")
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+    params = conv.map_ittr(sd, n_blocks=2)
+
+    import jax.numpy as jnp
+
+    from joligen_tpu.models.modules.ittr import ITTRGenerator
+    net = ITTRGenerator(out_channels=3, ngf=16, n_blocks=2, img_size=32,
+                        height_top_k=4, width_top_k=4)
+    got = np.asarray(net.apply(
+        jax.tree_util.tree_map(jnp.asarray, params), jnp.asarray(x_np)))
+    assert got.shape == ref_out.shape
+    np.testing.assert_allclose(got, ref_out, rtol=2e-4, atol=2e-4)
+
+
 def test_hdit_converted_weight_forward_parity():
     """HDiT: hourglass transformer with cosine-sim RoPE attention,
     shifted-window levels + global bottleneck, GEGLU FF, AdaRMSNorm,

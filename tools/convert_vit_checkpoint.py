@@ -371,6 +371,104 @@ def map_hdit(sd, depths, prefix=""):
     return {"params": params}
 
 
+def map_ittr(sd, n_blocks, prefix=""):
+    """Reference ITTRGenerator (ittr/ittr_generator.py:283-342) -> our
+    modules/ittr.py params."""
+    rc = _ref_converter()
+    sd = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+
+    def convt(key):
+        w = np.asarray(sd[key + ".weight"])          # (in, out, kh, kw)
+        return {"kernel": np.flip(np.transpose(w, (2, 3, 0, 1)),
+                                  axis=(0, 1)).copy(),
+                "bias": np.asarray(sd[key + ".bias"])}
+
+    params = {
+        "stem0": rc._conv(sd, "stem.ff.1"),
+        "stem_down0": rc._conv(sd, "stem.ff.4"),
+        "stem_down1": rc._conv(sd, "stem.ff.7"),
+        "dec_up0": convt("decoder.decoder.0"),
+        "dec_up1": convt("decoder.decoder.3"),
+        "dec_out": rc._conv(sd, "decoder.decoder.7"),
+    }
+    for i in range(n_blocks):
+        p = f"ittr.{i}"
+        qkv = np.asarray(sd[p + ".attn.to_qkv.weight"])  # (3inner, c, 1, 1)
+        params[f"hpb{i}"] = {
+            "attn": {
+                "norm": {"g": np.asarray(sd[p + ".attn.norm.g"]).reshape(-1),
+                         "b": np.asarray(sd[p + ".attn.norm.b"]).reshape(-1)},
+                "to_qkv": {"kernel": np.transpose(qkv, (2, 3, 1, 0))},
+                "to_out": rc._conv(sd, p + ".attn.to_out"),
+            },
+            "dwconv": rc._conv(sd, p + ".dwconv"),
+            "combine": rc._conv(sd, p + ".attn_parallel_combine_out"),
+            "ff_in": rc._conv(sd, p + ".ff.0"),
+            "ff_dw": rc._conv(sd, p + ".ff.4.fn.0"),
+            "ff_out": rc._conv(sd, p + ".ff.5"),
+        }
+    return {"params": params}
+
+
+def map_hat(sd, depths, prefix=""):
+    """Reference HAT (hat/hat.py:851-1160) -> our modules/hat.py params."""
+    rc = _ref_converter()
+    sd = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+
+    def ln(key):
+        return {"scale": np.asarray(sd[key + ".weight"]),
+                "bias": np.asarray(sd[key + ".bias"])}
+
+    def mlp(key):
+        return {"fc1": _lin(sd, key + ".fc1"), "fc2": _lin(sd, key + ".fc2")}
+
+    params = {
+        "conv_first": rc._conv(sd, "conv_first"),
+        "patch_norm": ln("patch_embed.norm"),
+        "norm": ln("norm"),
+        "conv_after_body": rc._conv(sd, "conv_after_body"),
+        "conv_before_upsample": rc._conv(sd, "conv_before_upsample.0"),
+        "conv_last": rc._conv(sd, "conv_last"),
+    }
+    ui = 0
+    while f"upsample.{2 * ui}.weight" in sd:
+        params[f"up{ui}"] = rc._conv(sd, f"upsample.{2 * ui}")
+        ui += 1
+    for gi, depth in enumerate(depths):
+        g = f"layers.{gi}.residual_group"
+        grp = {"conv": rc._conv(sd, f"layers.{gi}.conv")}
+        for i in range(depth):
+            p = f"{g}.blocks.{i}"
+            grp[f"hab{i}"] = {
+                "norm1": ln(p + ".norm1"),
+                "norm2": ln(p + ".norm2"),
+                "attn": {
+                    "qkv": _lin(sd, p + ".attn.qkv"),
+                    "proj": _lin(sd, p + ".attn.proj"),
+                    "rpb": np.asarray(
+                        sd[p + ".attn.relative_position_bias_table"]),
+                },
+                "conv_block": {
+                    "conv1": rc._conv(sd, p + ".conv_block.cab.0"),
+                    "conv2": rc._conv(sd, p + ".conv_block.cab.2"),
+                    "ca1": rc._conv(sd, p + ".conv_block.cab.3.attention.1"),
+                    "ca2": rc._conv(sd, p + ".conv_block.cab.3.attention.3"),
+                },
+                "mlp": mlp(p + ".mlp"),
+            }
+        o = f"{g}.overlap_attn"
+        grp["ocab"] = {
+            "norm1": ln(o + ".norm1"),
+            "norm2": ln(o + ".norm2"),
+            "qkv": _lin(sd, o + ".qkv"),
+            "proj": _lin(sd, o + ".proj"),
+            "rpb": np.asarray(sd[o + ".relative_position_bias_table"]),
+            "mlp": mlp(o + ".mlp"),
+        }
+        params[f"rhag{gi}"] = grp
+    return {"params": params}
+
+
 def map_jitvid_g(sd, depth, in_context_start, motion_every, has_prefix=True):
     """Reference JiTViD state_dict -> flax params for vit_vid.py JiTViD.
 
