@@ -427,6 +427,10 @@ def _measure(a, batch):
             np.asarray(jax.device_get(pending))
             best_dt = min(best_dt,
                           (time.perf_counter() - t0) / reps)
+            # depth-3 (two dispatches in flight) was A/B'd 2026-08-20:
+            # 22.2 vs 23.0 samples/s — no win; the 23.0 -> 24.5 residual
+            # is per-call dispatch overhead through the remote tunnel,
+            # not missing pipeline depth (BASELINE.md serving note)
         rate = global_batch / best_dt / jax.device_count()
         print(json.dumps({
             "metric": f"palette_ddim{a.ddim_steps}_samples_per_sec_per_chip_{a.size}px",

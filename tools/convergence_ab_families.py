@@ -1,0 +1,885 @@
+"""Independent-init convergence A/B vs the reference for the remaining
+four families (VERDICT r3 next #3): CM/iCT, SC shortcut, B2B video flow
+matching, MAT adversarial inpainting.
+
+Same design as tools/convergence_ab.py (palette) / convergence_ab_gan.py
+(CycleGAN): both frameworks train the SAME task from INDEPENDENT
+initializations — the reference side runs the ACTUAL reference torch
+modules (UNet / JiTViD / MAT G+D) with the reference loss math, ours runs
+the flax modules with our loss math; the dataset, minibatch schedule, and
+per-step noise/timestep draws are shared (variance reduction); each side
+then evaluates held-out reconstructions with its OWN sampler. Prints one
+JSON line per run.
+
+Run on CPU, e.g.:
+  JAX_PLATFORMS=cpu python tools/convergence_ab_families.py cm --steps 300
+  JAX_PLATFORMS=cpu python tools/convergence_ab_families.py sc --steps 300
+  JAX_PLATFORMS=cpu python tools/convergence_ab_families.py b2b_vid --steps 200
+  JAX_PLATFORMS=cpu python tools/convergence_ab_families.py mat --steps 200
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import types
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+NGF = 16
+COND_DIM = 64
+RES_BLOCKS = [1, 1]
+MULTS = (1, 2)
+ATTN_RES = [2]
+IMG = 16
+LR, BETAS, EPS = 2e-4, (0.9, 0.999), 1e-8
+
+
+def reference_importable():
+    import torch  # noqa: F401
+
+    if "positional_encodings" not in sys.modules:
+        pe = types.ModuleType("positional_encodings")
+        pet = types.ModuleType("positional_encodings.torch_encodings")
+
+        class _P:
+            def __init__(self, *a, **k):
+                pass
+
+        pet.PositionalEncoding1D = pet.Summer = _P
+        pe.torch_encodings = pet
+        sys.modules.update({"positional_encodings": pe,
+                            "positional_encodings.torch_encodings": pet})
+    for name, path in [
+            ("models", "/root/reference/models"),
+            ("models.modules", "/root/reference/models/modules"),
+            ("models.modules.unet_generator_attn",
+             "/root/reference/models/modules/unet_generator_attn"),
+            ("models.modules.vit", "/root/reference/models/modules/vit")]:
+        if name not in sys.modules:
+            m = types.ModuleType(name)
+            m.__path__ = [path]
+            sys.modules[name] = m
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+
+
+def make_dataset(n, seed, img=IMG):
+    """Blob images + rectangular hole masks (same recipe as
+    convergence_ab.py)."""
+    rng = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:img, 0:img].astype(np.float32)
+    imgs = np.zeros((n, img, img, 3), np.float32)
+    masks = np.zeros((n, img, img, 1), np.float32)
+    for i in range(n):
+        acc = np.zeros((img, img, 3), np.float32)
+        for _ in range(4):
+            cy, cx = rng.uniform(2, img - 2, 2)
+            s = rng.uniform(1.5, 4.0)
+            amp = rng.uniform(-2.0, 2.0, 3).astype(np.float32)
+            bump = np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * s * s))
+            acc += bump[..., None] * amp
+        imgs[i] = np.tanh(acc)
+        h = rng.randint(img // 3, img // 2 + 2)
+        w = rng.randint(img // 3, img // 2 + 2)
+        y0 = rng.randint(1, img - h - 1)
+        x0 = rng.randint(1, img - w - 1)
+        masks[i, y0:y0 + h, x0:x0 + w, 0] = 1.0
+    return imgs, masks
+
+
+def masked_psnr(out, gt, m):
+    se = ((out - gt) ** 2 * m).sum()
+    n = m.sum() * gt.shape[-1]
+    mse = se / max(n, 1.0)
+    return 10.0 * math.log10(4.0 / max(mse, 1e-12))
+
+
+def build_ref_unet(torch, seed, in_ch=6):
+    from models.modules.unet_generator_attn.unet_generator_attn import UNet
+    torch.manual_seed(seed)
+    return UNet(image_size=IMG, in_channel=in_ch, inner_channel=NGF,
+                out_channel=3, res_blocks=RES_BLOCKS, attn_res=ATTN_RES,
+                channel_mults=MULTS, num_head_channels=8, tanh=False,
+                n_timestep_train=10, n_timestep_test=5,
+                norm="groupnorm", group_norm_size=8,
+                cond_embed_dim=COND_DIM)
+
+
+def build_our_unet(attn_norm="instance"):
+    from joligen_tpu.models.modules.unet_mha import UNetMHA
+    return UNetMHA(in_channel=6, out_channel=3, inner_channel=NGF,
+                   cond_embed_dim=COND_DIM, res_blocks=tuple(RES_BLOCKS),
+                   attn_res=tuple(ATTN_RES), channel_mults=MULTS,
+                   num_head_channels=8, group_size=8, attn_norm=attn_norm)
+
+
+# --------------------------------------------------------------------------
+# CM (iCT consistency training, reference cm_model.py:353-412 +
+# cm_generator.py:283-502)
+# --------------------------------------------------------------------------
+
+def run_cm(args):
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    reference_importable()
+    import importlib.util as ilu
+    spec = ilu.spec_from_file_location(
+        "models.modules.cm_generator",
+        "/root/reference/models/modules/cm_generator.py")
+    cg = ilu.module_from_spec(spec)
+    sys.modules["models.modules.cm_generator"] = cg
+    spec.loader.exec_module(cg)
+
+    from joligen_tpu.models.modules import cm as our_cm
+
+    imgs, masks = make_dataset(args.n_train + args.n_test, seed=3)
+    tr_i, tr_m = imgs[:args.n_train], masks[:args.n_train]
+    te_i, te_m = imgs[args.n_train:], masks[args.n_train:]
+
+    total = args.steps
+
+    # shared draws: per-step minibatch, timestep indices (sampled from the
+    # parity-tested lognormal distribution over the step's karras
+    # schedule), eps
+    rng = np.random.RandomState(5)
+    draws = []
+    for s in range(args.steps):
+        num_t = int(our_cm.improved_timesteps_schedule(s, total))
+        sig = np.asarray(our_cm.karras_schedule(num_t))
+        probs = np.asarray(our_cm.lognormal_timestep_probs(sig))
+        idx = rng.randint(0, args.n_train, size=(args.batch,))
+        ts = rng.choice(num_t - 1, size=(args.batch,), p=probs)
+        eps = rng.randn(args.batch, IMG, IMG, 3).astype(np.float32)
+        draws.append((idx, ts, eps, sig))
+
+    # ----- reference side -----
+    unet = build_ref_unet(torch, seed=17)
+
+    class _Shim(torch.nn.Module):
+        def __init__(self, m):
+            super().__init__()
+            self.model = m
+            self.cond_embed_dim = COND_DIM
+
+        def forward(self, x, emb):
+            return self.model(x, emb)
+
+    torch.manual_seed(23)
+    opt_ns = types.SimpleNamespace(alg_ddpm_ft_mode="",
+                                   alg_diffusion_ddpm_cm_ft=False)
+    gen = cg.CMGenerator(_Shim(unet), "cm", IMG, NGF, opt=opt_ns)
+    gen.train()
+    opt = torch.optim.Adam(gen.parameters(), lr=LR, betas=BETAS, eps=EPS)
+
+    def nchw(x):
+        return torch.tensor(np.transpose(x, (0, 3, 1, 2)))
+
+    losses_ref = []
+    for idx, ts, eps, sig in draws:
+        y0 = nchw(tr_i[idx])
+        m = nchw(tr_m[idx])
+        y_cond = y0 * (1.0 - m)
+        eps_t = nchw(eps)
+        sig_t = torch.tensor(sig)
+        cur = sig_t[torch.tensor(ts)]
+        nxt = sig_t[torch.tensor(ts + 1)]
+        opt.zero_grad()
+        nx = y0 + nxt.view(-1, 1, 1, 1) * eps_t
+        nx = nx * m + (1 - m) * y0
+        pred = gen.cm_forward(nx, nxt, gen.sigma_data, gen.sigma_min, y_cond)
+        with torch.no_grad():
+            cx = y0 + cur.view(-1, 1, 1, 1) * eps_t
+            cx = cx * m + (1 - m) * y0
+            target = gen.cm_forward(cx, cur, gen.sigma_data, gen.sigma_min,
+                                    y_cond)
+        w = torch.tensor(np.asarray(our_cm.improved_loss_weighting(sig)))[
+            torch.tensor(ts)].view(-1, 1, 1, 1)
+        ph = torch.sqrt((m * pred - m * target) ** 2
+                        + (0.00054 * math.sqrt(3 * IMG * IMG)) ** 2) \
+            - 0.00054 * math.sqrt(3 * IMG * IMG)
+        loss = (ph * w).mean()
+        loss.backward()
+        opt.step()
+        losses_ref.append(float(loss.detach()))
+
+    # ----- our side -----
+    from joligen_tpu.models.modules.cm import CMDenoiser
+    net = CMDenoiser(inner=build_our_unet(), cond_embed_dim=COND_DIM)
+    b = args.batch
+    params = net.init(jax.random.PRNGKey(7),
+                      jnp.zeros((b, IMG, IMG, 3), jnp.float32),
+                      jnp.ones((b,), jnp.float32),
+                      jnp.zeros((b, IMG, IMG, 3), jnp.float32))
+    tx = optax.adam(LR, b1=BETAS[0], b2=BETAS[1], eps=EPS)
+    opt_state = tx.init(params)
+    c_huber = 0.00054 * math.sqrt(3 * IMG * IMG)
+
+    @jax.jit
+    def step(params, opt_state, y0, m, cur, nxt, eps, w):
+        y_cond = y0 * (1.0 - m)
+
+        def loss_fn(p):
+            nx = y0 + nxt.reshape(-1, 1, 1, 1) * eps
+            nx = nx * m + (1 - m) * y0
+            pred = net.apply(p, nx, nxt, y_cond, train=False)
+            cx = y0 + cur.reshape(-1, 1, 1, 1) * eps
+            cx = cx * m + (1 - m) * y0
+            target = jax.lax.stop_gradient(
+                net.apply(p, cx, cur, y_cond, train=False))
+            ph = jnp.sqrt((m * pred - m * target) ** 2 + c_huber ** 2) \
+                - c_huber
+            return jnp.mean(ph * w.reshape(-1, 1, 1, 1))
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state2 = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state2, loss
+
+    losses_tpu = []
+    for idx, ts, eps, sig in draws:
+        w = np.asarray(our_cm.improved_loss_weighting(sig))[ts]
+        params, opt_state, loss = step(
+            params, opt_state, jnp.asarray(tr_i[idx]),
+            jnp.asarray(tr_m[idx]), jnp.asarray(sig[ts]),
+            jnp.asarray(sig[ts + 1]), jnp.asarray(eps), jnp.asarray(w))
+        losses_tpu.append(float(loss))
+
+    # ----- eval: 2-step consistency sampling, shared noise -----
+    rng = np.random.RandomState(11)
+    sigmas_eval = [80.0, 0.661]
+    noises = [rng.randn(*te_i.shape).astype(np.float32)
+              for _ in range(len(sigmas_eval))]
+
+    gen.eval()
+    with torch.no_grad():
+        y = nchw(te_i)
+        m = nchw(te_m)
+        y_cond = y * (1.0 - m)
+        yb = y * (1 - m)
+        x = yb + sigmas_eval[0] * nchw(noises[0])
+        x = x * m + (1 - m) * y
+        for i, s in enumerate(sigmas_eval):
+            sg = torch.full((x.shape[0],), s)
+            x = gen.cm_forward(x, sg, gen.sigma_data, gen.sigma_min, y_cond)
+            x = x.clamp(-1, 1)
+            x = x * m + (1 - m) * y
+            if i + 1 < len(sigmas_eval):
+                s2 = sigmas_eval[i + 1]
+                z = (s2 ** 2 - gen.sigma_min ** 2) ** 0.5
+                x = x + z * nchw(noises[i + 1])
+                x = x * m + (1 - m) * y
+    ref_img = np.transpose(x.numpy(), (0, 2, 3, 1))
+
+    from joligen_tpu.models.modules.cm import cm_sample
+
+    def apply_fn(p, x, s, y_cond, train):
+        return net.apply(p, x, s, y_cond, train=train)
+
+    tpu_img = np.asarray(cm_sample(
+        apply_fn, params, jax.random.PRNGKey(0), sigmas_eval,
+        jnp.asarray(te_i), y_cond=jnp.asarray(te_i * (1.0 - te_m)),
+        mask=jnp.asarray(te_m),
+        noise_seq=jnp.asarray(np.stack(noises))))
+
+    tail = max(1, args.steps // 10)
+    print(json.dumps({
+        "family": "cm",
+        "psnr_masked_ref": round(masked_psnr(ref_img, te_i, te_m), 3),
+        "psnr_masked_tpu": round(masked_psnr(tpu_img, te_i, te_m), 3),
+        "tail_loss_ref": round(float(np.mean(losses_ref[-tail:])), 6),
+        "tail_loss_tpu": round(float(np.mean(losses_tpu[-tail:])), 6),
+        "steps": args.steps,
+    }))
+
+
+# --------------------------------------------------------------------------
+# SC (shortcut model, reference sc_model.py:310-322 + sc_generator.py)
+# --------------------------------------------------------------------------
+
+def run_sc(args):
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    reference_importable()
+    import importlib.util as ilu
+    spec = ilu.spec_from_file_location(
+        "models.modules.sc_generator",
+        "/root/reference/models/modules/sc_generator.py")
+    sg_mod = ilu.module_from_spec(spec)
+    sys.modules["models.modules.sc_generator"] = sg_mod
+    spec.loader.exec_module(sg_mod)
+
+    imgs, masks = make_dataset(args.n_train + args.n_test, seed=3)
+    tr_i, tr_m = imgs[:args.n_train], masks[:args.n_train]
+    te_i, te_m = imgs[args.n_train:], masks[args.n_train:]
+
+    num_timesteps = 32
+    log2s = int(np.log2(num_timesteps))
+    boot_ratio = 0.125
+
+    rng = np.random.RandomState(5)
+    draws = []
+    for _ in range(args.steps):
+        idx = rng.randint(0, args.n_train, size=(args.batch,))
+        dt_base = rng.randint(0, log2s, size=(args.batch,)).astype(np.float32)
+        sections = (2.0 ** dt_base).astype(np.int64)
+        t = (np.asarray([rng.randint(0, s) for s in sections],
+                        np.float32) / sections).astype(np.float32)
+        x0 = rng.randn(args.batch, IMG, IMG, 3).astype(np.float32)
+        boot = rng.rand() < boot_ratio
+        draws.append((idx, dt_base, t, x0, boot))
+
+    # ----- reference -----
+    unet = build_ref_unet(torch, seed=17)
+
+    class _Shim(torch.nn.Module):
+        def __init__(self, m):
+            super().__init__()
+            self.model = m
+            self.cond_embed_dim = COND_DIM
+
+        def forward(self, x, emb):
+            return self.model(x, emb)
+
+    torch.manual_seed(23)
+    gen = sg_mod.SCGenerator(_Shim(unet), "sc", IMG, NGF,
+                             num_timesteps=num_timesteps)
+    gen.train()
+    opt = torch.optim.Adam(gen.parameters(), lr=LR, betas=BETAS, eps=EPS)
+
+    def nchw(x):
+        return torch.tensor(np.transpose(x, (0, 3, 1, 2)))
+
+    losses_ref = []
+    for idx, dt_base, t, x0, boot in draws:
+        y0 = nchw(tr_i[idx])
+        m = nchw(tr_m[idx])
+        y_cond = y0 * (1.0 - m)
+        tt = torch.tensor(t)
+        dtb = torch.tensor(dt_base)
+        x0_t = nchw(x0)
+        t4 = tt.view(-1, 1, 1, 1)
+        x_t = (1 - (1 - 1e-5) * t4) * x0_t + t4 * y0
+        x_t = x_t * m + (1 - m) * y0
+        opt.zero_grad()
+        if boot:
+            dtb_b = dtb + 1
+            dt_boot = (1.0 / 2 ** dt_base / 2).astype(np.float32)
+            # NOTE: sc_forward(x_cond=...) crashes upstream
+            # (sc_generator.py:126-132 references undefined `x`); the
+            # equivalent working path is pre-concatenating the condition
+            def scf(x_, t_, dt_):
+                return gen.sc_forward(torch.cat([y_cond, x_], dim=1),
+                                      t_, dt_, None)
+
+            with torch.no_grad():
+                v1 = scf(x_t, tt, dtb_b)
+            x_t2 = x_t + torch.tensor(dt_boot).view(-1, 1, 1, 1) * v1
+            x_t2 = torch.clamp(x_t2, -1.5, 1.5)
+            with torch.no_grad():
+                v2 = scf(x_t2, tt + torch.tensor(dt_boot), dtb_b)
+            v_target = torch.clip((v1 + v2) / 2, -1.5, 1.5)
+        else:
+            v_target = y0 - (1 - 1e-5) * x0_t
+
+            def scf(x_, t_, dt_):
+                return gen.sc_forward(torch.cat([y_cond, x_], dim=1),
+                                      t_, dt_, None)
+        v_pred = scf(x_t, tt, dtb)
+        loss = torch.mean((v_pred - v_target) ** 2)
+        loss.backward()
+        opt.step()
+        losses_ref.append(float(loss.detach()))
+
+    # ----- ours -----
+    from joligen_tpu.models.modules.sc import SCDenoiser
+    net = SCDenoiser(inner=build_our_unet(), cond_embed_dim=COND_DIM)
+    b = args.batch
+    params = net.init(jax.random.PRNGKey(7),
+                      jnp.zeros((b, IMG, IMG, 3), jnp.float32),
+                      jnp.ones((b,), jnp.float32),
+                      jnp.ones((b,), jnp.float32),
+                      jnp.zeros((b, IMG, IMG, 3), jnp.float32))
+    tx = optax.adam(LR, b1=BETAS[0], b2=BETAS[1], eps=EPS)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, y0, m, t, dtb, x0, boot):
+        y_cond = y0 * (1.0 - m)
+        t4 = t.reshape(-1, 1, 1, 1)
+        x_t = (1 - (1 - 1e-5) * t4) * x0 + t4 * y0
+        x_t = x_t * m + (1 - m) * y0
+        dt_boot = (1.0 / (2.0 ** dtb)) / 2.0
+
+        def loss_fn(p):
+            def v_of(x_, t_, dtb_):
+                return net.apply(p, x_, t_, dtb_, y_cond)
+
+            v1 = jax.lax.stop_gradient(v_of(x_t, t, dtb + 1))
+            x_t2 = jnp.clip(x_t + dt_boot.reshape(-1, 1, 1, 1) * v1,
+                            -1.5, 1.5)
+            v2 = jax.lax.stop_gradient(v_of(x_t2, t + dt_boot, dtb + 1))
+            v_target_boot = jnp.clip((v1 + v2) / 2, -1.5, 1.5)
+            v_target_flow = y0 - (1 - 1e-5) * x0
+            v_target = jnp.where(boot, v_target_boot, v_target_flow)
+            v_pred = v_of(x_t, t, dtb)
+            return jnp.mean((v_pred - v_target) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state2 = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state2, loss
+
+    losses_tpu = []
+    for idx, dt_base, t, x0, boot in draws:
+        params, opt_state, loss = step(
+            params, opt_state, jnp.asarray(tr_i[idx]),
+            jnp.asarray(tr_m[idx]), jnp.asarray(t), jnp.asarray(dt_base),
+            jnp.asarray(x0), jnp.asarray(boot))
+        losses_tpu.append(float(loss))
+
+    # ----- eval: 4-step Euler shortcut sampling, shared init noise -----
+    rng = np.random.RandomState(11)
+    x_init = rng.randn(*te_i.shape).astype(np.float32)
+    n_eval = 4
+    dt = 1.0 / n_eval
+    dtb_eval = float(np.log2(n_eval))
+
+    gen.eval()
+    with torch.no_grad():
+        y = nchw(te_i)
+        m = nchw(te_m)
+        y_cond = y * (1.0 - m)
+        x = nchw(x_init) * m + (1 - m) * y
+        for i in range(n_eval):
+            tt = torch.full((x.shape[0],), i * dt)
+            dtb = torch.full((x.shape[0],), dtb_eval)
+            v = gen.sc_forward(torch.cat([y_cond, x], dim=1), tt, dtb, None)
+            x = x + dt * v
+            x = x * m + (1 - m) * y
+    ref_img = np.transpose(x.clamp(-1, 1).numpy(), (0, 2, 3, 1))
+
+    yj = jnp.asarray(te_i)
+    mj = jnp.asarray(te_m)
+    ycj = yj * (1.0 - mj)
+    xj = jnp.asarray(x_init) * mj + (1 - mj) * yj
+    for i in range(n_eval):
+        tt = jnp.full((xj.shape[0],), i * dt)
+        dtb = jnp.full((xj.shape[0],), dtb_eval)
+        v = net.apply(params, xj, tt, dtb, ycj)
+        xj = xj + dt * v
+        xj = xj * mj + (1 - mj) * yj
+    tpu_img = np.asarray(jnp.clip(xj, -1, 1))
+
+    tail = max(1, args.steps // 10)
+    print(json.dumps({
+        "family": "sc",
+        "psnr_masked_ref": round(masked_psnr(ref_img, te_i, te_m), 3),
+        "psnr_masked_tpu": round(masked_psnr(tpu_img, te_i, te_m), 3),
+        "tail_loss_ref": round(float(np.mean(losses_ref[-tail:])), 6),
+        "tail_loss_tpu": round(float(np.mean(losses_tpu[-tail:])), 6),
+        "steps": args.steps,
+    }))
+
+
+# --------------------------------------------------------------------------
+# B2B video flow matching (reference b2b_model.py:1081 +
+# b2b_generator.py:238-348, JiTViD denoiser)
+# --------------------------------------------------------------------------
+
+def run_b2b_vid(args):
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    reference_importable()
+    from models.modules.vit.vit_vid import JiTViD as RefJiTViD
+
+    F = 3
+    t_eps = 5e-2
+    d, heads, patch, depth = 96, 2, 4, 2
+    icl, ics = 4, 1
+
+    imgs, masks = make_dataset(args.n_train + args.n_test, seed=3)
+    # video clips: 3 frames with slow drift (roll the blob image)
+    def clipify(ims, ms):
+        c_i = np.stack([np.roll(ims, s, axis=2) for s in range(F)], axis=1)
+        c_m = np.stack([ms] * F, axis=1)
+        return c_i, c_m
+    tr_i, tr_m = clipify(imgs[:args.n_train], masks[:args.n_train])
+    te_i, te_m = clipify(imgs[args.n_train:], masks[args.n_train:])
+
+    rng = np.random.RandomState(5)
+    draws = []
+    for _ in range(args.steps):
+        idx = rng.randint(0, args.n_train, size=(args.batch,))
+        # logistic-normal t (b2b_generator.py:196-212), shared
+        tb = 1.0 / (1.0 + np.exp(-(rng.randn(args.batch) * 0.8 - 0.8)))
+        eps = rng.randn(args.batch, F, IMG, IMG, 3).astype(np.float32)
+        draws.append((idx, tb.astype(np.float32), eps))
+
+    # ----- reference: JiTViD + the b2b loss math -----
+    torch.manual_seed(17)
+    ref_net = RefJiTViD(
+        input_size=IMG, patch_size=patch, in_channels=6, hidden_size=d,
+        depth=depth, num_heads=heads, num_classes=1, bottleneck_dim=16,
+        in_context_len=icl, in_context_start=ics, motion_every=2,
+        max_frames=8).train()
+    opt = torch.optim.Adam(ref_net.parameters(), lr=LR, betas=BETAS,
+                           eps=EPS)
+
+    def tref(x):  # (B,F,H,W,C) -> (B,F,C,H,W)
+        return torch.tensor(np.transpose(x, (0, 1, 4, 2, 3)))
+
+    losses_ref = []
+    y_lab = torch.zeros(args.batch, dtype=torch.long)
+    for idx, tb, eps in draws:
+        x = tref(tr_i[idx])
+        m = tref(np.repeat(tr_m[idx], 1, axis=-1))
+        x_cond = x * (1.0 - m)
+        t = torch.tensor(tb).view(-1, 1, 1, 1, 1)
+        e = tref(eps)
+        z_t = t * x + (1.0 - t) * e
+        z = z_t * m + (1.0 - m) * x
+        z_model = torch.cat([x_cond, z], dim=2)
+        v = (x - z) / (1.0 - t).clamp_min(t_eps)
+        opt.zero_grad()
+        t_flat = torch.tensor(np.repeat(tb, F))
+        x_pred = ref_net(z_model, t_flat, y_lab)
+        # reference JiTViD predicts in_channels (6); the b2b wrapper trims
+        # to the image channels (_match_prediction_channels)
+        x_pred = x_pred[:, :, : x.size(2)]
+        v_pred = (x_pred - z) / (1 - t).clamp_min(t_eps)
+        mb = torch.clamp(m, 0, 1)
+        loss = ((v_pred - v) ** 2 * mb).sum() / mb.sum().clamp_min(1) / 3
+        loss.backward()
+        opt.step()
+        losses_ref.append(float(loss.detach()))
+
+    # ----- ours: JiTViD flax + identical math -----
+    from joligen_tpu.models.modules.vit_vid import JiTViD
+    net = JiTViD(patch_size=patch, hidden_size=d, depth=depth,
+                 num_heads=heads, bottleneck_dim=16, num_classes=1,
+                 in_context_len=icl, in_context_start=ics, motion_every=2,
+                 max_frames=8, out_channels=3)
+    b = args.batch
+    params = net.init(jax.random.PRNGKey(7),
+                      jnp.zeros((b, F, IMG, IMG, 6), jnp.float32),
+                      jnp.zeros((b,), jnp.float32),
+                      jnp.zeros((b,), jnp.int32))
+    tx = optax.adam(LR, b1=BETAS[0], b2=BETAS[1], eps=EPS)
+    opt_state = tx.init(params)
+    y_lab_j = jnp.zeros((b,), jnp.int32)
+
+    @jax.jit
+    def step(params, opt_state, x, m, tb, eps):
+        x_cond = x * (1.0 - m)
+        t = tb.reshape(-1, 1, 1, 1, 1)
+        z_t = t * x + (1.0 - t) * eps
+        z = z_t * m + (1.0 - m) * x
+        z_model = jnp.concatenate([x_cond, z], axis=-1)
+        v = (x - z) / jnp.maximum(1.0 - t, t_eps)
+
+        def loss_fn(p):
+            x_pred = net.apply(p, z_model, tb, y_lab_j)
+            v_pred = (x_pred - z) / jnp.maximum(1.0 - t, t_eps)
+            mb = jnp.clip(m, 0, 1)
+            return ((v_pred - v) ** 2 * mb).sum() / jnp.maximum(
+                mb.sum(), 1) / 3
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state2 = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state2, loss
+
+    losses_tpu = []
+    for idx, tb, eps in draws:
+        params, opt_state, loss = step(
+            params, opt_state, jnp.asarray(tr_i[idx]),
+            jnp.asarray(tr_m[idx]), jnp.asarray(tb), jnp.asarray(eps))
+        losses_tpu.append(float(loss))
+
+    # ----- eval: Euler sampling t 0 -> 1 in 5 steps, shared init noise --
+    rng = np.random.RandomState(11)
+    e0 = rng.randn(*te_i.shape).astype(np.float32)
+    n_eval = 5
+    ts = np.linspace(0.0, 1.0, n_eval + 1)
+
+    ref_net.eval()
+    with torch.no_grad():
+        x_gt = tref(te_i)
+        m = tref(te_m)
+        x_cond = x_gt * (1.0 - m)
+        z = torch.tensor(np.transpose(e0, (0, 1, 4, 2, 3)))
+        z = z * m + (1 - m) * x_gt
+        yl = torch.zeros(z.shape[0], dtype=torch.long)
+        for i in range(n_eval):
+            t_now, t_next = float(ts[i]), float(ts[i + 1])
+            tf = torch.full((z.shape[0] * F,), t_now)
+            x_pred = ref_net(torch.cat([x_cond, z], dim=2), tf, yl)
+            x_pred = x_pred[:, :, : z.size(2)]
+            v = (x_pred - z) / max(1.0 - t_now, t_eps)
+            z = z + (t_next - t_now) * v
+            z = z * m + (1 - m) * x_gt
+    ref_img = np.transpose(z.clamp(-1, 1).numpy(), (0, 1, 3, 4, 2))
+
+    x_gt = jnp.asarray(te_i)
+    mj = jnp.asarray(te_m)
+    x_cond = x_gt * (1.0 - mj)
+    zj = jnp.asarray(e0) * mj + (1 - mj) * x_gt
+    yl = jnp.zeros((zj.shape[0],), jnp.int32)
+    for i in range(n_eval):
+        t_now, t_next = float(ts[i]), float(ts[i + 1])
+        tf = jnp.full((zj.shape[0],), t_now)
+        x_pred = net.apply(params, jnp.concatenate([x_cond, zj], axis=-1),
+                           tf, yl)
+        v = (x_pred - zj) / max(1.0 - t_now, t_eps)
+        zj = zj + (t_next - t_now) * v
+        zj = zj * mj + (1 - mj) * x_gt
+    tpu_img = np.asarray(jnp.clip(zj, -1, 1))
+
+    tail = max(1, args.steps // 10)
+    print(json.dumps({
+        "family": "b2b_vid",
+        "psnr_masked_ref": round(masked_psnr(ref_img, te_i, te_m), 3),
+        "psnr_masked_tpu": round(masked_psnr(tpu_img, te_i, te_m), 3),
+        "tail_loss_ref": round(float(np.mean(losses_ref[-tail:])), 6),
+        "tail_loss_tpu": round(float(np.mean(losses_tpu[-tail:])), 6),
+        "steps": args.steps,
+    }))
+
+
+# --------------------------------------------------------------------------
+# MAT adversarial inpainting (reference mat_model.py recipe: nonsat GAN,
+# R1 every d_reg_every, Adam(0, 0.99) with lazy-reg LR scaling)
+# --------------------------------------------------------------------------
+
+def run_mat(args):
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    import importlib.util as ilu
+    spec = ilu.spec_from_file_location(
+        "conv_mat", os.path.join(REPO, "tools/convert_mat_checkpoint.py"))
+    cm_tool = ilu.module_from_spec(spec)
+    spec.loader.exec_module(cm_tool)
+
+    IMG_M = args.mat_res
+    zdim = wdim = 64
+    d_reg_every = 4
+    r1_gamma = 10.0
+    lr = 1e-3
+
+    imgs, masks = make_dataset(args.n_train + args.n_test, seed=3,
+                               img=IMG_M)
+    tr_i, tr_m = imgs[:args.n_train], masks[:args.n_train]
+    te_i, te_m = imgs[args.n_train:], masks[args.n_train:]
+
+    rng = np.random.RandomState(5)
+    draws = []
+    for s in range(args.steps):
+        idx = rng.randint(0, args.n_train, size=(args.batch,))
+        z = rng.randn(args.batch, zdim).astype(np.float32)
+        draws.append((idx, z))
+
+    # ----- reference MAT (torch, actual module; dropout patched to the
+    # deterministic identity like the parity test so the mul_map blend
+    # matches our rng=None path) -----
+    mat_mod = cm_tool.load_reference_mat()
+    mat_mod.F.dropout = lambda x, *a, **k: x
+    torch.manual_seed(17)
+    ref_g = mat_mod.Generator(z_dim=zdim, c_dim=0, w_dim=wdim,
+                              img_resolution=IMG_M, img_channels=3)
+    ref_d = mat_mod.Discriminator(c_dim=0, img_resolution=IMG_M,
+                                  img_channels=3)
+    cm_tool.disable_noise(ref_g)
+    ref_g.train(); ref_d.train()
+    ratio = d_reg_every / (d_reg_every + 1)
+    og = torch.optim.Adam(ref_g.parameters(), lr=lr, betas=(0.0, 0.99))
+    od = torch.optim.Adam(ref_d.parameters(), lr=lr * ratio,
+                          betas=(0.0 ** ratio, 0.99 ** ratio))
+
+    def nchw(x):
+        return torch.tensor(
+            np.ascontiguousarray(np.transpose(x, (0, 3, 1, 2))))
+
+    sp = torch.nn.functional.softplus
+    g_losses_ref, d_losses_ref = [], []
+    import time as _time
+    _t0 = _time.time()
+    for s, (idx, z) in enumerate(draws):
+        print(f"[mat ref] step {s} t={_time.time() - _t0:.0f}s",
+              file=sys.stderr, flush=True)
+        img = nchw(tr_i[idx])
+        # MAT mask convention: 0 = hole
+        m = 1.0 - nchw(tr_m[idx])
+        zt = torch.tensor(z)
+
+        # G step (mat_model.py:814-827, pcp off)
+        og.zero_grad()
+        fake, stg1 = ref_g(img, m, zt, None, noise_mode="none",
+                           return_stg1=True)
+        d_fake, d_fake1 = ref_d(fake, m, stg1, None)
+        g_loss = sp(-d_fake).mean() + sp(-d_fake1).mean()
+        g_loss.backward()
+        og.step()
+        g_losses_ref.append(float(g_loss.detach()))
+
+        # D step (mat_model.py:830-882)
+        od.zero_grad()
+        with torch.no_grad():
+            fake, stg1 = ref_g(img, m, zt, None, noise_mode="none",
+                               return_stg1=True)
+        d_fake, d_fake1 = ref_d(fake, m, stg1, None)
+        do_r1 = s % d_reg_every == 0
+        real = img.clone().requires_grad_(do_r1)
+        real1 = img.clone().requires_grad_(do_r1)
+        d_real, d_real1 = ref_d(real, m, real1, None)
+        d_loss = (sp(d_fake).mean() + sp(d_fake1).mean()
+                  + sp(-d_real).mean() + sp(-d_real1).mean())
+        if do_r1:
+            g1 = torch.autograd.grad(d_real.sum(), real,
+                                     create_graph=True)[0]
+            g2 = torch.autograd.grad(d_real1.sum(), real1,
+                                     create_graph=True)[0]
+            r1 = (g1.pow(2).sum(dim=(1, 2, 3)).mean()
+                  + g2.pow(2).sum(dim=(1, 2, 3)).mean())
+            d_loss = d_loss + (r1_gamma / 2) * r1 * d_reg_every
+        d_loss.backward()
+        od.step()
+        d_losses_ref.append(float(d_loss.detach()))
+
+    # ----- ours (flax MAT modules, identical recipe) -----
+    from joligen_tpu.models.modules.mat import MATDiscriminator, MATGenerator
+    base = 64 if IMG_M >= 256 else 16
+    g_net = MATGenerator(base=base, z_dim=zdim, w_dim=wdim,
+                         stage1_dim=180 if IMG_M >= 256 else 36)
+    d_net = MATDiscriminator(base=base)
+    b = args.batch
+    k = jax.random.PRNGKey(7)
+    k1, k2 = jax.random.split(k)
+    gp = g_net.init(k1, jnp.zeros((b, IMG_M, IMG_M, 3)),
+                    jnp.ones((b, IMG_M, IMG_M, 1)), jnp.zeros((b, zdim)),
+                    rng=None)
+    dp = d_net.init(k2, jnp.zeros((b, IMG_M, IMG_M, 3)),
+                    jnp.ones((b, IMG_M, IMG_M, 1)),
+                    jnp.zeros((b, IMG_M, IMG_M, 3)))
+    txg = optax.adam(lr, b1=0.0, b2=0.99)
+    txd = optax.adam(lr * ratio, b1=0.0 ** ratio, b2=0.99 ** ratio)
+    gs, ds = txg.init(gp), txd.init(dp)
+
+    @jax.jit
+    def g_step(gp, gs, dp, img, m, z):
+        def loss_fn(p):
+            fake, stg1 = g_net.apply(p, img, m, z, rng=None,
+                                     return_stg1=True)
+            sf, sf1 = d_net.apply(dp, fake, m, stg1)
+            return (jax.nn.softplus(-sf).mean()
+                    + jax.nn.softplus(-sf1).mean())
+        loss, grads = jax.value_and_grad(loss_fn)(gp)
+        up, gs2 = txg.update(grads, gs, gp)
+        return optax.apply_updates(gp, up), gs2, loss
+
+    @jax.jit
+    def d_step(dp, ds, gp, img, m, z, do_r1):
+        fake, stg1 = g_net.apply(gp, img, m, z, rng=None, return_stg1=True)
+        fake = jax.lax.stop_gradient(fake)
+        stg1 = jax.lax.stop_gradient(stg1)
+
+        def loss_fn(p):
+            sf, sf1 = d_net.apply(p, fake, m, stg1)
+            sr, sr1 = d_net.apply(p, img, m, img)
+            loss = (jax.nn.softplus(sf).mean()
+                    + jax.nn.softplus(sf1).mean()
+                    + jax.nn.softplus(-sr).mean()
+                    + jax.nn.softplus(-sr1).mean())
+
+            def real_main(x):
+                return d_net.apply(p, x, m, img)[0].sum()
+
+            def real_stg1(x):
+                return d_net.apply(p, img, m, x)[1].sum()
+
+            r1 = ((jax.grad(real_main)(img) ** 2).sum(axis=(1, 2, 3)).mean()
+                  + (jax.grad(real_stg1)(img) ** 2).sum(
+                      axis=(1, 2, 3)).mean())
+            return loss + do_r1 * (r1_gamma / 2) * r1 * d_reg_every
+        loss, grads = jax.value_and_grad(loss_fn)(dp)
+        up, ds2 = txd.update(grads, ds, dp)
+        return optax.apply_updates(dp, up), ds2, loss
+
+    g_losses_tpu, d_losses_tpu = [], []
+    _t0 = _time.time()
+    for s, (idx, z) in enumerate(draws):
+        print(f"[mat tpu] step {s} t={_time.time() - _t0:.0f}s",
+              file=sys.stderr, flush=True)
+        img = jnp.asarray(tr_i[idx])
+        m = 1.0 - jnp.asarray(tr_m[idx])
+        zj = jnp.asarray(z)
+        gp, gs, gl = g_step(gp, gs, dp, img, m, zj)
+        do_r1 = 1.0 if s % d_reg_every == 0 else 0.0
+        dp, ds, dl = d_step(dp, ds, gp, img, m, zj, do_r1)
+        g_losses_tpu.append(float(gl))
+        d_losses_tpu.append(float(dl))
+
+    # ----- eval: masked PSNR of inpainted held-out images, shared z ----
+    rng = np.random.RandomState(11)
+    z_eval = rng.randn(len(te_i), zdim).astype(np.float32)
+    with torch.no_grad():
+        ref_g.eval()
+        fake, _ = ref_g(nchw(te_i), 1.0 - nchw(te_m),
+                        torch.tensor(z_eval), None, noise_mode="none",
+                        return_stg1=True)
+    ref_img = np.transpose(fake.numpy(), (0, 2, 3, 1))
+    fake_j, _ = g_net.apply(gp, jnp.asarray(te_i),
+                            1.0 - jnp.asarray(te_m),
+                            jnp.asarray(z_eval), rng=None,
+                            return_stg1=True)
+    tpu_img = np.asarray(fake_j)
+
+    tail = max(1, args.steps // 10)
+    print(json.dumps({
+        "family": "mat",
+        "psnr_masked_ref": round(masked_psnr(ref_img, te_i, te_m), 3),
+        "psnr_masked_tpu": round(masked_psnr(tpu_img, te_i, te_m), 3),
+        "tail_g_loss_ref": round(float(np.mean(g_losses_ref[-tail:])), 4),
+        "tail_g_loss_tpu": round(float(np.mean(g_losses_tpu[-tail:])), 4),
+        "tail_d_loss_ref": round(float(np.mean(d_losses_ref[-tail:])), 4),
+        "tail_d_loss_tpu": round(float(np.mean(d_losses_tpu[-tail:])), 4),
+        "steps": args.steps,
+    }))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("family", choices=["cm", "sc", "b2b_vid", "mat"])
+    ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--n_train", type=int, default=32)
+    ap.add_argument("--n_test", type=int, default=8)
+    ap.add_argument("--mat_res", type=int, default=256,
+                    help="MAT resolution (the reference pyramid needs "
+                         ">=256)")
+    args = ap.parse_args(argv)
+    {"cm": run_cm, "sc": run_sc, "b2b_vid": run_b2b_vid,
+     "mat": run_mat}[args.family](args)
+
+
+if __name__ == "__main__":
+    main()
