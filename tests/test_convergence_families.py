@@ -67,7 +67,9 @@ def test_convergence_ab_mat_independent_training():
     inpainting PSNR within 3 dB (adversarial training at few steps is
     noisy) and finite loss trajectories on both sides."""
     import numpy as np
-    r = _run("mat", "--steps", "8", "--batch", "2", "--n_train", "8",
+    # 256px MAT on CPU: ~85 s/step torch + a ~15 min one-off jax compile
+    # of the R1 double-grad — 2 steps keeps this guard ~20 min
+    r = _run("mat", "--steps", "2", "--batch", "1", "--n_train", "4",
              "--n_test", "2")
     for k in ("tail_g_loss_ref", "tail_g_loss_tpu", "tail_d_loss_ref",
               "tail_d_loss_tpu"):
