@@ -400,6 +400,7 @@ class B2BModel(BaseModel):
             from .lora import merge_lora
             params = merge_lora(params, self.states["G_lora"].params,
                                 alpha=self.lora_alpha, rank=self.lora_rank)
+        params = self.replicated(params)
         key = (steps, cfg, dev["gt"].shape)
         if key not in self._jit_sample:
             def run(p, rng, y, y_cond, mask, labels, frame_step,

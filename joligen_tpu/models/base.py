@@ -52,6 +52,15 @@ class BaseModel:
         arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
         return shard_batch(self.mesh, arrays)
 
+    def replicated(self, params):
+        """Params replicated over the mesh. Inference entry points feed
+        mesh-sharded batches, but checkpoint-loaded params may sit
+        committed on one device — jit then rejects the mixed placement
+        (incompatible-devices error under a multi-device mesh). device_put
+        to the replicated sharding is a no-op when already replicated."""
+        from ..parallel.mesh import replicate
+        return jax.device_put(params, replicate(self.mesh))
+
     # ---------------- training ----------------
     def optimize_parameters(self, batch):
         """One training step over all network groups. Returns loss dict."""

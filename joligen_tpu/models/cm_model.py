@@ -218,8 +218,9 @@ class CMModel(BaseModel):
         dev = self.put_batch(inp)
         use_ema = self.use_ema if use_ema is None else use_ema
         state = self.states["G_A"]
-        params = state.ema_params if (use_ema and state.ema_params is not None) \
-            else state.params
+        params = self.replicated(
+            state.ema_params if (use_ema and state.ema_params is not None)
+            else state.params)
         key = (tuple(sigmas), dev["gt"].shape)
         if key not in self._jit_sample:
             self._jit_sample[key] = jax.jit(

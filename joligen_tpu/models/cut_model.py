@@ -1032,4 +1032,5 @@ class CUTModel(BaseModel):
             else state.params
         if self._jit_infer is None:
             self._jit_infer = jax.jit(lambda p, x: self.netG.apply(p, x))
-        return np.asarray(jax.device_get(self._jit_infer(params, dev["real_A"])))
+        return np.asarray(jax.device_get(
+            self._jit_infer(self.replicated(params), dev["real_A"])))

@@ -332,4 +332,5 @@ class CycleGANModel(BaseModel):
         params = state.ema_params if (use_ema and state.ema_params is not None) \
             else state.params
         x = dev["real_A"] if direction == "AtoB" else dev["real_B"]
-        return np.asarray(jax.device_get(jax.jit(net.apply)(params, x)))
+        return np.asarray(jax.device_get(
+            jax.jit(net.apply)(self.replicated(params), x)))

@@ -321,6 +321,7 @@ class MATModel(BaseModel):
             self._jit_infer[key] = jax.jit(run)
         rng = (jax.random.PRNGKey(seed) if seed is not None
                else self.next_rng())
-        fake = self._jit_infer[key](params, rng, dev["real"], dev["mask"],
+        fake = self._jit_infer[key](self.replicated(params), rng,
+                                    dev["real"], dev["mask"],
                                     dev.get("mask_class"), self.w_avg)
         return np.asarray(jax.device_get(fake))

@@ -314,6 +314,7 @@ class PaletteModel(BaseModel):
         state = self.states["G_A"]
         params = state.ema_params if (use_ema and state.ema_params is not None) \
             else state.params
+        params = self.replicated(params)
 
         key = (method, steps, eta, guidance_scale, dev["y_cond"].shape,
                "ref" in dev, output_uint8)

@@ -114,8 +114,9 @@ class SCModel(BaseModel):
         use_ema = self.use_ema if use_ema is None else use_ema
         steps = denoise_timesteps or self.denoise_timesteps[0]
         state = self.states["G_A"]
-        params = state.ema_params if (use_ema and state.ema_params is not None) \
-            else state.params
+        params = self.replicated(
+            state.ema_params if (use_ema and state.ema_params is not None)
+            else state.params)
         key = (steps, dev["gt"].shape)
         if key not in self._jit_sample:
             self._jit_sample[key] = jax.jit(

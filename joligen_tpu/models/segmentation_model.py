@@ -68,7 +68,8 @@ class SegmentationModel(BaseModel):
         if self._jit_infer is None:
             self._jit_infer = jax.jit(
                 lambda p, x: jnp.argmax(self.netf_s.apply(p, x), axis=-1))
-        out = self._jit_infer(self.states["f_s"].params, dev["img"])
+        out = self._jit_infer(self.replicated(self.states["f_s"].params),
+                              dev["img"])
         return np.asarray(jax.device_get(out))[..., None]
 
     def compute_miou(self, batch, nclasses=None):

@@ -39,4 +39,5 @@ class TestModel(BaseModel):
                                       is not None) else state.params
         if self._jit is None:
             self._jit = jax.jit(lambda p, x: self.netG.apply(p, x))
-        return np.asarray(jax.device_get(self._jit(params, dev["A"])))
+        return np.asarray(jax.device_get(
+            self._jit(self.replicated(params), dev["A"])))

@@ -100,6 +100,7 @@ def test_multi_dataset(fakeds, tmp_path):
     assert all(s is not None and "A" in s for s in samples)
 
 
+@pytest.mark.slow
 def test_segmentation_model_and_miou(fakeds, tmp_path):
     from joligen_tpu.data import create_dataloader, create_dataset
     from joligen_tpu.models import create_model
@@ -119,6 +120,7 @@ def test_segmentation_model_and_miou(fakeds, tmp_path):
     assert pred.shape == batch["A_label_mask"].shape
 
 
+@pytest.mark.slow
 def test_export_stablehlo(fakeds, tmp_path):
     from joligen_tpu.data import create_dataloader, create_dataset
     from joligen_tpu.models import create_model
@@ -167,6 +169,7 @@ def test_export_stablehlo(fakeds, tmp_path):
     assert Image.open(img_out).size == (24, 24)
 
 
+@pytest.mark.slow
 def test_train_metrics_and_continue_from(fakeds, tmp_path):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"

@@ -71,6 +71,7 @@ def fakeds(tmp_path_factory):
     ("hough", "inpainting"),
     ("low_res", "super_resolution"),
 ])
+@pytest.mark.slow
 def test_palette_cond_creation(fakeds, tmp_path, mode, task):
     from joligen_tpu.data import create_dataloader, create_dataset
     from joligen_tpu.models import create_model

@@ -37,6 +37,7 @@ def _batch(b=8, size=16, seed=0):
     }
 
 
+@pytest.mark.slow
 def test_cm_train_and_fewstep_sample(tmp_path):
     from joligen_tpu.models import create_model
     m = create_model(_opt("cm", tmp_path))
@@ -67,6 +68,7 @@ def test_cm_schedules():
     assert (w > 0).all()
 
 
+@pytest.mark.slow
 def test_sc_train_sample(tmp_path):
     from joligen_tpu.models import create_model
     m = create_model(_opt("sc", tmp_path))
@@ -113,6 +115,7 @@ def test_b2b_t_sampling():
     assert 0.25 < t.mean() < 0.45
 
 
+@pytest.mark.slow
 def test_cm_perceptual_loss(tmp_path):
     """alg_cm_perceptual_loss LPIPS/DISTS terms (reference
     cm_model.py:61-82,377-401)."""
@@ -125,6 +128,7 @@ def test_cm_perceptual_loss(tmp_path):
     assert losses["G_perceptual"] != 0.0
 
 
+@pytest.mark.slow
 def test_sc_perceptual_loss(tmp_path):
     from joligen_tpu.models import create_model
     m = create_model(_opt("sc", tmp_path,
@@ -134,6 +138,7 @@ def test_sc_perceptual_loss(tmp_path):
     assert "G_perceptual" in losses and np.isfinite(losses["G_perceptual"])
 
 
+@pytest.mark.slow
 def test_b2b_minsnr_and_perceptual(tmp_path):
     """alg_b2b_minsnr weighting (sound implementation of the
     upstream-broken flag) and b2b perceptual terms."""

@@ -40,6 +40,7 @@ def _opt(fakeds, tmpdir, model="cut", **over):
     return opt
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("nce", ["patchnce", "monce", "SRC_hDCE"])
 def test_cut_train(fakeds, tmp_path, nce):
     from joligen_tpu.data import create_dataloader, create_dataset
@@ -155,6 +156,7 @@ def test_cut_pix2pix_aligned_supervised(fakeds, tmp_path):
     assert np.isfinite(losses["G_tot"])
 
 
+@pytest.mark.slow
 def test_cut_extras_flip_idt_smooth_contrastive(fakeds, tmp_path):
     """FastCUT flip-equivariance, MSE identity loss, HDCE gamma, D label
     smoothing, adaptive D diffusion aug, and the contrastive D objective
@@ -197,6 +199,7 @@ def test_contrastive_gan_loss_math():
     assert float(good) < 0.01 < float(bad)
 
 
+@pytest.mark.slow
 def test_cut_semantic_mask_extras(fakeds, tmp_path):
     """Semantic-family controls: disjoint f_s (A/B nets), f_s on B, sem idt,
     mask-for-removal targets, class weights, Charbonnier out-mask, gating
@@ -267,6 +270,7 @@ def test_all_classes_as_one(tmp_path):
     assert set(np.unique(s["A_label_mask"])) <= {0, 1}
 
 
+@pytest.mark.slow
 def test_recut_and_recycle_gan(tmp_path):
     """ReCUT / ReCycleGAN next-frame-prediction regularization over the
     nuplet dataset (reference re_*_semantic_mask_model.py — dead upstream,

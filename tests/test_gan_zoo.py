@@ -121,6 +121,7 @@ def test_diff_augment_shapes_and_gate():
     np.testing.assert_allclose(np.asarray(y), np.asarray(x))
 
 
+@pytest.mark.slow
 def test_cut_with_projected_d_diffaug_apa(fakeds, tmp_path):
     from joligen_tpu.data import create_dataloader, create_dataset
     from joligen_tpu.models import create_model
@@ -140,6 +141,7 @@ def test_cut_with_projected_d_diffaug_apa(fakeds, tmp_path):
     assert np.isfinite(l1["G_tot"])
 
 
+@pytest.mark.slow
 def test_cut_with_ittr(fakeds, tmp_path):
     from joligen_tpu.data import create_dataloader, create_dataset
     from joligen_tpu.models import create_model
@@ -154,6 +156,7 @@ def test_cut_with_ittr(fakeds, tmp_path):
     assert fake.shape[1:] == (32, 32, 3)
 
 
+@pytest.mark.slow
 def test_vision_aided_d(fakeds, tmp_path):
     """Vision-aided D (reference modules/vision_aided_d.py): frozen CLIP
     backbone gets zero gradient, trainable heads learn, and a CUT step
@@ -212,6 +215,7 @@ def test_depth_projected_d():
     assert spec is not None  # porter exists for the depth trunk
 
 
+@pytest.mark.slow
 def test_fs_sam_segmenter(fakeds, tmp_path, monkeypatch):
     """f_s_net=sam: frozen SAM replaces the GT label mask in the CUT
     semantic-mask path (reference base_model.py:1522-1560); weight-gated on
@@ -261,6 +265,7 @@ def test_fs_sam_segmenter(fakeds, tmp_path, monkeypatch):
     assert np.isfinite(losses["G_sem_mask"])
 
 
+@pytest.mark.slow
 def test_segformer_generator_and_fs(fakeds, tmp_path):
     """Segformer G (attn decoder) trains a CUT step and the segformer f_s
     head trains in the semantic-mask path (reference segformer_generator.py

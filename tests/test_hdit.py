@@ -106,6 +106,7 @@ def test_hdit_shifted_window_seam_mask():
     assert np.abs(g[7, 0]).max() < 1e-20
 
 
+@pytest.mark.slow
 def test_palette_hdit_train(tmp_path, tmp_path_factory):
     from joligen_tpu.data import create_dataloader, create_dataset
     from joligen_tpu.models import create_model

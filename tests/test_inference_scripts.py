@@ -64,6 +64,7 @@ def gan_ckpt(tmp_path_factory):
     return root, os.path.join(ckpt, "g", "latest_net_G_A.pth")
 
 
+@pytest.mark.slow
 def test_gen_single_image(gan_ckpt, tmp_path):
     root, model_file = gan_ckpt
     img_in = os.path.join(root, "testA", "imgs", "000.png")
@@ -115,6 +116,7 @@ def test_gen_video_diffusion_frame_by_frame(diffusion_ckpt, tmp_path):
     assert len(gen) == 2
 
 
+@pytest.mark.slow
 def test_b2b_stablehlo_serving_roundtrip(tmp_path, tmp_path_factory):
     """Train tiny video B2B -> export sampler+denoiser StableHLO ->
     autoregressive inference from the artifact (+ live-backend parity and
@@ -180,6 +182,7 @@ def test_b2b_stablehlo_serving_roundtrip(tmp_path, tmp_path_factory):
     assert os.path.exists(os.path.join(out_grid, "corruption_grid.png"))
 
 
+@pytest.mark.slow
 def test_gen_vid_diffusion(tmp_path, tmp_path_factory):
     """Video inference over a tiny unet_vid checkpoint, autoregressive."""
     root = str(tmp_path_factory.mktemp("vds"))

@@ -34,6 +34,7 @@ def test_lora_identity_and_merge():
     np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_b2b_lora_train(tmp_path, tmp_path_factory):
     from joligen_tpu.data import create_dataloader, create_dataset
     from joligen_tpu.models import create_model

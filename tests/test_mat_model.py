@@ -57,6 +57,7 @@ def test_mat_discriminator():
     assert l.shape == (2, 1) and l1.shape == (2, 1)
 
 
+@pytest.mark.slow
 def test_mat_motion_video(tmp_path):
     """MAT motion finetuning: 5D clips through G (motion modules in the
     decoder), per-frame D, finite losses, video-shaped inference."""
@@ -83,6 +84,7 @@ def test_mat_motion_video(tmp_path):
     assert fake.shape == imgs.shape and np.isfinite(fake).all()
 
 
+@pytest.mark.slow
 def test_mat_train_and_infer(fakeds, tmp_path):
     from joligen_tpu.data import create_dataloader, create_dataset
     from joligen_tpu.models import create_model
@@ -119,6 +121,7 @@ def test_mat_train_and_infer(fakeds, tmp_path):
     assert diff[keep].max() < 1e-4
 
 
+@pytest.mark.slow
 def test_mat_knobs_mask_class_noise_tf_lr(fakeds, tmp_path):
     """alg_mat_mask_class_conditioning (extra class-id channel),
     noise modes, ema_rampup, transformer_lr param groups, motion knobs
@@ -215,6 +218,7 @@ def test_mat_style_mixing():
                                np.asarray(img)[0][~hole], atol=1e-5)
 
 
+@pytest.mark.slow
 def test_mat_truncation_psi_changes_output(fakeds, tmp_path):
     """alg_mat_truncation_psi lerps w toward the tracked average at
     inference (reference truncation trick)."""

@@ -117,6 +117,7 @@ def test_fvd_sanity():
     assert far > same
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("nothing", [None])
 def test_testpy_end_to_end(tmp_path, nothing):
     """Train 1 tiny epoch via train.py, then evaluate via test.py."""

@@ -229,7 +229,16 @@ def test_register_tokens_jit_param_shape():
     assert not any("register_tokens" in jax.tree_util.keystr(p)
                    for p, _ in flat0)
 
-    net3 = JiT(**kw, num_register_tokens=3)
+    # reference semantics (vit.py:459-476): registers are inserted at
+    # block ``in_context_start`` — with depth <= in_context_start the
+    # insertion never happens and no parameter materializes
+    net_never = JiT(**kw, num_register_tokens=3)   # default ics=4 > depth 2
+    v_never = net_never.init(jax.random.PRNGKey(0), x, t)
+    assert not any("register_tokens" in jax.tree_util.keystr(p)
+                   for p, _ in jax.tree_util.tree_leaves_with_path(v_never))
+
+    net3 = JiT(**kw, num_register_tokens=3, in_context_start=0,
+               in_context_len=0)
     v3 = net3.init(jax.random.PRNGKey(0), x, t)
     reg = [l for p, l in jax.tree_util.tree_leaves_with_path(v3)
            if "register_tokens" in jax.tree_util.keystr(p)]

@@ -44,6 +44,7 @@ def _opt(fakeds, tmpdir, **over):
     return opt
 
 
+@pytest.mark.slow
 def test_palette_train_infer_checkpoint(fakeds, tmp_path):
     from joligen_tpu.data import create_dataloader, create_dataset
     from joligen_tpu.models import create_model
@@ -85,6 +86,7 @@ def test_palette_train_infer_checkpoint(fakeds, tmp_path):
         np.testing.assert_allclose(a, b)
 
 
+@pytest.mark.slow
 def test_palette_class_mask_conditioning(fakeds, tmp_path):
     from joligen_tpu.data import create_dataloader, create_dataset
     from joligen_tpu.models import create_model
@@ -105,6 +107,7 @@ def test_palette_class_mask_conditioning(fakeds, tmp_path):
     assert np.isfinite(loss)
 
 
+@pytest.mark.slow
 def test_palette_clip_ref_conditioning(fakeds, tmp_path, monkeypatch):
     """ref conditioning through the frozen CLIP encoder path
     (reference palette_denoise_fn.py:77-80,144-155): a step runs, the CLIP
@@ -147,6 +150,7 @@ def test_palette_clip_ref_conditioning(fakeds, tmp_path, monkeypatch):
     assert np.isfinite(loss2)
 
 
+@pytest.mark.slow
 def test_palette_imagebind_ref_conditioning(fakeds, tmp_path, monkeypatch):
     """ref conditioning through the frozen ImageBind vision tower
     (reference palette_denoise_fn.py:83-85,146-148): a step runs, the tower
@@ -233,6 +237,7 @@ def test_palette_imagebind_ref_conditioning(fakeds, tmp_path, monkeypatch):
     np.testing.assert_allclose(got, flat["cls_token"], rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_palette_pix2pix_aligned(tmp_path):
     """Palette with task=pix2pix on the aligned dataset: no mask, the
     conditioning image is domain A (reference

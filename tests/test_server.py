@@ -42,6 +42,7 @@ def test_info_schema(server):
     assert "G" in schema["properties"] and "data" in schema["properties"]
 
 
+@pytest.mark.slow
 def test_train_predict_lifecycle(server, tmp_path):
     import client
 

@@ -81,6 +81,7 @@ def test_temporal_dataset_shapes(vidds, tmp_path):
     assert np.abs(batch["A"][inside] - batch["B"][inside]).max() > 0.01
 
 
+@pytest.mark.slow
 def test_palette_unet_vid_train_sample(vidds, tmp_path):
     from joligen_tpu.data import create_dataloader, create_dataset
     from joligen_tpu.models import create_model
@@ -189,6 +190,7 @@ def test_b2b_global_context_and_object_ref(vidds, tmp_path):
     assert np.isfinite(loss)
 
 
+@pytest.mark.slow
 def test_gan_video_temporal_d(vidds, tmp_path):
     """CUT on a temporal dataset: per-frame G, temporal projected D on
     clips, temporal MSE criterion."""
@@ -224,6 +226,7 @@ def test_motion_module_identity_at_init():
     np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sequence_parallel_video_train(vidds, tmp_path):
     """Frame-axis (sequence) parallelism: clips shard (B,F,H,W,C) frames
     over the mesh seq axis; the temporal-attention all-gathers are inserted
@@ -254,6 +257,7 @@ def test_sequence_parallel_video_train(vidds, tmp_path):
     assert fake.shape[1] == 4 and np.isfinite(fake).all()
 
 
+@pytest.mark.slow
 def test_temporal_d_cadence(tmp_path):
     """D_temporal_every: the temporal projected D trains (and contributes
     to G) only every N iterations (reference base_gan_model.py:388,469,580).
