@@ -333,6 +333,9 @@ def run_all(a):
     import sys
 
     specs = [
+        # headline FIRST as insurance (if a driver-side timeout truncates
+        # the family sweep, the tail still contains a headline line) ...
+        ("palette_256_early", ["--workload", "palette"]),
         ("palette_128", ["--workload", "palette", "--size", "128"]),
         ("gan", ["--workload", "gan"]),
         ("cm", ["--workload", "cm"]),
@@ -340,6 +343,7 @@ def run_all(a):
         ("b2b_vid", ["--workload", "b2b_vid"]),
         ("mat", ["--workload", "mat"]),
         ("serving_ddim10", ["--workload", "palette", "--mode", "sample"]),
+        # ... and LAST so the driver's parsed-last-line stays the headline
         ("palette_256", ["--workload", "palette"]),
     ]
     if a.smoke:
