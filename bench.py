@@ -304,6 +304,9 @@ def main():
         candidates = [4, 2]   # 8-frame clips fold into batch
     elif a.workload == "mat":
         candidates = [8, 4]   # r3: 45.6 img/s @8 vs 23.3 @4
+    elif a.size <= 128:
+        # r4 sweep at 128px: 327.8 @32 > 325.7 @64 > 319.1 @16
+        candidates = [32, 16, 8]
     else:
         # honest-completion measurements: 66.5 img/s @16 > 63 @32 > 57 @40
         # (the step is compute-bound; larger batches only add memory
