@@ -1081,6 +1081,7 @@ def test_imagebind_vision_porter_matches_reference_module(tmp_path):
 
         layers.DropPath = DropPath
         layers.trunc_normal_ = torch.nn.init.trunc_normal_
+        layers.to_2tuple = lambda x: x if isinstance(x, tuple) else (x, x)
         timm.models = models
         models.layers = layers
         sys.modules.update({"timm": timm, "timm.models": models,

@@ -702,6 +702,11 @@ def run_mat(args):
     # deterministic identity like the parity test so the mul_map blend
     # matches our rng=None path) -----
     mat_mod = cm_tool.load_reference_mat()
+    # mat_mod.F IS the shared torch.nn.functional — patch dropout to the
+    # deterministic identity for the A/B (parity-test convention) and
+    # RESTORE it afterwards, or every later torch user in this process
+    # loses dropout
+    _orig_dropout = mat_mod.F.dropout
     mat_mod.F.dropout = lambda x, *a, **k: x
     torch.manual_seed(17)
     ref_g = mat_mod.Generator(z_dim=zdim, c_dim=0, w_dim=wdim,
@@ -853,6 +858,7 @@ def run_mat(args):
                             return_stg1=True)
     tpu_img = np.asarray(fake_j)
 
+    mat_mod.F.dropout = _orig_dropout
     tail = max(1, args.steps // 10)
     print(json.dumps({
         "family": "mat",

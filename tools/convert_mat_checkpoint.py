@@ -38,6 +38,22 @@ import numpy as np
 
 def load_reference_mat(ref_root="/root/reference/models/modules"):
     """Import the reference mat.py as ``refmodules.mat.mat`` on CPU."""
+    # another test/tool may have registered a timm stub first — make sure
+    # the attributes mat.py imports exist regardless of who created it
+    if "timm.models.layers" in sys.modules:
+        tl = sys.modules["timm.models.layers"]
+        if not hasattr(tl, "to_2tuple"):
+            tl.to_2tuple = lambda x: x if isinstance(x, tuple) else (x, x)
+        if not hasattr(tl, "trunc_normal_"):
+            tl.trunc_normal_ = lambda t, *a, **k: t
+        if not hasattr(tl, "DropPath"):
+            class _DP:
+                def __init__(self, *a, **k):
+                    pass
+
+                def __call__(self, x):
+                    return x
+            tl.DropPath = _DP
     if "timm" not in sys.modules:
         timm = types.ModuleType("timm")
         tm = types.ModuleType("timm.models")
