@@ -1084,6 +1084,9 @@ def test_imagebind_vision_porter_matches_reference_module(tmp_path):
         layers.to_2tuple = lambda x: x if isinstance(x, tuple) else (x, x)
         timm.models = models
         models.layers = layers
+        import importlib.machinery as _im
+        for _m in (timm, models, layers):
+            _m.__spec__ = _im.ModuleSpec(_m.__name__, None)
         sys.modules.update({"timm": timm, "timm.models": models,
                             "timm.models.layers": layers})
     for missing in ("ftfy", "regex"):
@@ -1181,12 +1184,20 @@ def test_vgg16_fcn8s_matches_reference_module(tmp_path):
             "torchvision.models": mv, "torchvision.models.vgg": vgg_mod})
     if "wget" not in sys.modules:
         sys.modules["wget"] = types.ModuleType("wget")
-    if "util" not in sys.modules:
-        u = types.ModuleType("util")
+    # "util" may already be the REAL /root/reference/util package (the
+    # vit helpers import util.model_util through it); the submodule stub
+    # must be registered either way or `from util.util import tensor2im`
+    # loads the real util/util.py, which imports piq (absent here)
+    if "util.util" not in sys.modules or not hasattr(
+            sys.modules["util.util"], "tensor2im"):
         uu = types.ModuleType("util.util")
         uu.tensor2im = lambda *a, **k: None
-        u.util = uu
-        sys.modules.update({"util": u, "util.util": uu})
+        if "util" not in sys.modules:
+            u = types.ModuleType("util")
+            u.__path__ = []
+            sys.modules["util"] = u
+        sys.modules["util"].util = uu
+        sys.modules["util.util"] = uu
 
     pkg = types.ModuleType("refmodules")
     pkg.__path__ = ["/root/reference/models/modules"]
@@ -1964,12 +1975,20 @@ def _reference_resnet_importable():
         sys.modules.update({
             "torchvision": tv, "torchvision.transforms": tvt,
             "torchvision.models": tvm, "torchvision.models.vgg": tvv})
-    if "util" not in sys.modules:
-        u = types.ModuleType("util")
+    # "util" may already be the REAL /root/reference/util package (the
+    # vit helpers import util.model_util through it); the submodule stub
+    # must be registered either way or `from util.util import tensor2im`
+    # loads the real util/util.py, which imports piq (absent here)
+    if "util.util" not in sys.modules or not hasattr(
+            sys.modules["util.util"], "tensor2im"):
         uu = types.ModuleType("util.util")
         uu.tensor2im = lambda *a, **k: None
-        u.util = uu
-        sys.modules.update({"util": u, "util.util": uu})
+        if "util" not in sys.modules:
+            u = types.ModuleType("util")
+            u.__path__ = []
+            sys.modules["util"] = u
+        sys.modules["util"].util = uu
+        sys.modules["util.util"] = uu
     for name, path in [
             ("models", "/root/reference/models"),
             ("models.modules", "/root/reference/models/modules"),

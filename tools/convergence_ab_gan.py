@@ -86,12 +86,20 @@ def reference_gan_importable():
         sys.modules.update({
             "torchvision": tv, "torchvision.transforms": tvt,
             "torchvision.models": tvm, "torchvision.models.vgg": tvv})
-    if "util" not in sys.modules:
-        u = types.ModuleType("util")
+    # "util" may already be the REAL /root/reference/util package (the
+    # vit helpers import util.model_util through it); the submodule stub
+    # must be registered either way or `from util.util import tensor2im`
+    # loads the real util/util.py, which imports piq (absent here)
+    if "util.util" not in sys.modules or not hasattr(
+            sys.modules["util.util"], "tensor2im"):
         uu = types.ModuleType("util.util")
         uu.tensor2im = lambda *a, **k: None
-        u.util = uu
-        sys.modules.update({"util": u, "util.util": uu})
+        if "util" not in sys.modules:
+            u = types.ModuleType("util")
+            u.__path__ = []
+            sys.modules["util"] = u
+        sys.modules["util"].util = uu
+        sys.modules["util.util"] = uu
     for name, path in [
             ("models", "/root/reference/models"),
             ("models.modules", "/root/reference/models/modules"),

@@ -71,6 +71,9 @@ def load_reference_mat(ref_root="/root/reference/models/modules"):
         tl.trunc_normal_ = lambda t, *a, **k: t
         tm.layers = tl
         timm.models = tm
+        import importlib.machinery as _im
+        for _m in (timm, tm, tl):
+            _m.__spec__ = _im.ModuleSpec(_m.__name__, None)
         sys.modules.update({"timm": timm, "timm.models": tm,
                             "timm.models.layers": tl})
 
