@@ -283,10 +283,19 @@ class JiT(nn.Module):
             y = jnp.full((b,), self.num_classes, jnp.int32)
         y_emb = jnp.take(ytab, y, axis=0).astype(c.dtype)
         c = c + y_emb
-        if self.mask_size_conditioning and mask_size is not None:
-            ms = nn.Dense(d, dtype=self.dtype, name="ms_0")(mask_size)
+        if self.mask_size_conditioning:
+            # reference always applies the embedder in this mode (zeros
+            # input when absent) with a zero-init last layer
+            # (vit.py:430-441,399-401)
+            if mask_size is None:
+                mask_size = jnp.zeros((b, 6), jnp.float32)
+            ms = nn.Dense(d, dtype=self.dtype, name="ms_0")(
+                mask_size.astype(self.dtype))
             ms = nn.silu(ms)
-            c = c + nn.Dense(d, dtype=self.dtype, name="ms_1")(ms)
+            c = c + nn.Dense(d, dtype=self.dtype,
+                             kernel_init=nn.initializers.zeros,
+                             bias_init=nn.initializers.zeros,
+                             name="ms_1")(ms)
 
         # phase 1: image tokens only (feat_rope, no prefix)
         start = max(0, min(self.in_context_start, self.depth))
