@@ -72,10 +72,25 @@ def create_dataloader(opt, dataset, shuffle=None, batch_size=None,
     if drop_last is None:
         drop_last = shuffle  # eval loaders keep the remainder
     global_batch = max(1, min(batch_size * dp, len(dataset)))
-    return DataLoader(dataset, batch_size=global_batch, shuffle=shuffle,
+    # multi-process: each process loads only ITS slice of the global batch
+    # (reference DistributedSampler(num_replicas, rank),
+    # data/__init__.py:124-129); mesh.shard_batch reassembles the global
+    # array via jax.make_array_from_process_local_data
+    pc, pidx = jax.process_count(), jax.process_index()
+    seed = getattr(opt, "seed", None)
+    if pc > 1:
+        global_batch = max(pc, (global_batch // pc) * pc)
+        local_batch = global_batch // pc
+        # the shuffle permutation MUST match across processes (shards are
+        # strides of ONE shared permutation) -> a common seed is required
+        seed = seed or 12345
+    else:
+        local_batch = global_batch
+    return DataLoader(dataset, batch_size=local_batch, shuffle=shuffle,
                       drop_last=drop_last,
                       prefetch=max(1, getattr(opt, "tpu_prefetch", 2) or 2),
-                      num_workers=getattr(opt, "data_num_threads", 4))
+                      num_workers=getattr(opt, "data_num_threads", 4),
+                      shard_index=pidx, num_shards=pc, seed=seed)
 
 
 def list_test_sets(dataroot):

@@ -65,8 +65,14 @@ class DataLoader:
         idx = list(range(len(self.dataset)))
         if self.shuffle:
             self.rng.shuffle(idx)
-        # per-host shard (reference DistributedSampler equivalent)
-        return idx[self.shard_index::self.num_shards]
+        # per-host shard (reference DistributedSampler equivalent). All
+        # shards are truncated to the SAME length: in a multi-process run
+        # each batch is a collective, so a process with one extra batch
+        # would enter a device program alone and deadlock the job.
+        shard = idx[self.shard_index::self.num_shards]
+        if self.num_shards > 1:
+            shard = shard[:len(self.dataset) // self.num_shards]
+        return shard
 
     def __iter__(self):
         indices = self._epoch_indices()

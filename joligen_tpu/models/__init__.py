@@ -4,7 +4,17 @@ BaseModel OO engine, models/base_model.py:57-2344)."""
 
 
 def create_model(opt, phase="train"):
-    """Name -> model class registry (reference models/__init__.py:43-93)."""
+    """Name -> model class registry (reference models/__init__.py:43-93).
+    After construction, every NetState is committed to its mesh sharding
+    (BaseModel.finalize_states) — required for multi-process runs, where
+    jit inputs must be global arrays spanning the full mesh."""
+    model = _construct(opt, phase)
+    if hasattr(model, "finalize_states"):
+        model.finalize_states()
+    return model
+
+
+def _construct(opt, phase):
     name = opt.model_type
     if name in ("palette",):
         from .palette_model import PaletteModel

@@ -58,8 +58,44 @@ class BaseModel:
         committed on one device — jit then rejects the mixed placement
         (incompatible-devices error under a multi-device mesh). device_put
         to the replicated sharding is a no-op when already replicated."""
+        from ..parallel.mesh import put_global, replicate
+        rep = replicate(self.mesh)
+        return jax.tree.map(lambda x: put_global(x, rep), params)
+
+    def finalize_states(self):
+        """Commit every NetState leaf to its mesh sharding: param_sharding
+        policy for params/EMA/optimizer moments, replicated step counter.
+        Single-process this just commits placements (the jitted steps
+        would infer the same via GSPMD); multi-PROCESS it is REQUIRED —
+        every jit input must be a global array spanning the full mesh, and
+        each process holds only its local devices until this runs (called
+        once by models.create_model after subclass __init__)."""
+        from ..parallel.mesh import param_sharding, put_global, replicate
+        rep = replicate(self.mesh)
+
+        def put_tree(tree):
+            if tree is None:
+                return None
+            sh = param_sharding(self.mesh, tree)
+            return jax.tree.map(put_global, tree, sh)
+
+        for name, st in list(self.states.items()):
+            self.states[name] = st.replace(
+                params=put_tree(st.params),
+                ema_params=put_tree(st.ema_params),
+                opt_state=put_tree(st.opt_state),
+                step=put_global(st.step, rep))
+
+    def _gathered(self, tree):
+        """Host copy of a (possibly cross-host-sharded) state tree. Single
+        process: plain device_get (shards are all addressable).
+        Multi-process: all-gather to replicated first — a COLLECTIVE, so
+        every process must call this (only rank 0 then writes files)."""
+        if jax.process_count() == 1:
+            return jax.device_get(tree)
         from ..parallel.mesh import replicate
-        return jax.device_put(params, replicate(self.mesh))
+        rep = replicate(self.mesh)
+        return jax.device_get(jax.jit(lambda t: t, out_shardings=rep)(tree))
 
     # ---------------- training ----------------
     def optimize_parameters(self, batch):
@@ -100,21 +136,32 @@ class BaseModel:
     def save_networks(self, prefix):
         """Per-network files named {prefix}_net_{name}.pth (+_ema), matching
         the reference checkpoint layout (base_model.py:824-868). Payload is
-        flax msgpack, not torch pickle."""
+        flax msgpack, not torch pickle.
+
+        Multi-process: the gathers are collectives — ALL processes call
+        this in lockstep (the train loop does); only process 0 writes
+        (reference rank-0 gating, train.py:350-356)."""
+        from ..parallel.dist import is_main_process
+        write = is_main_process()
         for name, state in self.states.items():
-            params = jax.device_get(state.params)
-            with open(self._net_path(prefix, name), "wb") as f:
-                f.write(serialization.to_bytes(params))
+            params = self._gathered(state.params)
+            if write:
+                with open(self._net_path(prefix, name), "wb") as f:
+                    f.write(serialization.to_bytes(params))
             if state.ema_params is not None:
-                ema = jax.device_get(state.ema_params)
-                with open(self._net_path(prefix, name, ema=True), "wb") as f:
-                    f.write(serialization.to_bytes(ema))
+                ema = self._gathered(state.ema_params)
+                if write:
+                    with open(self._net_path(prefix, name, ema=True),
+                              "wb") as f:
+                        f.write(serialization.to_bytes(ema))
         # optimizer state for exact resume (the reference does NOT checkpoint
         # optimizer state — SURVEY.md §5; we do, as a strict improvement)
-        opt_path = os.path.join(self.save_dir, f"{prefix}_optim.pkl")
-        with open(opt_path, "wb") as f:
-            pickle.dump({n: jax.device_get(s.opt_state)
-                         for n, s in self.states.items()}, f)
+        opt_states = {n: self._gathered(s.opt_state)
+                      for n, s in self.states.items()}
+        if write:
+            opt_path = os.path.join(self.save_dir, f"{prefix}_optim.pkl")
+            with open(opt_path, "wb") as f:
+                pickle.dump(opt_states, f)
 
     @staticmethod
     def _resize_token_table(lv, tshape):
@@ -183,7 +230,7 @@ class BaseModel:
                 continue
             with open(path, "rb") as f:
                 blob = f.read()
-            target = jax.device_get(state.params)
+            target = self._gathered(state.params)
             try:
                 params = serialization.from_bytes(target, blob)
             except ValueError:
@@ -193,10 +240,13 @@ class BaseModel:
             def _put_like(new_tree, old_tree):
                 # preserve the shardings established at init — a bare
                 # device_put would collapse fsdp/tensor-sharded params onto
-                # one device on resume
+                # one device on resume (and multi-process needs global
+                # arrays, mesh.put_global)
+                from ..parallel.mesh import put_global
+
                 def put(nv, ov):
                     sh = getattr(ov, "sharding", None)
-                    return (jax.device_put(nv, sh) if sh is not None
+                    return (put_global(nv, sh) if sh is not None
                             else jax.device_put(nv))
                 return jax.tree.map(put, new_tree, old_tree)
 
@@ -205,7 +255,7 @@ class BaseModel:
             if state.ema_params is not None and os.path.exists(epath):
                 with open(epath, "rb") as f:
                     ema = serialization.from_bytes(
-                        jax.device_get(state.ema_params), f.read())
+                        self._gathered(state.ema_params), f.read())
                 new = new.replace(ema_params=_put_like(ema,
                                                        state.ema_params))
             self.states[name] = new
@@ -215,12 +265,13 @@ class BaseModel:
                 opt_states = pickle.load(f)
             for name, os_ in opt_states.items():
                 if name in self.states:
-                    target = jax.device_get(self.states[name].opt_state)
+                    target = self._gathered(self.states[name].opt_state)
                     restored = serialization.from_state_dict(target,
                         serialization.to_state_dict(os_))
+                    from ..parallel.mesh import put_global
                     def put(nv, ov):
                         sh = getattr(ov, "sharding", None)
-                        return (jax.device_put(nv, sh) if sh is not None
+                        return (put_global(nv, sh) if sh is not None
                                 else jax.device_put(nv))
                     self.states[name] = self.states[name].replace(
                         opt_state=jax.tree.map(put, restored,

@@ -18,7 +18,7 @@ import numpy as np
 
 from ..ops.schedules import NoiseSchedule
 from ..parallel.mesh import (batch_sharding, dequantize_on_device,
-                             param_sharding, quantize_batch)
+                             quantize_batch)
 from .base import BaseModel
 from .diffusion_networks import VIDEO_NETGS, define_G
 from .train_state import apply_updates, init_net_state, make_optimizer
@@ -84,13 +84,8 @@ class PaletteModel(BaseModel):
                 params=load_imagebind_ref_encoder(state.params),
                 ema_params=(load_imagebind_ref_encoder(state.ema_params)
                             if state.ema_params is not None else None))
-        # shard params/opt-state over the fsdp axis, replicate over data
-        pshard = param_sharding(self.mesh, state.params)
-        state = state.replace(
-            params=jax.device_put(state.params, pshard),
-            ema_params=(jax.device_put(state.ema_params, pshard)
-                        if state.ema_params is not None else None),
-        )
+        # params/opt-state shard over the fsdp axis, replicated over data —
+        # done uniformly for all models by finalize_states (create_model)
         self.states["G_A"] = state
 
         self._jit_train_step = None

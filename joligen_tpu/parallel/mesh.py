@@ -89,6 +89,27 @@ def replicate(mesh):
     return NamedSharding(mesh, P())
 
 
+def put_global(x, sharding):
+    """Place a host value (or process-local array) as a global array with
+    ``sharding``. Single-process this is a plain device_put; multi-process
+    it builds the global array from the SAME host value on every process
+    via make_array_from_callback (params, config tensors, rng keys —
+    anything logically replicated across hosts; per-process DATA shards go
+    through shard_batch instead)."""
+    if x is None:
+        return None
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        if x.sharding == sharding:
+            return x
+        # resharding a global array is a collective program
+        return jax.jit(lambda t: t, out_shardings=sharding)(x)
+    arr = np.asarray(x)
+    return jax.make_array_from_callback(
+        arr.shape, sharding, lambda idx: arr[idx])
+
+
 def quantize_batch(batch, float_keys=(), int_keys=()):
     """Host-side wire compression: float32 [-1,1] images -> uint8, int label
     masks -> uint8 (4x less host->device traffic — the tunnel/PCIe transfer
@@ -128,20 +149,57 @@ def shard_batch(mesh, batch):
     """Host numpy batch -> global device arrays sharded over the batch axis
     (and, for 5D video clips when the seq axis is live, the frame axis).
     Batches not divisible by the data extent (tiny eval remainders) are
-    replicated instead — correctness over speed off the hot path."""
+    replicated instead — correctness over speed off the hot path.
+
+    Multi-process (jax.process_count() > 1): each process passes its OWN
+    shard of the global batch (the loader's per-process slice, reference
+    DistributedSampler semantics, data/__init__.py:124-129) and the global
+    array is assembled with jax.make_array_from_process_local_data —
+    global batch = local batch x process_count. Requires the seq axis (if
+    live) to sit within a process (make_mesh orders seq fastest-varying,
+    so this holds whenever local_device_count % seq == 0)."""
     sharding = batch_sharding(mesh)
     n = mesh.shape["data"] * mesh.shape["fsdp"]
     seq = mesh.shape["seq"]
     vid = video_batch_sharding(mesh)
     repl = replicate(mesh)
+    pc = jax.process_count()
+
+    if pc == 1:
+        def put(x):
+            if not (hasattr(x, "shape") and x.ndim > 0):
+                return jax.device_put(x, repl)
+            if x.shape[0] % n == 0:
+                if seq > 1 and x.ndim == 5 and x.shape[1] % seq == 0:
+                    return jax.device_put(x, vid)
+                return jax.device_put(x, sharding)
+            return jax.device_put(x, repl)
+
+        return jax.tree.map(put, batch)
+
+    assert n % pc == 0, (
+        f"batch-shard extent data x fsdp = {n} must divide by "
+        f"process_count {pc}")
+    if seq > 1:
+        assert jax.local_device_count() % seq == 0, (
+            "seq axis must not straddle hosts: local_device_count "
+            f"{jax.local_device_count()} % seq {seq} != 0")
+    n_local = n // pc
 
     def put(x):
         if not (hasattr(x, "shape") and x.ndim > 0):
-            return jax.device_put(x, repl)
-        if x.shape[0] % n == 0:
-            if seq > 1 and x.ndim == 5 and x.shape[1] % seq == 0:
-                return jax.device_put(x, vid)
-            return jax.device_put(x, sharding)
-        return jax.device_put(x, repl)
+            # python / 0-d scalars are config values, identical per process
+            return put_global(x, repl)
+        if x.shape[0] % n_local != 0:
+            raise ValueError(
+                f"multi-process batch dim {x.shape[0]} must divide the "
+                f"per-process shard extent {n_local} (replicating a "
+                "remainder would silently duplicate per-process data)")
+        gshape = (x.shape[0] * pc,) + tuple(x.shape[1:])
+        sh = sharding
+        if seq > 1 and x.ndim == 5 and x.shape[1] % seq == 0:
+            sh = vid
+        return jax.make_array_from_process_local_data(sh, np.asarray(x),
+                                                      gshape)
 
     return jax.tree.map(put, batch)

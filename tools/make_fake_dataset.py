@@ -9,18 +9,26 @@ import numpy as np
 from PIL import Image
 
 
-def make(root, n=8, size=64, nclasses=2, seed=0, online=False):
+def make(root, n=8, size=64, nclasses=2, seed=0, online=False,
+         identical=False):
     """online=True writes 'img bbox.txt' paths lines (online-crop layout);
-    default writes 'img cls mask.png' (labeled-mask layout)."""
+    default writes 'img cls mask.png' (labeled-mask layout).
+    identical=True makes every sample the same image/mask/class — used by
+    the multi-host exactness test, where the global batch must be
+    order-invariant across process shardings."""
     rng = np.random.RandomState(seed)
     for dom in ("A", "B"):
         for phase in ("train", "test"):
+            if identical:
+                rng = np.random.RandomState(seed)
             os.makedirs(os.path.join(root, f"{phase}{dom}", "imgs"), exist_ok=True)
             os.makedirs(os.path.join(root, f"{phase}{dom}", "masks"), exist_ok=True)
             os.makedirs(os.path.join(root, f"{phase}{dom}", "bbox"), exist_ok=True)
             lines = []
             count = n if phase == "train" else max(2, n // 4)
             for i in range(count):
+                if identical:
+                    rng = np.random.RandomState(seed)
                 img = (rng.rand(size, size, 3) * 255).astype(np.uint8)
                 # draw a colored square "object"
                 x1, y1 = rng.randint(4, size // 2, 2)

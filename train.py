@@ -53,6 +53,12 @@ def launch_training(opt):
 
     import numpy as np
 
+    # multi-host bring-up MUST precede the first backend touch (device
+    # queries below); no-op unless --tpu_dist_* / JOLIGEN_DIST_* are set
+    # (reference equivalent: NCCL init_process_group, train.py:38-48)
+    from joligen_tpu.parallel import initialize_distributed, is_main_process
+    initialize_distributed(opt)
+
     import jax
 
     seed = getattr(opt, "seed", None)
@@ -68,6 +74,9 @@ def launch_training(opt):
     if getattr(opt, "tpu_cache_dir", ""):
         jax.config.update("jax_compilation_cache_dir", opt.tpu_cache_dir)
 
+    main = is_main_process()
+    single = jax.process_count() == 1
+
     dataset = create_dataset(opt, "train")
     dataloader = create_dataloader(opt, dataset)
     steps_per_epoch = max(1, len(dataloader))
@@ -76,15 +85,23 @@ def launch_training(opt):
     print(f"dataset [{opt.data_dataset_mode}] of size {len(dataset)} created, "
           f"{steps_per_epoch} steps/epoch, devices={jax.device_count()}")
 
-    _maybe_continue_from(opt)
+    if main:
+        _maybe_continue_from(opt)
+    if not single:
+        # checkpoint files must exist before every process loads them
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("continue_from")
     model = create_model(opt, phase="train")
-    print("model [%s] created; params: %s" %
-          (opt.model_type, {k: f"{v/1e6:.2f}M" for k, v in model.param_count().items()}))
+    if main:
+        print("model [%s] created; params: %s" %
+              (opt.model_type,
+               {k: f"{v/1e6:.2f}M" for k, v in model.param_count().items()}))
 
-    visualizer = Visualizer(opt)
+    visualizer = Visualizer(opt) if main else None
 
     expr_dir = os.path.join(opt.checkpoints_dir, opt.name)
-    TrainOptions().save_config(opt, expr_dir)
+    if main:
+        TrainOptions().save_config(opt, expr_dir)
 
     if getattr(opt, "train_continue", False):
         try:
@@ -98,11 +115,17 @@ def launch_training(opt):
     elif getattr(opt, "train_continue_from", ""):
         model.load_networks("latest", load_optim=False, strict=False)
 
-    # test dataloaders for train-time metric evaluation (rank-0 equivalent:
-    # process_index 0; reference train.py:147-174)
+    # test dataloaders for train-time metric evaluation (reference gates on
+    # rank 0, train.py:147-174; here metric inference is a collective over
+    # the global mesh, so in MULTI-process runs it is disabled — run
+    # test.py on the checkpoints instead, same as the reference's offline
+    # path)
     metric_loaders = []
     compute_metrics = (getattr(opt, "train_compute_metrics_test", False)
-                       and jax.process_index() == 0)
+                       and single)
+    if getattr(opt, "train_compute_metrics_test", False) and not single:
+        print("multi-host: train-time metric eval disabled (collective "
+              "inference from one rank would deadlock); use test.py")
     if compute_metrics:
         for name in (list_test_sets(opt.dataroot) or [""]):
             try:
@@ -187,15 +210,17 @@ def launch_training(opt):
                 import jax.profiler
                 jax.profiler.stop_trace()
 
-            if total_iters % max(batch, (opt.output_print_freq // batch) * batch) == 0:
-                msg = " ".join(f"{k}: {v:.4f}" for k, v in losses.items())
+            if main and total_iters % max(
+                    batch, (opt.output_print_freq // batch) * batch) == 0:
+                msg = " ".join(f"{k}: {float(v):.4f}" for k, v in losses.items())
                 per_img = t_compute / max(total_iters, 1)
                 print(f"(epoch: {epoch}, iters: {total_iters}, "
                       f"compute: {per_img:.4f}s/img, data: {t_data / max(total_iters,1):.4f}s/img) {msg}",
                       flush=True)
                 visualizer.log_losses(epoch, total_iters, losses)
 
-            if (getattr(opt, "output_display_freq", 0) and total_iters %
+            if (single and getattr(opt, "output_display_freq", 0)
+                    and total_iters %
                     max(batch, (opt.output_display_freq // batch) * batch) == 0):
                 try:
                     fake = model.inference(data)
@@ -215,7 +240,7 @@ def launch_training(opt):
                 except Exception as e:  # visuals must never kill training
                     print(f"visuals failed: {e}")
 
-            if (getattr(opt, "train_compute_D_accuracy", False)
+            if (single and getattr(opt, "train_compute_D_accuracy", False)
                     and hasattr(model, "compute_D_accuracy")
                     and total_iters % max(
                         batch, (getattr(opt, "train_D_accuracy_every", 1000)
@@ -225,7 +250,7 @@ def launch_training(opt):
                     f"{k}: {v:.3f}" for k, v in acc.items()), flush=True)
                 visualizer.log_metrics(epoch, total_iters, acc)
 
-            if (getattr(opt, "train_mask_compute_miou", False)
+            if (single and getattr(opt, "train_mask_compute_miou", False)
                     and hasattr(model, "compute_miou")
                     and total_iters % max(
                         batch, (getattr(opt, "train_mask_miou_every", 1000)
