@@ -63,11 +63,16 @@ def _enable_compilation_cache():
         import platform
         import jax
         import jaxlib
+        # NOTE: the cache is only ever enabled for TPU-backed processes
+        # (gates above), so the JAX_PLATFORMS *value* adds no artifact-
+        # compatibility information — and keying on it would make a
+        # driver-side env difference (e.g. JAX_PLATFORMS=tpu vs unset)
+        # silently miss the cache the in-round runs warmed.
         parts = [
             platform.machine(),
             jax.__version__,
             jaxlib.__version__,
-            os.environ.get("JAX_PLATFORMS", ""),
+            "tpu",
         ]
         try:
             with open("/proc/cpuinfo") as f:

@@ -16,7 +16,7 @@ for topic in G D data train dataaug alg_gan alg_cut alg_palette \
 done
 
 echo "== pytest =="
-# Fast lane (<10 min, no torch-parity / slow e2e):
+# Fast lane (no torch-parity / slow e2e; measured budget in pytest.ini):
 #   JOLIGEN_TEST_LANE=fast scripts/run_tests.sh
 if [ "${JOLIGEN_TEST_LANE:-full}" = "fast" ]; then
   python -m pytest tests/ -x -q -m "not parity and not slow" "$@"

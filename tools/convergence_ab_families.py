@@ -685,6 +685,18 @@ def run_mat(args):
     d_reg_every = 4
     r1_gamma = 10.0
     lr = 1e-3
+    # EMA with ramp-up (reference mat_model.py:914-940: beta =
+    # 0.5^(batch/ema_nimg), ema_nimg = min(kimg*1000, nimg*rampup));
+    # tiny kimg so the ramp actually moves at A/B scale
+    ema_kimg, ema_rampup = 0.1, 0.05
+
+    # Reduced width (VERDICT r4 next #4: "reduced resolution/width"):
+    # scale the reference channel table nf() and the FirstStage token dim
+    # by base/64 on BOTH sides so a multi-hundred-step CPU A/B is
+    # tractable. base=64 reproduces the reference widths exactly.
+    base = args.mat_width
+    # token width must divide FirstStage's fixed num_heads=6
+    stage1_dim = max(6, (180 * base // 64) // 6 * 6)
 
     imgs, masks = make_dataset(args.n_train + args.n_test, seed=3,
                                img=IMG_M)
@@ -708,12 +720,24 @@ def run_mat(args):
     # loses dropout
     _orig_dropout = mat_mod.F.dropout
     mat_mod.F.dropout = lambda x, *a, **k: x
+    # width scaling: mat.py's nf() is a FIXED table (channel_base is a
+    # dead parameter, mat.py:27-29) and FirstStage hardcodes dim=180, so
+    # reduced width requires patching the module globals that
+    # SynthesisNet/Discriminator resolve at construction time
+    _nf_orig, _fs_orig = mat_mod.nf, mat_mod.FirstStage
+    if base != 64:
+        mat_mod.nf = lambda s, *a, **k: max(_nf_orig(s) * base // 64, 8)
+        mat_mod.FirstStage = (
+            lambda *a, **k: _fs_orig(*a, **{**k, "dim": stage1_dim}))
     torch.manual_seed(17)
     ref_g = mat_mod.Generator(z_dim=zdim, c_dim=0, w_dim=wdim,
                               img_resolution=IMG_M, img_channels=3)
     ref_d = mat_mod.Discriminator(c_dim=0, img_resolution=IMG_M,
                                   img_channels=3)
+    mat_mod.nf, mat_mod.FirstStage = _nf_orig, _fs_orig
+    import copy as _copy
     cm_tool.disable_noise(ref_g)
+    ref_g_ema = _copy.deepcopy(ref_g).eval()
     ref_g.train(); ref_d.train()
     ratio = d_reg_every / (d_reg_every + 1)
     og = torch.optim.Adam(ref_g.parameters(), lr=lr, betas=(0.0, 0.99))
@@ -770,11 +794,21 @@ def run_mat(args):
         od.step()
         d_losses_ref.append(float(d_loss.detach()))
 
+        # EMA ramp (reference mat_model.py:914-940)
+        ema_nimg = ema_kimg * 1000.0
+        if ema_rampup > 0:
+            ema_nimg = min(ema_nimg, (s + 1) * args.batch * ema_rampup)
+        beta = 0.5 ** (args.batch / max(ema_nimg, 1e-8))
+        with torch.no_grad():
+            for p_e, p in zip(ref_g_ema.parameters(), ref_g.parameters()):
+                p_e.copy_(p.lerp(p_e, beta))
+            for b_e, b_ in zip(ref_g_ema.buffers(), ref_g.buffers()):
+                b_e.copy_(b_)
+
     # ----- ours (flax MAT modules, identical recipe) -----
     from joligen_tpu.models.modules.mat import MATDiscriminator, MATGenerator
-    base = 64 if IMG_M >= 256 else 16
     g_net = MATGenerator(base=base, z_dim=zdim, w_dim=wdim,
-                         stage1_dim=180 if IMG_M >= 256 else 36)
+                         stage1_dim=stage1_dim)
     d_net = MATDiscriminator(base=base)
     b = args.batch
     k = jax.random.PRNGKey(7)
@@ -801,34 +835,53 @@ def run_mat(args):
         up, gs2 = txg.update(grads, gs, gp)
         return optax.apply_updates(gp, up), gs2, loss
 
+    def _d_loss_parts(p, fake, stg1, img, m):
+        sf, sf1 = d_net.apply(p, fake, m, stg1)
+        sr, sr1 = d_net.apply(p, img, m, img)
+        return (jax.nn.softplus(sf).mean()
+                + jax.nn.softplus(sf1).mean()
+                + jax.nn.softplus(-sr).mean()
+                + jax.nn.softplus(-sr1).mean())
+
+    def _make_d_step(with_r1):
+        # two separate jits, matching the reference's LAZY regularization
+        # (R1 only computed every d_reg_every steps, mat_model.py:830-882)
+        # — also avoids paying the double-grad graph on the 3/4 of steps
+        # that multiply it by zero
+        @jax.jit
+        def d_step(dp, ds, gp, img, m, z):
+            fake, stg1 = g_net.apply(gp, img, m, z, rng=None,
+                                     return_stg1=True)
+            fake = jax.lax.stop_gradient(fake)
+            stg1 = jax.lax.stop_gradient(stg1)
+
+            def loss_fn(p):
+                loss = _d_loss_parts(p, fake, stg1, img, m)
+                if with_r1:
+                    def real_main(x):
+                        return d_net.apply(p, x, m, img)[0].sum()
+
+                    def real_stg1(x):
+                        return d_net.apply(p, img, m, x)[1].sum()
+
+                    r1 = ((jax.grad(real_main)(img) ** 2)
+                          .sum(axis=(1, 2, 3)).mean()
+                          + (jax.grad(real_stg1)(img) ** 2)
+                          .sum(axis=(1, 2, 3)).mean())
+                    loss = loss + (r1_gamma / 2) * r1 * d_reg_every
+                return loss
+            loss, grads = jax.value_and_grad(loss_fn)(dp)
+            up, ds2 = txd.update(grads, ds, dp)
+            return optax.apply_updates(dp, up), ds2, loss
+        return d_step
+
+    d_step_r1, d_step_plain = _make_d_step(True), _make_d_step(False)
+
     @jax.jit
-    def d_step(dp, ds, gp, img, m, z, do_r1):
-        fake, stg1 = g_net.apply(gp, img, m, z, rng=None, return_stg1=True)
-        fake = jax.lax.stop_gradient(fake)
-        stg1 = jax.lax.stop_gradient(stg1)
+    def ema_step(gp_ema, gp, beta):
+        return jax.tree.map(lambda e, p: p + (e - p) * beta, gp_ema, gp)
 
-        def loss_fn(p):
-            sf, sf1 = d_net.apply(p, fake, m, stg1)
-            sr, sr1 = d_net.apply(p, img, m, img)
-            loss = (jax.nn.softplus(sf).mean()
-                    + jax.nn.softplus(sf1).mean()
-                    + jax.nn.softplus(-sr).mean()
-                    + jax.nn.softplus(-sr1).mean())
-
-            def real_main(x):
-                return d_net.apply(p, x, m, img)[0].sum()
-
-            def real_stg1(x):
-                return d_net.apply(p, img, m, x)[1].sum()
-
-            r1 = ((jax.grad(real_main)(img) ** 2).sum(axis=(1, 2, 3)).mean()
-                  + (jax.grad(real_stg1)(img) ** 2).sum(
-                      axis=(1, 2, 3)).mean())
-            return loss + do_r1 * (r1_gamma / 2) * r1 * d_reg_every
-        loss, grads = jax.value_and_grad(loss_fn)(dp)
-        up, ds2 = txd.update(grads, ds, dp)
-        return optax.apply_updates(dp, up), ds2, loss
-
+    gp_ema = gp
     g_losses_tpu, d_losses_tpu = [], []
     _t0 = _time.time()
     for s, (idx, z) in enumerate(draws):
@@ -838,8 +891,13 @@ def run_mat(args):
         m = 1.0 - jnp.asarray(tr_m[idx])
         zj = jnp.asarray(z)
         gp, gs, gl = g_step(gp, gs, dp, img, m, zj)
-        do_r1 = 1.0 if s % d_reg_every == 0 else 0.0
-        dp, ds, dl = d_step(dp, ds, gp, img, m, zj, do_r1)
+        step_fn = d_step_r1 if s % d_reg_every == 0 else d_step_plain
+        dp, ds, dl = step_fn(dp, ds, gp, img, m, zj)
+        ema_nimg = ema_kimg * 1000.0
+        if ema_rampup > 0:
+            ema_nimg = min(ema_nimg, (s + 1) * args.batch * ema_rampup)
+        beta = 0.5 ** (args.batch / max(ema_nimg, 1e-8))
+        gp_ema = ema_step(gp_ema, gp, beta)
         g_losses_tpu.append(float(gl))
         d_losses_tpu.append(float(dl))
 
@@ -847,12 +905,13 @@ def run_mat(args):
     rng = np.random.RandomState(11)
     z_eval = rng.randn(len(te_i), zdim).astype(np.float32)
     with torch.no_grad():
-        ref_g.eval()
-        fake, _ = ref_g(nchw(te_i), 1.0 - nchw(te_m),
-                        torch.tensor(z_eval), None, noise_mode="none",
-                        return_stg1=True)
+        # eval through the EMA generator (reference get_G_for_inference,
+        # mat_model.py:659-662)
+        fake, _ = ref_g_ema(nchw(te_i), 1.0 - nchw(te_m),
+                            torch.tensor(z_eval), None, noise_mode="none",
+                            return_stg1=True)
     ref_img = np.transpose(fake.numpy(), (0, 2, 3, 1))
-    fake_j, _ = g_net.apply(gp, jnp.asarray(te_i),
+    fake_j, _ = g_net.apply(gp_ema, jnp.asarray(te_i),
                             1.0 - jnp.asarray(te_m),
                             jnp.asarray(z_eval), rng=None,
                             return_stg1=True)
@@ -880,8 +939,13 @@ def main(argv=None):
     ap.add_argument("--n_train", type=int, default=32)
     ap.add_argument("--n_test", type=int, default=8)
     ap.add_argument("--mat_res", type=int, default=256,
-                    help="MAT resolution (the reference pyramid needs "
-                         ">=256)")
+                    help="MAT resolution (the reference FirstStage needs "
+                         ">=128: below that down_time=0 leaves its decoder "
+                         "img=None, mat.py:1129)")
+    ap.add_argument("--mat_width", type=int, default=64,
+                    help="MAT width base on BOTH sides (64 = exact "
+                         "reference channel table; 16 = 1/4 width for "
+                         "multi-hundred-step CPU A/Bs)")
     args = ap.parse_args(argv)
     {"cm": run_cm, "sc": run_sc, "b2b_vid": run_b2b_vid,
      "mat": run_mat}[args.family](args)
