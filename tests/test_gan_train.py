@@ -136,6 +136,8 @@ def test_nce_losses_sane():
     assert np.isfinite(float(jnp.mean(monce_loss(q, k, 0.07, 2, 16))))
 
 
+@pytest.mark.slow  # re-laned r5: each family keeps ONE fast e2e
+# representative (pytest.ini); this variant runs in the full lane
 def test_cut_pix2pix_aligned_supervised(fakeds, tmp_path):
     """pix2pix-style CUT on the aligned dataset with the supervised
     L1+LPIPS+DISTS loss (reference tests/test_run_pix2pix_gan.py,
@@ -238,6 +240,8 @@ def test_cut_semantic_mask_extras(fakeds, tmp_path):
     assert losses2["G_sem_mask"] == 0.0  # gated off by the tight threshold
 
 
+@pytest.mark.slow  # re-laned r5: each family keeps ONE fast e2e
+# representative (pytest.ini); this variant runs in the full lane
 def test_cut_cls_regression_and_B(fakeds, tmp_path):
     """CLS as a regressor (MSE / L1) and B-side CLS training
     (reference base_model.py:246-252,1511-1520)."""

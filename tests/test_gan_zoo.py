@@ -40,6 +40,8 @@ def fakeds(tmp_path_factory):
     return root
 
 
+@pytest.mark.slow  # re-laned r5: each family keeps ONE fast e2e
+# representative (pytest.ini); this variant runs in the full lane
 def test_projected_d_frozen_trunk():
     """The frozen feature trunk must receive exactly zero gradient."""
     import jax
@@ -325,6 +327,8 @@ def test_vgg_fcn8s_same_pad_mode():
     assert bool(jnp.any(leaf != 0))
 
 
+@pytest.mark.slow  # re-laned r5: each family keeps ONE fast e2e
+# representative (pytest.ini); this variant runs in the full lane
 def test_train_feat_wavelet_generators():
     """train_feat_wavelet runs the G trunk in Haar frequency space
     (reference freq_utils.py:33-57, resnet_generator.py:421-426,
@@ -473,6 +477,8 @@ def test_spectral_norm_d_and_g(tmp_path):
     assert np.isfinite(np.asarray(d.apply(vd, x))).all()
 
 
+@pytest.mark.slow  # re-laned r5: each family keeps ONE fast e2e
+# representative (pytest.ini); this variant runs in the full lane
 def test_vision_aided_multi_backbone():
     """D_vision_aided_backbones clip+dino ensemble: per-backbone frozen
     tower + trainable heads, concatenated logits (reference

@@ -300,6 +300,8 @@ def test_palette_previous_frame_dropout_and_test_overrides(fakeds, tmp_path):
     assert out.shape[-3:] == (s, s, 3) and np.isfinite(out).all()
 
 
+@pytest.mark.slow  # re-laned r5: each family keeps ONE fast e2e
+# representative (pytest.ini); this variant runs in the full lane
 def test_metrics_save_images(fakeds, tmp_path):
     """train_metrics_save_images writes evaluated fake/real pairs
     (reference train.py:379,491)."""

@@ -160,6 +160,8 @@ def test_temporal_unpaired_and_selfsup_temporal(tmp_path_factory, tmp_path):
         assert np.abs(s2["A"][1][m1] - s2["B"][1][m1]).max() > 0.01
 
 
+@pytest.mark.slow  # re-laned r5: each family keeps ONE fast e2e
+# representative (pytest.ini); this variant runs in the full lane
 def test_b2b_global_context_and_object_ref(vidds, tmp_path):
     """Masked global-context conditioning (adaln) + fixed object-ref token
     conditioning through JiTViD (reference b2b global context / object refs)."""
